@@ -1,0 +1,158 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners (chosen to mirror the reference's benchmark suite,
+/root/reference/benchmarks/cpp/: construction, query throughput, parallel
+scaling — plus the training-data ops the north rule adds):
+
+  build_lineitem   — index construction over ~600k boxes (reference:
+                     9.2-11 M boxes/s single node, BASELINE.md)
+  spatial_join_big — 600k x 150k box-overlap join (packed strategy)
+  batch_query      — part x supplier probe join (the correctness query)
+  intersections    — self-join over part boxes
+  knn              — k=5 over part centroids, supplier probes
+  dedup_minhash    — MinHash-LSH near-dup pairs over documents
+  ann_ivf          — IVF top-10 over embeddings
+
+Extra keys (throughputs, row counts) ride along for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from python_prtree_spark import EngineConfig, Extent, batch_query, knn_join, query_intersections
+from python_prtree_spark.operators.build import build_index
+from python_prtree_spark.operators.ann import ivf_topk
+from python_prtree_spark.operators.dedup import minhash_lsh_pairs
+from __spark_entry__ import part_boxes, supplier_probes
+
+CFG = EngineConfig(extent=Extent(0, 0, 105, 105), level=4)
+
+
+def lineitem_boxes(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    xmin = ((k * 2654435761) % 100000).cast("double") / 1000.0
+    ymin = ((k * 2246822519) % 100000).cast("double") / 1000.0
+    return li.select(
+        k.alias("id"),
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        (xmin + 0.05 + ((k * 3266489917) % 300).cast("double") / 1000.0).alias("xmax"),
+        (ymin + 0.05 + ((k * 668265263) % 300).cast("double") / 1000.0).alias("ymax"),
+    )
+
+
+def orders_probes(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    xmin = ((k * 377424577) % 99000).cast("double") / 1000.0
+    ymin = ((k * 285995483) % 99000).cast("double") / 1000.0
+    return o.select(
+        k.alias("qid"),
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        (xmin + 0.05 + ((k * 198491329) % 400).cast("double") / 1000.0).alias("xmax"),
+        (ymin + 0.05 + ((k * 954979807) % 400).cast("double") / 1000.0).alias("ymax"),
+    )
+
+
+def run(spark: SparkSession, sf_dir: str) -> dict:
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    li = lineitem_boxes(spark, sf_dir).cache()
+    n_li = li.count()
+    probes = orders_probes(spark, sf_dir).cache()
+    n_probes = probes.count()
+
+    # construction throughput (reference: benchmark_construction.cpp)
+    cfg_li = CFG.with_(level=5, strategy="packed")
+    idx_rows = timed(
+        "build_lineitem",
+        lambda: build_index(li, cfg_li, n_data_hint=n_li)[0]
+        .agg(F.sum("n_rows")).collect()[0][0],
+    )
+    extras["build_boxes_per_sec"] = round(n_li / timings["build_lineitem"], 1)
+    extras["build_index_rows"] = int(idx_rows)
+
+    n_big = timed(
+        "spatial_join_big",
+        lambda: batch_query(li, probes, cfg_li, n_data_hint=n_li).count(),
+    )
+    extras["spatial_join_big_pairs"] = int(n_big)
+    extras["spatial_join_rows_per_sec"] = round(
+        (n_li + n_probes) / timings["spatial_join_big"], 1
+    )
+
+    pb = part_boxes(spark, sf_dir)
+    sp = supplier_probes(spark, sf_dir)
+    timed("batch_query", lambda: batch_query(pb, sp, CFG).count())
+    timed("intersections", lambda: query_intersections(pb, CFG).count())
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    pts = s.select(
+        k.alias("qid"),
+        (((k * 377424577) % 100000).cast("double") / 1000.0).alias("x"),
+        (((k * 285995483) % 100000).cast("double") / 1000.0).alias("y"),
+    )
+    timed("knn", lambda: knn_join(pb, pts, 5, CFG).count())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, 0.7).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_probes = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    timed("ann_ivf", lambda: ivf_topk(emb, ann_probes, 10, n_centroids=32, n_probe=4).count())
+
+    li.unpersist()
+    probes.unpersist()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline suite wall time (build + spatial joins + knn + dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extras": extras,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("python_prtree_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run(spark, sf_dir)
+    result["cpus"] = int(cpus)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Closed-interval AABB geometry: the single predicate the whole engine is
+built around, plus ingest validation.
+
+Reference semantics (the ONLY arbiter of query results):
+  boxes A, B intersect  ⇔  ∀d: max(A.min_d, B.min_d) <= min(A.max_d, B.max_d)
+(/root/reference/include/prtree/core/detail/bounding_box.h:104-123; oracle in
+tests/conftest.py:56-58). Touching boxes intersect; degenerate boxes and
+points are valid; float64 throughout so a ~5e-6 gap at coordinate ~75 does
+NOT intersect (tests/unit/test_precision.py:58-80).
+
+Validation reproduces prtree.h:151-185: NaN/Inf rejected, min<=max per
+dimension enforced, optional subnormal detection — vectorized, raising on
+the first bad row like the reference ctor does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import EngineConfig
+
+BOX_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+# smallest positive normal float64; reference rejects subnormals when
+# detect_subnormal_ is on (prtree.h:165-177)
+_MIN_NORMAL = np.finfo(np.float64).tiny
+
+
+# ---------------------------------------------------------------------------
+# predicate
+# ---------------------------------------------------------------------------
+
+def aabb_intersects_col(a: str, b: str) -> Column:
+    """Spark column predicate: boxes under prefixes ``a``/``b`` intersect.
+
+    Closed intervals in both dimensions — touching counts."""
+    return (
+        (F.col(f"{a}.xmin") <= F.col(f"{b}.xmax"))
+        & (F.col(f"{b}.xmin") <= F.col(f"{a}.xmax"))
+        & (F.col(f"{a}.ymin") <= F.col(f"{b}.ymax"))
+        & (F.col(f"{b}.ymin") <= F.col(f"{a}.ymax"))
+    )
+
+
+def aabb_intersects_np(q: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """(m,4) query boxes vs (n,4) data boxes → (m,n) bool mask. Broadcasted
+    numpy twin of ``aabb_intersects_col`` — bitwise-identical decisions."""
+    return (
+        (q[:, None, 0] <= d[None, :, 2])
+        & (d[None, :, 0] <= q[:, None, 2])
+        & (q[:, None, 1] <= d[None, :, 3])
+        & (d[None, :, 1] <= q[:, None, 3])
+    )
+
+
+# ---------------------------------------------------------------------------
+# validation (reference prtree.h:151-185)
+# ---------------------------------------------------------------------------
+
+def validate_boxes_np(boxes: np.ndarray, cfg: EngineConfig) -> None:
+    """Raise ValueError on NaN/Inf, min>max, or (optionally) subnormals —
+    mirroring the reference's ctor/insert validation messages."""
+    boxes = np.asarray(boxes, dtype=np.float64)
+    if boxes.ndim != 2 or boxes.shape[1] != 4:
+        raise ValueError(f"Boxes must be shape (n, 4); got {boxes.shape}")
+    if not np.isfinite(boxes).all():
+        raise ValueError("Box coordinates must be finite (no NaN/Inf)")
+    if (boxes[:, 0] > boxes[:, 2]).any() or (boxes[:, 1] > boxes[:, 3]).any():
+        raise ValueError("Box min must be <= max in every dimension")
+    if cfg.detect_subnormal:
+        nz = boxes[boxes != 0.0]
+        if nz.size and (np.abs(nz) < _MIN_NORMAL).any():
+            raise ValueError("Subnormal coordinates detected")
+
+
+def validate_boxes_df(df: DataFrame, cfg: EngineConfig) -> None:
+    """Distributed validation: one aggregate pass; raises like the
+    reference's ctor. Used by build_index before any shuffle."""
+    checks = []
+    for c in BOX_COLS:
+        checks.append(F.sum(F.when(~F.col(c).isNotNull() | F.isnan(c) |
+                                   (F.abs(F.col(c)) == float("inf")), 1).otherwise(0)))
+    bad_order = F.sum(
+        F.when((F.col("xmin") > F.col("xmax")) | (F.col("ymin") > F.col("ymax")), 1).otherwise(0)
+    )
+    agg = [c.alias(f"bad_{i}") for i, c in enumerate(checks)] + [bad_order.alias("bad_order")]
+    if cfg.detect_subnormal:
+        sub = None
+        for c in BOX_COLS:
+            t = (F.col(c) != 0.0) & (F.abs(F.col(c)) < F.lit(float(_MIN_NORMAL)))
+            sub = t if sub is None else (sub | t)
+        agg.append(F.sum(F.when(sub, 1).otherwise(0)).alias("bad_subnormal"))
+    row = df.agg(*agg).collect()[0]
+    d = row.asDict()
+    if any(d[f"bad_{i}"] for i in range(4)):
+        raise ValueError("Box coordinates must be finite (no NaN/Inf)")
+    if d["bad_order"]:
+        raise ValueError("Box min must be <= max in every dimension")
+    if cfg.detect_subnormal and d.get("bad_subnormal"):
+        raise ValueError("Subnormal coordinates detected")

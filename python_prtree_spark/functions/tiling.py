@@ -1,0 +1,165 @@
+"""Grid / quadkey tiler: the global (level-1) partitioner.
+
+Replaces the reference's single-node pseudo-PRTree kd-partitioning
+(/root/reference/include/prtree/core/detail/pseudo_tree.h:123-225) with a
+deterministic 2^L x 2^L grid over a configured world extent:
+
+  * ``cell_cols`` — pure Spark column expressions (stay in whole-stage
+    codegen) computing the covering cell-index ranges of a box;
+  * ``explode_cells`` — one row per covering cell (F.sequence + explode,
+    still JVM-side);
+  * ``ref_cell_col`` — the *reference-point* cell of a candidate pair: the
+    cell containing (max(xmin_a, xmin_b), max(ymin_a, ymin_b)), i.e. the
+    min-corner of the intersection. Every intersecting pair is reported in
+    exactly one cell, so NO post-join dedup shuffle is needed (the
+    distributed analogue of the reference's in-memory `i<j` dedup at
+    prtree.h:890-894). This is the PBSM duplicate-avoidance technique.
+  * numpy twins (``cells_np`` etc.) for use inside Arrow UDFs, plus a
+    Morton/Z-order encoder used to lay out the persisted index table for
+    locality (partition pruning on cell ranges).
+
+Cells only route rows. The closed-interval AABB predicate is the only
+arbiter of results (reference bounding_box.h:104-123), so clamping
+out-of-extent geometry into border cells is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import EngineConfig, Extent
+
+__all__ = [
+    "axis_index_col",
+    "cell_range_cols",
+    "explode_cells",
+    "ref_cell_col",
+    "cells_np",
+    "cell_of_point_np",
+    "morton_encode",
+    "morton_decode",
+]
+
+
+# ---------------------------------------------------------------------------
+# Spark column expressions (JVM-side)
+# ---------------------------------------------------------------------------
+
+def axis_index_col(coord: Column, lo: float, size: float, side: int) -> Column:
+    """Grid index of ``coord`` along one axis, clamped to [0, side-1]."""
+    idx = F.floor((coord - F.lit(lo)) / F.lit(size) * F.lit(side))
+    return F.greatest(F.lit(0), F.least(F.lit(side - 1), idx)).cast("long")
+
+
+def cell_range_cols(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+    extent: Extent, level: int,
+) -> tuple[Column, Column, Column, Column]:
+    """(ix0, iy0, ix1, iy1) covering cell-index ranges of a box."""
+    side = 1 << level
+    ix0 = axis_index_col(xmin, extent.xmin, extent.width(), side)
+    ix1 = axis_index_col(xmax, extent.xmin, extent.width(), side)
+    iy0 = axis_index_col(ymin, extent.ymin, extent.height(), side)
+    iy1 = axis_index_col(ymax, extent.ymin, extent.height(), side)
+    return ix0, iy0, ix1, iy1
+
+
+def explode_cells(
+    df: DataFrame,
+    extent: Extent,
+    level: int,
+    xmin: str = "xmin", ymin: str = "ymin", xmax: str = "xmax", ymax: str = "ymax",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """One output row per (row, covering cell). cell id = ix * side + iy
+    (row-major; a bijection is all the equi-join needs — Morton order is
+    applied only when persisting the index for scan locality)."""
+    side = 1 << level
+    ix0, iy0, ix1, iy1 = cell_range_cols(
+        F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax), extent, level
+    )
+    return (
+        df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
+        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+        .withColumn(cell_col, F.col("_ix") * F.lit(side) + F.col("_iy"))
+        .drop("_ix", "_iy")
+    )
+
+
+def ref_cell_col(
+    a_xmin: Column, a_ymin: Column, b_xmin: Column, b_ymin: Column,
+    extent: Extent, level: int,
+) -> Column:
+    """Cell containing the min-corner of the intersection of boxes a and b."""
+    side = 1 << level
+    rx = axis_index_col(F.greatest(a_xmin, b_xmin), extent.xmin, extent.width(), side)
+    ry = axis_index_col(F.greatest(a_ymin, b_ymin), extent.ymin, extent.height(), side)
+    return rx * F.lit(side) + ry
+
+
+# ---------------------------------------------------------------------------
+# numpy twins (inside Arrow UDFs)
+# ---------------------------------------------------------------------------
+
+def _axis_index_np(coord: np.ndarray, lo: float, size: float, side: int) -> np.ndarray:
+    idx = np.floor((coord - lo) / size * side).astype(np.int64)
+    return np.clip(idx, 0, side - 1)
+
+
+def cells_np(
+    boxes: np.ndarray, extent: Extent, level: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """boxes: (n, 4) [xmin, ymin, xmax, ymax] → (ix0, iy0, ix1, iy1)."""
+    side = 1 << level
+    ix0 = _axis_index_np(boxes[:, 0], extent.xmin, extent.width(), side)
+    ix1 = _axis_index_np(boxes[:, 2], extent.xmin, extent.width(), side)
+    iy0 = _axis_index_np(boxes[:, 1], extent.ymin, extent.height(), side)
+    iy1 = _axis_index_np(boxes[:, 3], extent.ymin, extent.height(), side)
+    return ix0, iy0, ix1, iy1
+
+
+def cell_of_point_np(x: np.ndarray, y: np.ndarray, extent: Extent, level: int) -> np.ndarray:
+    side = 1 << level
+    ix = _axis_index_np(x, extent.xmin, extent.width(), side)
+    iy = _axis_index_np(y, extent.ymin, extent.height(), side)
+    return ix * side + iy
+
+
+# ---------------------------------------------------------------------------
+# Morton / Z-order (index-table layout only)
+# ---------------------------------------------------------------------------
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of v so there is a zero bit between each."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton_encode(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Interleave two <=16-bit grid indices into a Z-order key (int64)."""
+    return (_spread_bits(np.asarray(ix)) | (_spread_bits(np.asarray(iy)) << np.uint64(1))).astype(
+        np.int64
+    )
+
+
+def _unspread_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x55555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x33333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF)
+    return v
+
+
+def morton_decode(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    z = np.asarray(z).astype(np.uint64)
+    return (
+        _unspread_bits(z).astype(np.int64),
+        _unspread_bits(z >> np.uint64(1)).astype(np.int64),
+    )

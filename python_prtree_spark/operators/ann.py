@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * cosine_topk      — exact brute-force top-k: broadcast the (small) probe
+                       set against the corpus, JVM-side zip_with/aggregate
+                       dot products, window row_number for the top-k. The
+                       correctness baseline.
+  * cosine_topk_quantized — same, over fixed-point int64 components
+                       (floor(x*scale + 0.5)): integer dot products are
+                       order-independent and exactly reproducible across
+                       engines — used by the DuckDB-gated correctness query.
+  * ivf_topk         — the scale path: k-means-lite (seeded, fixed rounds,
+                       mapInPandas) coarse quantizer → probe only n_probe
+                       nearest centroids' inverted lists → exact rerank
+                       inside the lists. Approximate (recall < 1 possible),
+                       cost ~ n/k_centroids * n_probe per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "cosine_topk_quantized", "ivf_topk"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    probe_id: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine, ties by ascending corpus id → (qid, vec_id,
+    rank, cosine). Probe side is broadcast (the common shape: few probes,
+    huge corpus); corpus scan stays partition-parallel, one shuffle for the
+    per-probe window."""
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv"))
+    p = probes.select(F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_pv"))
+    w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+    return (
+        c.join(F.broadcast(p))
+        .withColumn("cosine", _dot(F.col("_cv"), F.col("_pv")) / (_norm(F.col("_cv")) * _norm(F.col("_pv"))))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(probe_id), F.col("_cid").alias(id_col), "rank", "cosine",
+        )
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    probe_id: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over fixed-point components — integer dots are exactly
+    associative, so ranks are bit-for-bit reproducible in any engine."""
+    q = lambda c: F.transform(c, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias("_cid"), q(F.col(vec_col)).alias("_cv"))
+    p = probes.select(F.col(probe_id).alias("_pid"), q(F.col(vec_col)).alias("_pv"))
+    dot = F.aggregate(
+        F.zip_with("_cv", "_pv", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    n2 = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda s, x: s + x * x)  # noqa: E731
+    w = Window.partitionBy("_pid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    return (
+        c.join(F.broadcast(p))
+        .withColumn("_dot", dot)
+        .withColumn("_n2c", n2(F.col("_cv")))
+        .withColumn("_n2p", n2(F.col("_pv")))
+        .withColumn(
+            "sim",
+            F.col("_dot") / F.sqrt(F.col("_n2c").cast("double") * F.col("_n2p").cast("double")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_pid").alias(probe_id), F.col("_cid").alias(id_col), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    probe_id: str = "qid",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    kmeans_rounds: int = 5,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """IVF-flat ANN: coarse centroids from a seeded sample (driver numpy,
+    Lloyd iterations on <= sample_size rows), inverted lists = corpus
+    partitioned by nearest centroid, probes visit n_probe lists, exact
+    cosine rerank inside. → (qid, vec_id, rank, cosine)."""
+    samp = np.stack(
+        [r["v"] for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+         .limit(sample_size).collect()]
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    sn = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_rounds):
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(len(cn)):
+            m = assign == c
+            if m.any():
+                v = sn[m].mean(axis=0)
+                cn[c] = v / max(np.linalg.norm(v), 1e-12)
+    planes = cn  # final unit centroids
+
+    def assign_corpus(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["list_id"] = (vn @ planes.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    def assign_probes(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = vn @ planes.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+            out = pdf.loc[pdf.index.repeat(n_probe)].copy()
+            out["list_id"] = top.ravel()
+            yield out
+
+    ct = corpus.schema[id_col].dataType.simpleString()
+    pt = probes.schema[probe_id].dataType.simpleString()
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
+    p = probes.select(
+        F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")
+    w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+    return (
+        c.join(F.broadcast(p.withColumnRenamed("_v", "_pv")), on="list_id")
+        .withColumn("cosine", _dot(F.col("_v"), F.col("_pv")) / (_norm(F.col("_v")) * _norm(F.col("_pv"))))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_pid").alias(probe_id), F.col("_cid").alias(id_col), "rank", "cosine")
+    )

@@ -1,0 +1,397 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five methods, each a first-class operator over a documents table:
+
+  * exact_duplicates        — md5 content hash → groupBy (SQL-gated);
+  * ngram_jaccard_pairs     — exact token-set Jaccard via shared-token
+                              blocking join (SQL-gated; the brute-force
+                              truth the approximate methods approximate);
+  * minhash_lsh_pairs       — MinHash signatures + banded LSH bucket join,
+                              then exact-Jaccard verification of candidates.
+                              The scale path: cost ~ #colliding pairs, not n²;
+  * simhash_pairs           — 64-bit SimHash + pigeonhole band join for
+                              Hamming distance <= 3, verified with bit_count;
+  * embedding_near_dup_pairs— cosine near-duplicates over an embedding
+                              column via the same banded-LSH idea on random
+                              hyperplane signs (exact verify).
+
+Token hashing uses crc32 (stable across workers/sessions — NEVER Python's
+salted hash()). All joins are equi-joins on hash/band keys → shuffle-
+partitioned, broadcast-able, AQE-friendly. No cross joins anywhere.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "rolling_fingerprints",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs, doc_ids sorted).
+    Hash-groupBy — one shuffle on the md5 key; map-side partial agg free."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact token-set Jaccard (blocking join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with distinct-token Jaccard >= threshold.
+
+    Shared-token blocking: a qualifying pair shares >= 1 token, so the
+    token equi-join enumerates a superset; per-pair intersection counts
+    come from the join's groupBy — integers only, then one exact ratio
+    comparison. Exact (not approximate), cost ~ sum over tokens of df².
+    Prefer minhash_lsh_pairs when token document-frequencies are huge."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("_id").alias("id_a"), "tok")
+    b = toks.select(F.col("_id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, on="tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = {t for t in text.split() if t}
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) via mapInPandas — Arrow-batched, numpy inner
+    loop ((a*h + b) mod Mersenne-61 over crc32 token hashes)."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].fillna(""):
+                h = _token_hashes(text)  # (t,)
+                vals = (a[None, :] * h[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+                sigs.append(vals.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs: banded MinHash-LSH candidates, optionally
+    verified with exact token-set Jaccard (join back to tokens).
+
+    bands * rows_per_band == num_hashes; collision prob at jaccard s is
+    1-(1-s^r)^b. Defaults catch s>=0.5 w.p. ~0.99."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, id_col, text_col, seed)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bkey"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bkey")
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bkey")
+    cand = (
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+    )
+    return (
+        cand.join(toks.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a")), on="id_a")
+        .join(toks.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b")), on="id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("n_union", F.size(F.array_union("toks_a", "toks_b")))
+        .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over crc32-seeded splitmix of
+    distinct tokens (weight 1 each)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].fillna("")):
+                h = _token_hashes(text)
+                # splitmix64 to spread crc32 into 64 bits
+                x = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                x = x ^ (x >> np.uint64(31))
+                bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for j in np.nonzero(v > 0)[0]:
+                    sh |= np.uint64(1) << np.uint64(j)
+                out[i] = np.int64(sh.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, simhash long"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming via pigeonhole
+    banding: split 64 bits into (max_hamming+1) chunks; any qualifying pair
+    collides on >= 1 chunk → equi-join on (chunk_idx, chunk_bits), verify
+    with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("cbits"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select("_id", "simhash", "ck.chunk", "ck.cbits")
+    a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cbits")
+    b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cbits")
+    return (
+        a.join(b, on=["chunk", "cbits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold. Random-hyperplane sign
+    sketch → band join on sketch prefixes → exact cosine verify. For
+    threshold t the collision analysis follows SimHash: P[bit agree] =
+    1 - angle/pi."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_planes, dim))
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ planes.T) > 0  # (n, p)
+            key = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(n_planes):
+                key |= signs[:, j].astype(np.int64) << j
+            yield pd.DataFrame({id_col: pdf[id_col], "sketch": key})
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    sk = df.select(id_col, vec_col).mapInPandas(gen, schema=f"{id_col} {out_t}, sketch long")
+    # band the sketch into 4 sub-keys (pigeonhole: tolerate up to 3 differing planes)
+    width = n_planes // 4
+    banded = sk.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("sketch"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bbits"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bbits")
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bbits")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bbits")
+    cand = (
+        a.join(b, on=["band", "bbits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
+        .withColumn("cosine", dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprints (winnowing)
+# ---------------------------------------------------------------------------
+
+def rolling_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
+    min per sliding window → (id, fingerprints array<long> sorted distinct).
+    Copy-detection grade document signature; numpy inner loop."""
+
+    def gen(batches):
+        B = np.uint64(1_000_003)
+        MOD = np.uint64((1 << 61) - 1)
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col].fillna(""):
+                cs = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(cs) < k:
+                    fps.append(np.array([], dtype=np.int64))
+                    continue
+                # rolling polynomial hash of all k-grams
+                n = len(cs) - k + 1
+                h = np.zeros(len(cs), dtype=np.uint64)
+                acc = np.uint64(0)
+                powk = np.uint64(1)
+                for _ in range(k - 1):
+                    powk = (powk * B) % MOD
+                grams = np.zeros(n, dtype=np.uint64)
+                for i in range(k):  # k is small (8): vectorized over positions
+                    acc_vec = cs[i : i + n]
+                    grams = (grams * B + acc_vec) % MOD
+                _ = h, acc, powk
+                if n <= window:
+                    sel = np.array([grams.min()], dtype=np.uint64)
+                else:
+                    from numpy.lib.stride_tricks import sliding_window_view
+
+                    sel = sliding_window_view(grams, window).min(axis=1)
+                fps.append(np.unique(sel).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, fingerprints array<long>"
+    )

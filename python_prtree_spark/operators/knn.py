@@ -1,0 +1,150 @@
+"""kNN join — north-rule extension (no counterpart in the reference; the
+reference's only probe is box overlap).
+
+Semantics (FIXTURES.md F6): for each probe point, the k nearest data-box
+*centroids* by Euclidean distance, ties broken by ascending data id.
+Output: (qid, id, rank) with rank 1..k.
+
+Distributed expanding-radius search — the grid analogue of an R-tree
+best-first kNN, with a per-round correctness certificate:
+
+  round r: probe a box [p ± R_r] through the cell-routed spatial join,
+  take the per-probe top-k by (dist², id) with a window; a probe is
+  RESOLVED iff it found ≥ k candidates whose k-th distance ≤ R_r (every
+  point within R_r of p lies inside the probe box, so nothing closer can
+  be outside it). Unresolved probes continue with R *= 4; once R covers
+  the extent diagonal the box contains everything and the round is exact.
+
+Each round runs only the still-unresolved probes — geometric shrink, a
+handful of rounds total. All heavy work is the same cell-join machinery as
+batch_query; the driver only sees per-round resolved counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
+from python_prtree_spark.operators import probe as _probe
+
+__all__ = ["knn_join"]
+
+
+def knn_join(
+    data_df: DataFrame,
+    points_df: DataFrame,
+    k: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    r0: float | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k nearest data-box centroids per probe point → (qid, id, rank)."""
+    cfg, n_data = _probe.resolve_geometry(
+        data_df.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg
+    )
+    ext = cfg.extent
+    diag = math.hypot(ext.width(), ext.height())
+    if r0 is None:
+        # density heuristic: radius of a disc expected to hold ~2k centroids
+        area = ext.width() * ext.height()
+        r0 = diag if n_data == 0 else min(
+            diag, 1.5 * math.sqrt(max(k, 1) * area / max(n_data, 1))
+        )
+
+    # centroids once; reuse across rounds
+    cent = data_df.select(
+        data_id,
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("_cx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("_cy"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    cent_boxes = cent.select(
+        data_id,
+        F.col("_cx").alias("xmin"), F.col("_cy").alias("ymin"),
+        F.col("_cx").alias("xmax"), F.col("_cy").alias("ymax"),
+    )
+    cent_xy = cent.select(data_id, "_cx", "_cy")
+
+    pending = points_df.select(query_id, F.col(x).alias("_px"), F.col(y).alias("_py"))
+    spark = data_df.sparkSession
+    results: list[DataFrame] = []
+    r = r0
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
+
+    for _ in range(max_rounds):
+        probes = pending.select(
+            query_id, "_px", "_py",
+            (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
+            (F.col("_px") + r).alias("xmax"), (F.col("_py") + r).alias("ymax"),
+        )
+        cand = _probe.batch_query(
+            cent_boxes, probes.select(query_id, "xmin", "ymin", "xmax", "ymax"),
+            cfg, data_id, query_id, n_data_hint=n_data,
+        )
+        scored = (
+            cand.join(cent_xy, on=data_id)
+            .join(probes.select(query_id, "_px", "_py"), on=query_id)
+            .withColumn(
+                "dist2",
+                (F.col("_cx") - F.col("_px")) ** 2 + (F.col("_cy") - F.col("_py")) ** 2,
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        exact = r >= diag  # the box now contains every centroid
+        if exact:
+            results.append(scored.select(query_id, data_id, "rank"))
+            pending = None
+            break
+        # certificate: k-th (or last, if fewer) distance must be <= r
+        per_q = scored.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2")
+        )
+        resolved_q = per_q.where(
+            (F.col("n_found") >= F.least(F.lit(k), F.lit(n_data)))
+            & (F.sqrt("kth_d2") <= F.lit(float(r)))
+        ).select(query_id)
+        results.append(
+            scored.join(resolved_q, on=query_id, how="left_semi")
+            .select(query_id, data_id, "rank")
+        )
+        pending = pending.join(resolved_q, on=query_id, how="left_anti")
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        r *= 4.0
+
+    if pending is not None:
+        # final exact fallback: full-extent box
+        probes = pending.select(
+            query_id, "_px", "_py",
+            F.lit(float("-1e308")).alias("xmin"), F.lit(float("-1e308")).alias("ymin"),
+            F.lit(float("1e308")).alias("xmax"), F.lit(float("1e308")).alias("ymax"),
+        )
+        cand = _probe.batch_query(
+            cent_boxes, probes.select(query_id, "xmin", "ymin", "xmax", "ymax"),
+            cfg, data_id, query_id, n_data_hint=n_data,
+        )
+        scored = (
+            cand.join(cent_xy, on=data_id)
+            .join(probes.select(query_id, "_px", "_py"), on=query_id)
+            .withColumn(
+                "dist2",
+                (F.col("_cx") - F.col("_px")) ** 2 + (F.col("_cy") - F.col("_py")) ** 2,
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        results.append(scored.select(query_id, data_id, "rank"))
+
+    out = results[0]
+    for nxt in results[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -1,0 +1,181 @@
+"""PRTreeTable — mutable spatial table with the reference's mutation
+contract, on immutable DataFrames.
+
+Reference semantics reproduced:
+  * insert rejects duplicate ids (prtree.h:302-306) and validates boxes
+    (prtree.h:315-321); auto-id = n+1 when omitted (core.py:454-457);
+  * erase of a missing id raises RuntimeError("Given index is not found")
+    (prtree.h:795-799); erase-to-empty then re-insert works (core.py:239-259);
+  * rebuild leaves query results invariant (tests/unit/test_rebuild.py:69-94);
+  * automatic re-optimization at 1.25x growth/shrink (types.h:53,
+    prtree.h:411-413, 811-813) → ``needs_rebuild`` + dirty-cell tracking:
+    only partitions whose cells were touched by mutations are re-packed on
+    ``refresh_index`` (incremental rebuild — a MERGE-style partition rewrite,
+    not a full rebuild).
+
+Bulk-build ≡ incremental-insert equivalence and pre/post-rebuild invariance
+are the contracts tested by the reference's legacy suite
+(tests/legacy/test_PRTree.py:75-112) and by ours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
+from python_prtree_spark.functions.geometry import validate_boxes_df
+from python_prtree_spark.functions.tiling import explode_cells
+from python_prtree_spark.operators import probe as _probe
+from python_prtree_spark.operators.pairs import query_intersections as _qi
+
+__all__ = ["PRTreeTable"]
+
+BOX = ["xmin", "ymin", "xmax", "ymax"]
+
+
+class PRTreeTable:
+    """Immutable-snapshot spatial table; every mutation returns a new
+    snapshot (Spark-idiomatic MVCC) while tracking dirty cells for
+    incremental index refresh."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        data_id: str = "id",
+        _n_at_build: int | None = None,
+        _dirty_cells: frozenset[int] | None = None,
+        _validate: bool = True,
+    ):
+        self.data_id = data_id
+        slim = df.select(data_id, *BOX, *[c for c in df.columns if c not in ([data_id] + BOX)])
+        if _validate:
+            validate_boxes_df(slim.select(*BOX), cfg)
+            dup = slim.groupBy(data_id).count().where("count > 1").limit(1).count()
+            if dup:
+                raise ValueError("Duplicate ids in input")
+        self.df = slim
+        self.cfg, self._n = _probe.resolve_geometry(slim.select(data_id, *BOX), cfg)
+        self.n_at_build = _n_at_build if _n_at_build is not None else self._n
+        self.dirty_cells = _dirty_cells or frozenset()
+
+    # -- size (reference prtree.h:816-824) -----------------------------------
+    def size(self) -> int:
+        return self._n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def empty(self) -> bool:
+        return self._n == 0
+
+    # -- mutations ------------------------------------------------------------
+    def _touched_cells(self, rows_df: DataFrame) -> frozenset[int]:
+        cells = explode_cells(
+            rows_df.select(*BOX), self.cfg.extent, self.cfg.level
+        ).select("cell").distinct().collect()
+        return frozenset(r["cell"] for r in cells)
+
+    def insert(self, rows_df: DataFrame) -> "PRTreeTable":
+        """Append rows; raises on duplicate id like prtree.h:302-306."""
+        rows_df = rows_df.select(*self.df.columns) if set(self.df.columns) <= set(
+            rows_df.columns) else rows_df.select(self.data_id, *BOX)
+        validate_boxes_df(rows_df.select(*BOX), self.cfg)
+        clash = (
+            self.df.select(self.data_id)
+            .join(rows_df.select(self.data_id), on=self.data_id)
+            .limit(1).count()
+        )
+        if clash:
+            raise ValueError("Given index is already taken")
+        new_df = self.df.unionByName(rows_df, allowMissingColumns=True)
+        n_new = rows_df.count()
+        return PRTreeTable(
+            new_df, self.cfg, self.data_id,
+            _n_at_build=self.n_at_build,
+            _dirty_cells=self.dirty_cells | self._touched_cells(rows_df),
+            _validate=False,
+        )
+
+    def erase(self, ids: list[int] | DataFrame) -> "PRTreeTable":
+        """Delete by id; missing id raises RuntimeError with the reference's
+        message (prtree.h:795-799)."""
+        spark = self.df.sparkSession
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).alias(self.data_id))
+        else:
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.data_id} long"
+            )
+        n_req = ids_df.distinct().count()
+        hit = self.df.join(ids_df, on=self.data_id, how="left_semi")
+        n_hit = hit.count()
+        if n_hit < n_req:
+            raise RuntimeError("Given index is not found")
+        dirty = self._touched_cells(hit)
+        new_df = self.df.join(ids_df, on=self.data_id, how="left_anti")
+        return PRTreeTable(
+            new_df, self.cfg, self.data_id,
+            _n_at_build=self.n_at_build,
+            _dirty_cells=self.dirty_cells | dirty,
+            _validate=False,
+        )
+
+    # -- re-optimization (reference types.h:53 REBUILD_THRE=1.25) -------------
+    def needs_rebuild(self) -> bool:
+        thr = self.cfg.rebuild_threshold
+        return self._n > thr * self.n_at_build or thr * self._n < self.n_at_build
+
+    def rebuild(self) -> "PRTreeTable":
+        """Full re-pack: results must be invariant (test_rebuild.py:69-94)."""
+        return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False)
+
+    def refresh_index(self, path: str) -> None:
+        """Incremental index refresh: re-pack ONLY dirty cells into the
+        persisted index at ``path`` (partition-granular MERGE), then clear
+        the dirty set. Cheap analogue of the reference's amortized rebuild."""
+        from python_prtree_spark.operators.build import build_index
+        from python_prtree_spark.sources.store import N_BUCKETS, _with_bucket
+        import os
+
+        if not self.dirty_cells:
+            return
+        index, _ = build_index(self.df, self.cfg, self.data_id, validate=False)
+        dirty = list(self.dirty_cells)
+        fresh = _with_bucket(index.where(F.col("cell").isin(*dirty)))
+        spark = self.df.sparkSession
+        old = spark.read.parquet(os.path.join(path, "index"))
+        kept = old.where(~F.col("cell").isin(*dirty))
+        merged = kept.unionByName(fresh.select(*old.columns))
+        tmp = os.path.join(path, "index_new")
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        final = os.path.join(path, "index")
+        import shutil
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        # keep the persisted live-row count in sync
+        import json
+        meta_path = os.path.join(path, "_engine_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta["n_live_rows"] = self._n
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self.dirty_cells = frozenset()
+
+    # -- queries (delegation) --------------------------------------------------
+    def batch_query(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
+        return _probe.batch_query(
+            self.df, query_df, self.cfg, self.data_id, query_id, n_data_hint=self._n
+        )
+
+    def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
+        return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)
+
+    def point_query(self, points_df: DataFrame, query_id: str = "qid") -> DataFrame:
+        return _probe.point_query(self.df, points_df, self.cfg, self.data_id, query_id)
+
+    def query_intersections(self) -> DataFrame:
+        return _qi(self.df, self.cfg, self.data_id, n_data_hint=self._n)

@@ -1,0 +1,273 @@
+"""batch_query — the workhorse: a distributed box-overlap (range) join.
+
+Reference semantics: for each query box, the id-set of data boxes it
+intersects under closed intervals (/root/reference/src/python_prtree/
+core.py:607-687, find_all at prtree.h:587-729). Point probes are degenerate
+boxes (prtree.h:596-615). Single-probe results sort ascending
+(prtree.h:786); we sort in the array form.
+
+Two physical strategies, both exact and both duplicate-free WITHOUT a
+post-join dedup shuffle (reference-point rule — a pair is emitted only in
+the cell holding the min-corner of its intersection):
+
+  * 'sql'    — explode covering cells on both sides → equi-join on cell →
+               AABB + reference-point filter. 100% JVM whole-stage codegen;
+               Catalyst broadcasts the small side; AQE handles join skew.
+               Best when per-cell candidate products are modest.
+  * 'packed' — explode cells → cogroup by (cell, salt) → applyInPandas
+               builds an STRPack per cell and probes vectorized. Avoids
+               materializing per-cell cross products; hot cells are salted
+               (build rows hash-split, probes replicated) so one Python
+               worker never holds more than ~salt_threshold rows — the
+               explicit skew handling the north rule requires.
+
+Both scale: the shuffle key is the cell id, partition pruning applies on a
+persisted index, and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
+from python_prtree_spark.functions.geometry import aabb_intersects_np
+from python_prtree_spark.functions.tiling import (
+    cell_of_point_np,
+    explode_cells,
+    ref_cell_col,
+)
+from python_prtree_spark.operators.strpack import STRPack
+
+__all__ = ["batch_query", "batch_query_array", "point_query", "resolve_geometry"]
+
+BOX = ["xmin", "ymin", "xmax", "ymax"]
+
+
+def resolve_geometry(
+    data_df: DataFrame, cfg: EngineConfig, n_hint: int | None = None
+) -> tuple[EngineConfig, int]:
+    """Fill in extent/level from the data when not configured.
+
+    One columnar aggregate pass; at 100 TB callers should pass explicit
+    extent+level (table-level stats) to skip it."""
+    n = n_hint
+    if cfg.extent is None or cfg.level is None:
+        aggs = []
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("n"))
+        if cfg.extent is None:
+            aggs += [
+                F.min("xmin").alias("x0"), F.min("ymin").alias("y0"),
+                F.max("xmax").alias("x1"), F.max("ymax").alias("y1"),
+            ]
+        row = data_df.agg(*aggs).collect()[0].asDict()
+        n = n if n is not None else int(row["n"])
+        if cfg.extent is None:
+            if row["x0"] is None:  # empty table
+                cfg = cfg.with_(extent=Extent())
+            else:
+                # pad so max-edge coordinates land strictly inside
+                w = max(row["x1"] - row["x0"], 1e-9)
+                h = max(row["y1"] - row["y0"], 1e-9)
+                cfg = cfg.with_(extent=Extent(
+                    row["x0"] - 1e-9 * w, row["y0"] - 1e-9 * h,
+                    row["x1"] + 1e-9 * w, row["y1"] + 1e-9 * h,
+                ))
+    if n is None:
+        n = data_df.count()
+    if cfg.level is None:
+        cfg = cfg.with_(level=cfg.resolve_level(n))
+    return cfg, n
+
+
+def _pick_strategy(cfg: EngineConfig, n_data: int) -> str:
+    if cfg.strategy != "auto":
+        return cfg.strategy
+    # per-cell products stay small below ~1M rows at auto level → pure SQL
+    return "sql" if n_data <= 1_000_000 else "packed"
+
+
+# ---------------------------------------------------------------------------
+# 'sql' strategy — pure JVM
+# ---------------------------------------------------------------------------
+
+def _batch_query_sql(
+    data_c: DataFrame, query_c: DataFrame, cfg: EngineConfig,
+    data_id: str, query_id: str,
+) -> DataFrame:
+    d = data_c.select(
+        F.col(data_id).alias("_did"), "cell",
+        *[F.col(c).alias(f"d_{c}") for c in BOX],
+    )
+    q = query_c.select(
+        F.col(query_id).alias("_qid"), "cell",
+        *[F.col(c).alias(f"q_{c}") for c in BOX],
+    )
+    pred = (
+        (F.col("q_xmin") <= F.col("d_xmax")) & (F.col("d_xmin") <= F.col("q_xmax"))
+        & (F.col("q_ymin") <= F.col("d_ymax")) & (F.col("d_ymin") <= F.col("q_ymax"))
+    )
+    ref = ref_cell_col(
+        F.col("q_xmin"), F.col("q_ymin"), F.col("d_xmin"), F.col("d_ymin"),
+        cfg.extent, cfg.level,
+    )
+    return (
+        q.join(d, on="cell")
+        .where(pred & (ref == F.col("cell")))
+        .select(F.col("_qid").alias(query_id), F.col("_did").alias(data_id))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 'packed' strategy — cogrouped Arrow UDF with per-cell STRPack
+# ---------------------------------------------------------------------------
+
+def _make_probe_fn(cfg: EngineConfig, query_id: str, data_id: str):
+    extent, level, leaf_size = cfg.extent, cfg.level, cfg.leaf_size
+
+    def probe(ddf, qdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(ddf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({query_id: qdf["_qid"].iloc[:0],
+                                 data_id: ddf["_did"].iloc[:0]})
+        cell = int(ddf["cell"].iloc[0])
+        dboxes = ddf[BOX].to_numpy(dtype=np.float64)
+        qboxes = qdf[BOX].to_numpy(dtype=np.float64)
+        # pack over row positions → id type stays whatever the caller uses
+        pack = STRPack(np.arange(len(ddf)), dboxes, leaf_size)
+        qi, pos = pack.query(qboxes)
+        if len(qi) == 0:
+            return pd.DataFrame({query_id: qdf["_qid"].iloc[:0],
+                                 data_id: ddf["_did"].iloc[:0]})
+        # reference-point dedup: keep a pair only in the cell holding the
+        # min-corner of its intersection
+        refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
+        refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
+        keep = cell_of_point_np(refx, refy, extent, level) == cell
+        return pd.DataFrame({
+            query_id: qdf["_qid"].to_numpy()[qi[keep]],
+            data_id: ddf["_did"].to_numpy()[pack.ids[pos[keep]]],
+        })
+
+    return probe
+
+
+def _batch_query_packed(
+    data_c: DataFrame, query_c: DataFrame, cfg: EngineConfig,
+    data_id: str, query_id: str, salt_counts: DataFrame | None,
+) -> DataFrame:
+    d = data_c.select(F.col(data_id).alias("_did"), "cell", *BOX)
+    q = query_c.select(F.col(query_id).alias("_qid"), "cell", *BOX)
+    keys = ["cell"]
+    if salt_counts is not None:
+        # salt_counts: (cell, n_salts) for hot cells only — tiny, broadcast
+        d = (
+            d.join(F.broadcast(salt_counts), on="cell", how="left")
+            .withColumn("salt", F.when(F.col("n_salts").isNull(), F.lit(0))
+                        .otherwise(F.pmod(F.xxhash64("_did"), F.col("n_salts"))))
+            .drop("n_salts")
+        )
+        q = (
+            q.join(F.broadcast(salt_counts), on="cell", how="left")
+            .withColumn("salt", F.explode(F.sequence(
+                F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)))
+            .drop("n_salts")
+        )
+        keys = ["cell", "salt"]
+    fn = _make_probe_fn(cfg, query_id, data_id)
+    qt = query_c.schema[query_id].dataType.simpleString()
+    dt = data_c.schema[data_id].dataType.simpleString()
+    return (
+        d.groupBy(*keys)
+        .cogroup(q.groupBy(*keys))
+        .applyInPandas(fn, schema=f"{query_id} {qt}, {data_id} {dt}")
+    )
+
+
+def _hot_cells(data_c: DataFrame, cfg: EngineConfig) -> DataFrame | None:
+    """Per-cell build-side histogram → (cell, n_salts) for cells exceeding
+    the salt threshold. Returns None when nothing is hot."""
+    hot = (
+        data_c.groupBy("cell").count()
+        .where(F.col("count") > cfg.salt_threshold)
+        .select(
+            "cell",
+            F.least(
+                F.lit(cfg.max_salts),
+                F.ceil(F.col("count") / cfg.salt_threshold).cast("int"),
+            ).alias("n_salts"),
+        )
+    )
+    return hot if hot.limit(1).count() > 0 else None
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def batch_query(
+    data_df: DataFrame,
+    query_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    n_data_hint: int | None = None,
+) -> DataFrame:
+    """Distributed batch box-overlap probe → duplicate-free (query_id,
+    data_id) pairs. Exact closed-interval semantics; no post-join dedup."""
+    cfg, n_data = resolve_geometry(data_df.select(*( [data_id] + BOX )), cfg, n_data_hint)
+    data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
+    query_c = explode_cells(query_df.select(query_id, *BOX), cfg.extent, cfg.level)
+    strategy = _pick_strategy(cfg, n_data)
+    if strategy == "sql":
+        return _batch_query_sql(data_c, query_c, cfg, data_id, query_id)
+    salt = _hot_cells(data_c, cfg)
+    return _batch_query_packed(data_c, query_c, cfg, data_id, query_id, salt)
+
+
+def batch_query_array(
+    data_df: DataFrame,
+    query_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Array form mirroring the reference's batch_query_array
+    (prtree.h:731-733): (query_id, n_hits, ids sorted ascending); queries
+    with no hits appear with an empty array, like the reference's empty
+    inner lists."""
+    pairs = batch_query(data_df, query_df, cfg, data_id, query_id)
+    agg = pairs.groupBy(query_id).agg(
+        F.sort_array(F.collect_list(data_id)).alias("ids")
+    )
+    return (
+        query_df.select(query_id)
+        .join(agg, on=query_id, how="left")
+        .select(
+            query_id,
+            F.coalesce(F.size("ids"), F.lit(0)).alias("n_hits"),
+            F.coalesce("ids", F.array().cast("array<long>")).alias("ids"),
+        )
+    )
+
+
+def point_query(
+    data_df: DataFrame,
+    points_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Point probes = degenerate boxes (reference prtree.h:596-615,
+    743-754): identical results to a zero-extent box query."""
+    q = points_df.select(
+        query_id,
+        F.col(x).alias("xmin"), F.col(y).alias("ymin"),
+        F.col(x).alias("xmax"), F.col(y).alias("ymax"),
+    )
+    return batch_query(data_df, q, cfg, data_id, query_id)

@@ -1,0 +1,103 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md F1/F2) and the
+reference's fixture recipes — generated distributed (mapInPandas over an id
+range, so scale-out is a partition count, not a driver loop).
+
+Schema per BASELINE.json input_hint:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash bigint)
+plus derived footprint boxes (xmin, ymin, xmax, ymax double) and a stable
+numeric ``id`` for the spatial operators — the reference's fixture recipe
+at /root/reference/tests/conftest.py:20-29 (uniform mins in [0,100),
+extents >= 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from python_prtree_spark.functions.codec import decode_image, encode_image, phash64
+
+_COLORS = ["red", "green", "blue", "amber", "violet", "teal", "coral", "slate"]
+_NOUNS = ["fox", "door", "river", "tile", "crate", "lantern", "mosaic", "orchid"]
+
+IMAGE_SCHEMA = (
+    "id long, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, xmin double, ymin double, xmax double, ymax double"
+)
+
+_WS = [16, 32, 64]
+_HS = [16, 24, 48]
+
+
+def gen_pixels(i: int, w: int, h: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed ^ i))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _boxes_for_range(lo: int, hi: int, seed: int = 42) -> np.ndarray:
+    """Footprint boxes matching the reference fixture recipe, but computed
+    per-id (counter-based) so any partition can generate its slice
+    independently — mins in [0,100), extents in [1,101)."""
+    n = hi - lo
+    out = np.empty((n, 4))
+    for j, i in enumerate(range(lo, hi)):
+        r = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+        mins = r.random(2) * 100
+        ext = r.random(2) * 100 + 1
+        out[j] = [mins[0], mins[1], mins[0] + ext[0], mins[1] + ext[1]]
+    return out
+
+
+def _rows_for_range(lo: int, hi: int, seed: int, extent_scale: float) -> pd.DataFrame:
+    boxes = _boxes_for_range(lo, hi, seed)
+    if extent_scale != 1.0:
+        boxes[:, 2] = boxes[:, 0] + (boxes[:, 2] - boxes[:, 0]) * extent_scale
+        boxes[:, 3] = boxes[:, 1] + (boxes[:, 3] - boxes[:, 1]) * extent_scale
+    rows = []
+    for j, i in enumerate(range(lo, hi)):
+        w, h = _WS[i % 3], _HS[i % 3]
+        fmt = "lossy" if i % 10 == 9 else "raw"
+        px = gen_pixels(i, w, h, seed)
+        data = encode_image(px, fmt)
+        color, noun = _COLORS[i % 8], _NOUNS[(i // 8) % 8]
+        cap = f"caption of img{i:010d}: {color} {noun} at ({boxes[j,0]:.3f},{boxes[j,1]:.3f})"
+        # phash of the *stored* image (decoded pixels), so the column is
+        # recomputable from the bytes alone
+        ph = phash64(decode_image(data))
+        rows.append((i, f"img{i:010d}", data, w, h, fmt, cap, ph,
+                     *boxes[j].tolist()))
+    return pd.DataFrame(rows, columns=[
+        "id", "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "xmin", "ymin", "xmax", "ymax",
+    ])
+
+
+def image_table(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    extent_scale: float = 1.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic generation: each task renders its id slice."""
+    parts = partitions or max(1, min(spark.sparkContext.defaultParallelism, n // 256 or 1))
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, r in pdf.iterrows():
+                yield _rows_for_range(int(r["lo"]), int(r["hi"]), seed, extent_scale)
+
+    bounds = [(i * n // parts, (i + 1) * n // parts) for i in range(parts)]
+    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(parts, "lo")
+    return ranges.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def boxes_pdf(n: int, seed: int = 42, extent_scale: float = 1.0) -> np.ndarray:
+    """Driver-side twin of the footprints (for numpy oracles in tests)."""
+    b = _boxes_for_range(0, n, seed)
+    if extent_scale != 1.0:
+        b[:, 2] = b[:, 0] + (b[:, 2] - b[:, 0]) * extent_scale
+        b[:, 3] = b[:, 1] + (b[:, 3] - b[:, 1]) * extent_scale
+    return b

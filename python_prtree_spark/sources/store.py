@@ -1,0 +1,177 @@
+"""Durable index tables + checkpoint/lineage with partition-granular resume.
+
+The reference persists one cereal binary blob (prtree.h:119-143). Our
+durable form is a *table*: one row per (cell, salt) pack, written as
+Parquet partitioned by ``bucket`` (a stable hash range of the Morton key,
+so spatially nearby cells co-locate and partition pruning works on cell
+ranges). save = write, load = read — exactly the mapping SURVEY.md §2 row 9
+prescribes.
+
+The checkpoint table (``<path>/_lineage``) holds one row per bucket with
+row counts and cell counts — per-partition lineage + metrics per the north
+rule. ``save_index(..., resume=True)`` skips buckets already recorded, so a
+killed build resumes at partition granularity; a kill/resume test exercises
+this.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
+from python_prtree_spark.operators.build import build_index
+
+__all__ = ["save_index", "load_index", "LoadedIndex", "N_BUCKETS"]
+
+N_BUCKETS = 64
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_engine_meta.json")
+
+
+def _lineage_path(path: str) -> str:
+    return os.path.join(path, "_lineage")
+
+
+def _with_bucket(index_df: DataFrame) -> DataFrame:
+    # bucket by Morton-key range → neighbouring cells share buckets
+    return index_df.withColumn(
+        "bucket", F.pmod(F.col("zorder"), F.lit(N_BUCKETS)).cast("int")
+    )
+
+
+def save_index(
+    data_df: DataFrame,
+    path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    resume: bool = False,
+) -> EngineConfig:
+    """Build and persist the index table; idempotent per bucket.
+
+    With ``resume=True``, buckets whose lineage row exists are skipped —
+    partition-granular restart after a kill."""
+    import json
+
+    spark = data_df.sparkSession
+    n_live = data_df.count()
+    index, cfg = build_index(data_df, cfg, data_id=data_id, n_data_hint=n_live)
+    index = _with_bucket(index)
+
+    done: set[int] = set()
+    if resume and os.path.exists(_lineage_path(path)):
+        done = {
+            r["bucket"]
+            for r in spark.read.parquet(_lineage_path(path)).select("bucket").collect()
+        }
+        if done:
+            index = index.where(~F.col("bucket").isin(*done))
+
+    if len(done) < N_BUCKETS:
+        index.write.partitionBy("bucket").mode("append").parquet(
+            os.path.join(path, "index")
+        )
+        # lineage: per-bucket metrics, appended after the data lands
+        lineage = (
+            spark.read.parquet(os.path.join(path, "index"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .withColumn("status", F.lit("done"))
+        )
+        if done:
+            lineage = lineage.where(~F.col("bucket").isin(*done))
+        lineage.write.mode("append").parquet(_lineage_path(path))
+
+    meta = {
+        "extent": [cfg.extent.xmin, cfg.extent.ymin, cfg.extent.xmax, cfg.extent.ymax],
+        "level": cfg.level,
+        "leaf_size": cfg.leaf_size,
+        "n_live_rows": n_live,
+        "version": 1,
+    }
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    return cfg
+
+
+class LoadedIndex:
+    """A persisted index opened for probing — the analogue of
+    ``PRTree(fname)`` (reference core.py:146-162). Probing joins exploded
+    probe cells against index rows on (cell[, salt]) and runs the same
+    vectorized STRPack probe, reconstructed zero-copy from Arrow arrays."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import json
+
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+        e = meta["extent"]
+        self.cfg = DEFAULT_CONFIG.with_(
+            extent=Extent(*e), level=meta["level"], leaf_size=meta["leaf_size"]
+        )
+        self.df = spark.read.parquet(os.path.join(path, "index"))
+        self.path = path
+        self._n_live = meta.get("n_live_rows")
+
+    def size(self) -> int:
+        """Live (unreplicated) row count — a row spanning k cells is stored
+        k times physically but counts once, like the reference's size()."""
+        if self._n_live is not None:
+            return self._n_live
+        return self.df.select(F.explode("ids").alias("i")).distinct().count()
+
+    def batch_query(
+        self, query_df: DataFrame, query_id: str = "qid", data_id: str = "id"
+    ) -> DataFrame:
+        from python_prtree_spark.functions.tiling import cell_of_point_np, explode_cells
+        from python_prtree_spark.operators.strpack import STRPack
+
+        cfg = self.cfg
+        q = explode_cells(
+            query_df.select(query_id, "xmin", "ymin", "xmax", "ymax"),
+            cfg.extent, cfg.level,
+        ).select(F.col(query_id).alias("_qid"), "cell", "xmin", "ymin", "xmax", "ymax")
+        extent, level = cfg.extent, cfg.level
+
+        def probe(idx_pdf, qdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({query_id: pd.Series(dtype="int64"),
+                                  data_id: pd.Series(dtype="int64")})
+            if len(idx_pdf) == 0 or len(qdf) == 0:
+                return empty
+            outs = []
+            qboxes = qdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
+            qids = qdf["_qid"].to_numpy(dtype=np.int64)
+            for _, row in idx_pdf.iterrows():   # ≥1 row per (cell,salt) pack
+                pack = STRPack.from_arrays(
+                    row["ids"], row["b_xmin"], row["b_ymin"],
+                    row["b_xmax"], row["b_ymax"], row["leaf_mbbs"], row["leaf_size"],
+                )
+                qi, pos = pack.query(qboxes)
+                if not len(qi):
+                    continue
+                refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
+                refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
+                keep = cell_of_point_np(refx, refy, extent, level) == int(row["cell"])
+                outs.append(pd.DataFrame({query_id: qids[qi[keep]],
+                                          data_id: pack.ids[pos[keep]]}))
+            return pd.concat(outs) if outs else empty
+
+        return (
+            self.df.groupBy("cell")
+            .cogroup(q.groupBy("cell"))
+            .applyInPandas(probe, schema=f"{query_id} long, {data_id} long")
+        )
+
+
+def load_index(spark: SparkSession, path: str) -> LoadedIndex:
+    return LoadedIndex(spark, path)

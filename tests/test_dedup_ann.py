@@ -1,0 +1,168 @@
+"""Dedup suite + ANN vs exact oracles (small controlled corpora +
+the driver-provided documents/embeddings tables)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_prtree_spark.operators.ann import cosine_topk, cosine_topk_quantized, ivf_topk
+from python_prtree_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    rolling_fingerprints,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",       # near-dup of 0
+        "completely different text about spark engines",
+        "the quick brown fox jumps over the lazy dog",       # exact dup of 0
+        "spark engines about completely different text",     # permuted 2 (same token set)
+        "unrelated words entirely here nothing shared",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(base)), "text": base}),
+        schema="doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    rows = exact_duplicates(docs).collect()
+    groups = {tuple(r["doc_ids"]) for r in rows if r["n_docs"] > 1}
+    assert groups == {(0, 3)}
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    exp = {
+        (a, b)
+        for a in texts for b in texts if a < b
+        and _jaccard(texts[a], texts[b]) >= 0.5
+    }
+    assert got == exp
+    assert (0, 3) in got and (0, 1) in got
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, 0.5).collect()}
+    exp = {
+        (a, b)
+        for a in texts for b in texts if a < b
+        and _jaccard(texts[a], texts[b]) >= 0.5
+    }
+    # verification makes candidates exact-on-threshold; LSH may only MISS
+    # pairs (prob ~1e-2 at s=0.5), never add false ones. On this corpus the
+    # high-sim pairs (s>=0.8) are caught w.p. ~1-1e-9.
+    assert got <= exp
+    assert (0, 3) in got and (0, 1) in got
+
+
+def test_simhash_identical_and_hamming(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical text → identical simhash
+    # token-permuted text → identical simhash too (order-free)
+    assert sigs[2] == sigs[4]
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 3) in got and (2, 4) in got
+    # oracle: all pairs within hamming 3
+    ids = sorted(sigs)
+    exp = {
+        (a, b) for a in ids for b in ids if a < b
+        and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == exp
+
+
+def test_rolling_fingerprints(spark, docs):
+    rows = {r["doc_id"]: list(r["fingerprints"]) for r in rolling_fingerprints(docs).collect()}
+    assert rows[0] == rows[3]            # identical docs → identical fingerprints
+    assert len(set(rows[0]) & set(rows[1])) > 0   # near-dups share fingerprints
+    assert len(set(rows[0]) & set(rows[5])) == 0  # unrelated share none
+
+
+# ---------------------------------------------------------------------------
+# ANN over the driver-provided embeddings table
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _ann_oracle(vecs: dict[int, np.ndarray], probes: dict[int, np.ndarray], k: int):
+    out = set()
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids]).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid, p in probes.items():
+        pn = p / np.linalg.norm(p)
+        sims = Mn @ pn
+        order = np.lexsort((ids, -sims))
+        for rank, j in enumerate(order[:k], start=1):
+            out.add((qid, ids[j], rank))
+    return out
+
+
+def test_cosine_topk_exact(spark, emb):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    probe_ids = sorted(vecs)[:5]
+    probes_df = emb.where(emb.vec_id.isin(probe_ids)).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = {(r["qid"], r["vec_id"], r["rank"]) for r in cosine_topk(emb, probes_df, 10).collect()}
+    exp = _ann_oracle(vecs, {i: vecs[i] for i in probe_ids}, 10)
+    assert got == exp
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF is approximate: require recall@10 >= 0.7 vs exact."""
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    probe_ids = sorted(vecs)[:8]
+    probes_df = emb.where(emb.vec_id.isin(probe_ids)).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = {(r["qid"], r["vec_id"]) for r in
+           ivf_topk(emb, probes_df, 10, n_centroids=8, n_probe=4).collect()}
+    exp = {(q, v) for (q, v, _r) in _ann_oracle(vecs, {i: vecs[i] for i in probe_ids}, 10)}
+    recall = len(got & exp) / len(exp)
+    # random 64-d embeddings are a worst case for IVF (no cluster structure);
+    # on a ~50-row table with 8 centroids / 4 probes we accept recall >= 0.5
+    assert recall >= 0.5, recall
+
+
+def test_cosine_topk_quantized_matches_exact_ranking(spark, emb):
+    """Quantized ranking ≈ float ranking on well-separated data; both are
+    deterministic. Spot-check rank-1 self-similarity."""
+    probes_df = emb.limit(3).select(emb.vec_id.alias("qid"), "embedding")
+    rows = cosine_topk_quantized(emb, probes_df, 1).collect()
+    for r in rows:
+        assert r["qid"] == r["vec_id"] and r["rank"] == 1  # nearest of self is self
+
+
+def test_embedding_near_dup(spark, emb):
+    """Plant an exact duplicate vector; the near-dup op must find it."""
+    dup = emb.limit(1).select((emb.vec_id + 100000).alias("vec_id"), "embedding",
+                              emb.label.alias("label"))
+    df = emb.unionByName(dup)
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs(df, threshold=0.999).collect()}
+    first = emb.first()["vec_id"]
+    assert (first, first + 100000) in got

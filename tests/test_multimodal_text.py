@@ -1,0 +1,129 @@
+"""Image codec + multimodal plumbing + text analysis + the deterministic
+image+caption table (BASELINE.json input_hint invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_prtree_spark.functions.codec import decode_image, phash64
+from python_prtree_spark.functions.text import langid_col, quality_cols, token_count_col
+from python_prtree_spark.operators.multimodal import (
+    audio_features_stub,
+    decode_stats,
+    recompute_phash,
+    resize_images,
+    verify_roundtrip,
+    video_frame_sample_stub,
+)
+from python_prtree_spark.sources.datagen import boxes_pdf, gen_pixels, image_table
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return image_table(spark, 200, partitions=4).cache()
+
+
+def test_image_table_deterministic(spark, images):
+    """Same seed → identical table, including bytes and phash; footprints
+    match the driver-side twin."""
+    rows = {r["id"]: r for r in images.collect()}
+    assert len(rows) == 200
+    again = {r["id"]: r for r in image_table(spark, 200, partitions=2).collect()}
+    for i in (0, 7, 199):
+        assert bytes(rows[i]["bytes"]) == bytes(again[i]["bytes"])
+        assert rows[i]["phash"] == again[i]["phash"]
+        assert rows[i]["caption"] == again[i]["caption"]
+    b = boxes_pdf(200)
+    for i in (0, 42, 150):
+        assert rows[i]["xmin"] == pytest.approx(b[i, 0])
+        assert rows[i]["ymax"] == pytest.approx(b[i, 3])
+
+
+def test_per_row_invariants(spark, images):
+    """input_hint: decoded-pixel exactness (raw) / PSNR >= 40 dB (lossy) +
+    caption equality per row."""
+    vr = verify_roundtrip(images)
+    bad = vr.where(~F.col("ok")).count()
+    assert bad == 0
+    lossy_min = vr.where(F.col("fmt") == "lossy").agg(F.min("psnr")).collect()[0][0]
+    assert lossy_min >= 40.0
+    # caption equality: regenerate caption from id and compare
+    recon = images.select(
+        "id", "caption",
+        F.format_string("img%010d", F.col("id")).alias("img_name"),
+    ).where(~F.col("caption").contains(F.col("img_name")))
+    assert recon.count() == 0
+
+
+def test_phash_roundtrip(spark, images):
+    """Stored phash == phash recomputed from decoded pixels, distributed."""
+    j = recompute_phash(images).join(images.select("image_id", "phash"), on="image_id")
+    assert j.where(F.col("phash") != F.col("phash2")).count() == 0
+    # and against the driver-side kernel
+    r0 = images.where(F.col("id") == 3).first()
+    assert phash64(gen_pixels(3, r0["w"], r0["h"])) == r0["phash"]
+
+
+def test_decode_stats(spark, images):
+    st = {r["image_id"]: r for r in decode_stats(images).collect()}
+    r5 = images.where(F.col("id") == 5).first()
+    px = decode_image(bytes(r5["bytes"]))
+    m = px.reshape(-1, 3).mean(axis=0)
+    s = st[r5["image_id"]]
+    assert (s["w"], s["h"]) == (r5["w"], r5["h"])
+    assert s["mean_r"] == pytest.approx(m[0])
+
+
+def test_resize(spark, images):
+    out = resize_images(images.limit(10), 8, 8)
+    rows = out.collect()
+    assert all(r["w"] == 8 and r["h"] == 8 for r in rows)
+    px = decode_image(bytes(rows[0]["bytes"]))
+    assert px.shape == (8, 8, 3)
+
+
+def test_audio_video_stubs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [1, 2], "bytes": [b"\x00\x7f\xff" * 100, b"\x10" * 50]})
+    )
+    rows = {r["clip_id"]: r for r in audio_features_stub(df).collect()}
+    assert rows[1]["n_samples"] == 300 and rows[2]["rms"] >= 0
+    with pytest.raises(Exception, match="NotImplementedError|external codec"):
+        audio_features_stub(df, real_decode=True).collect()
+    vdf = df.withColumnRenamed("clip_id", "video_id")
+    frames = video_frame_sample_stub(vdf, every_n=1).collect()
+    assert len(frames) >= 2
+    with pytest.raises(Exception, match="NotImplementedError|external codec"):
+        video_frame_sample_stub(vdf, real_decode=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# text analysis on the driver-provided documents table
+# ---------------------------------------------------------------------------
+
+def test_text_metrics(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.select(
+        "doc_id", "text",
+        token_count_col("text").alias("n_tok"),
+        *[v.alias(k) for k, v in quality_cols("text").items()],
+    ).limit(20).collect()
+    for r in out:
+        assert r["n_tok"] == len(r["text"].split())
+        assert r["n_chars"] == len(r["text"])
+
+
+def test_langid_heuristic(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+            "the cat is a friend of the dog and the bird",
+            "le chat est dans la maison et les oiseaux",
+            "xyzzy plugh qwerty",
+        ]})
+    )
+    got = {r["doc_id"]: r["pred"] for r in
+           df.select("doc_id", langid_col("text").alias("pred")).collect()}
+    assert got[0] == "en" and got[1] == "fr" and got[2] == "und"

@@ -1,0 +1,103 @@
+"""Mutation contract (reference tests/legacy/test_PRTree.py:75-112,
+tests/unit/test_insert.py, test_erase.py, test_rebuild.py):
+bulk build ≡ incremental inserts; erase removes exactly; errors match;
+rebuild leaves results invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from python_prtree_spark import EngineConfig, Extent, PRTreeTable
+from tests.conftest import boxes_df, oracle_pairs, rand_boxes
+
+CFG = EngineConfig(extent=Extent(0, 0, 100, 100), level=3, strategy="sql")
+
+
+def _pairs(t: PRTreeTable, qdf) -> set:
+    return set((r["qid"], r["id"]) for r in t.batch_query(qdf).collect())
+
+
+def test_bulk_equals_incremental(spark):
+    """Reference legacy contract: build(all) ≡ build(half)+insert(rest)."""
+    boxes = rand_boxes(600, 41)
+    qboxes = rand_boxes(40, 42)
+    qdf = boxes_df(spark, qboxes, "qid")
+    t_bulk = PRTreeTable(boxes_df(spark, boxes), CFG)
+    half = len(boxes) // 2
+    t_inc = PRTreeTable(boxes_df(spark, boxes[:half]), CFG)
+    t_inc = t_inc.insert(boxes_df(spark, boxes[half:], ids=np.arange(half, len(boxes))))
+    exp = oracle_pairs(qboxes, boxes)
+    assert _pairs(t_bulk, qdf) == exp
+    assert _pairs(t_inc, qdf) == exp
+    assert t_inc.size() == len(boxes)
+
+
+def test_erase_then_query(spark):
+    boxes = rand_boxes(400, 43)
+    qboxes = rand_boxes(30, 44)
+    qdf = boxes_df(spark, qboxes, "qid")
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+    erased = list(range(0, 200))
+    t2 = t.erase(erased)
+    exp = {(q, d) for (q, d) in oracle_pairs(qboxes, boxes) if d >= 200}
+    assert _pairs(t2, qdf) == exp
+    assert t2.size() == 200
+    # original snapshot unaffected (MVCC)
+    assert t.size() == 400
+
+
+def test_duplicate_insert_raises(spark):
+    """prtree.h:302-306."""
+    t = PRTreeTable(boxes_df(spark, rand_boxes(50, 45)), CFG)
+    with pytest.raises(ValueError, match="already taken"):
+        t.insert(boxes_df(spark, rand_boxes(5, 46), ids=np.arange(5)))
+
+
+def test_erase_missing_raises(spark):
+    """Reference message: 'Given index is not found' (prtree.h:795-799)."""
+    t = PRTreeTable(boxes_df(spark, rand_boxes(50, 47)), CFG)
+    with pytest.raises(RuntimeError, match="Given index is not found"):
+        t.erase([10_000])
+
+
+def test_rebuild_invariant(spark):
+    """test_rebuild.py:69-94: identical results pre/post rebuild."""
+    boxes = rand_boxes(300, 48)
+    qdf = boxes_df(spark, rand_boxes(25, 49), "qid")
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+    t2 = t.erase(list(range(50))).rebuild()
+    exp = {(q, d) for (q, d) in
+           oracle_pairs(np.array([r[1:] for r in qdf.select('qid','xmin','ymin','xmax','ymax').collect()]), boxes)
+           if d >= 50}
+    assert _pairs(t2, qdf) == exp
+
+
+def test_rebuild_threshold(spark):
+    """REBUILD_THRE=1.25 growth/shrink triggers (types.h:53)."""
+    boxes = rand_boxes(100, 50)
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+    assert not t.needs_rebuild()
+    t2 = t.insert(boxes_df(spark, rand_boxes(30, 51), ids=np.arange(100, 130)))
+    assert t2.needs_rebuild()  # 130 > 1.25 * 100
+    t3 = t.erase(list(range(30)))
+    assert t3.needs_rebuild()  # 1.25 * 70 < 100
+
+
+def test_validation_rejects_bad_boxes(spark):
+    """NaN/Inf/min>max raise at build (prtree.h:151-185)."""
+    bad_nan = np.array([[0.0, 0.0, np.nan, 1.0]])
+    bad_order = np.array([[5.0, 0.0, 1.0, 1.0]])
+    for bad in (bad_nan, bad_order):
+        with pytest.raises(ValueError):
+            PRTreeTable(boxes_df(spark, bad), CFG)
+
+
+def test_erase_to_empty_then_insert(spark):
+    """core.py:239-259 workaround contract: empty table keeps working."""
+    boxes = rand_boxes(5, 52)
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+    t2 = t.erase(list(range(5)))
+    assert t2.empty()
+    t3 = t2.insert(boxes_df(spark, rand_boxes(3, 53)))
+    assert t3.size() == 3
