@@ -130,11 +130,26 @@ def minhash_signatures(
 
     def gen(batches):
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col].fillna(""):
-                h = _token_hashes(text)  # (t,)
-                vals = (a[None, :] * h[:, None] + b[None, :]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=0).astype(np.int64))
+            texts = pdf[text_col].fillna("")
+            # flatten all docs' token hashes into one array + reduceat bounds
+            per_doc = [_token_hashes(t) for t in texts]
+            counts = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                                 count=len(per_doc))
+            if counts.sum() == 0:
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    "sig": [np.zeros(num_hashes, np.int64)] * len(pdf)})
+                continue
+            flat = np.concatenate(per_doc)
+            starts = np.zeros(len(per_doc), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # (T, k) hash matrix in chunks to bound memory, then min.reduceat
+            sig = np.empty((len(per_doc), num_hashes), dtype=np.uint64)
+            CH = 32
+            for c0 in range(0, num_hashes, CH):
+                c1 = min(c0 + CH, num_hashes)
+                vals = (a[None, c0:c1] * flat[:, None] + b[None, c0:c1]) % np.uint64(_MERSENNE)
+                sig[:, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+            sigs = [s.astype(np.int64) for s in sig]
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     out_t = df.schema[id_col].dataType.simpleString()

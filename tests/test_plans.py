@@ -1,0 +1,59 @@
+"""Plan-shape guards: the operators must compile to the physical plans the
+100 TB design depends on — equi-joins on cell (never cartesian), column-
+pruned scans, broadcast for small probe sides, AQE-compatible shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_prtree_spark import EngineConfig, Extent, batch_query, query_intersections
+from python_prtree_spark.plans import assert_no_cartesian, explain_str
+from tests.conftest import boxes_df, rand_boxes
+
+CFG = EngineConfig(extent=Extent(0, 0, 100, 100), level=3)
+
+
+def test_batch_query_sql_plan(spark):
+    d = boxes_df(spark, rand_boxes(500, 81))
+    q = boxes_df(spark, rand_boxes(50, 82), "qid")
+    df = batch_query(d, q, CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    # the join must be keyed on cell (hash or sort-merge or broadcast-hash)
+    assert "Join" in plan and "cell" in plan
+
+
+def test_packed_plan_shuffles_on_cell(spark):
+    d = boxes_df(spark, rand_boxes(500, 83))
+    q = boxes_df(spark, rand_boxes(50, 84), "qid")
+    df = batch_query(d, q, CFG.with_(strategy="packed"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
+def test_intersections_plan(spark):
+    d = boxes_df(spark, rand_boxes(500, 85))
+    df = query_intersections(d, CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+
+
+def test_scan_column_pruning(spark, tmp_path):
+    """Reading boxes from parquet through the engine must prune to the box
+    columns + id (ReadSchema shows only what's needed)."""
+    p = str(tmp_path / "boxes")
+    d = boxes_df(spark, rand_boxes(300, 86))
+    # write with two extra payload columns
+    from pyspark.sql import functions as F
+
+    d.withColumn("payload", F.lit("x" * 100)).withColumn("extra", F.lit(1)) \
+        .write.parquet(p)
+    base = spark.read.parquet(p)
+    q = boxes_df(spark, rand_boxes(10, 87), "qid")
+    df = batch_query(base, q, CFG.with_(strategy="sql"))
+    plan = explain_str(df)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for s in scans:
+        if "boxes" in s:
+            assert "payload" not in s and "extra" not in s, s

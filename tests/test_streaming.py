@@ -1,0 +1,68 @@
+"""Streaming ingest: micro-batched inserts keep the persisted index
+equivalent to a bulk build over the union of all batches; watermarked
+window agg matches the batch result."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from python_prtree_spark import EngineConfig, Extent, load_index
+from python_prtree_spark.streaming.ingest import (
+    stream_boxes_into_index,
+    windowed_event_counts,
+)
+from tests.conftest import boxes_df, oracle_pairs, rand_boxes
+
+CFG = EngineConfig(extent=Extent(0, 0, 100, 100), level=3)
+
+
+def test_stream_ingest_matches_bulk(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    all_boxes = rand_boxes(600, 71, ext_max=5.0)
+    # drop three parquet batch files
+    for i in range(3):
+        sl = slice(i * 200, (i + 1) * 200)
+        boxes_df(spark, all_boxes[sl], ids=np.arange(sl.start, sl.stop)) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    # file stream reads the directory tree of parquet files
+    for i in range(3):
+        for f in os.listdir(f"{src}/b{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/b{i}/{f}", f"{src}/batch{i}.parquet")
+    q = stream_boxes_into_index(spark, src, idx, CFG)
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    loaded = load_index(spark, idx)
+    assert loaded.size() == 600
+    qboxes = rand_boxes(40, 72, ext_max=5.0)
+    got = set(
+        (r["qid"], r["id"])
+        for r in loaded.batch_query(boxes_df(spark, qboxes, "qid")).collect()
+    )
+    assert got == oracle_pairs(qboxes, all_boxes)
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    """The streaming agg plan applied to the static events table equals a
+    plain groupBy — and runs as an actual stream without error."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"])
+        for r in windowed_event_counts(ev).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exp = {
+        (r["ws"], r["event_type"], r["n"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
