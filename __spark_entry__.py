@@ -238,6 +238,17 @@ def _q_pip(spark, sf_dir):
     )
 
 
+def _q_raster_vector(spark, sf_dir):
+    from python_prtree_spark.operators.raster import raster_vector_join
+
+    rasters = part_boxes(spark, sf_dir).select(
+        F.col("id").alias("image_id"), "xmin", "ymin", "xmax", "ymax"
+    )
+    return raster_vector_join(
+        rasters, nation_triangles(spark, sf_dir), CFG, "image_id", "poly_id"
+    )
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -364,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersections_packed": _q_intersections_packed,
         "knn": _q_knn,
         "pip_convex": _q_pip,
+        "raster_vector": _q_raster_vector,
         "mutation_pipeline": _q_mutation,
         "persist_roundtrip": _q_persist_roundtrip,
         "dedup_exact": _q_dedup_exact,
@@ -404,6 +416,34 @@ def _stop_expr(code: str) -> str:
     # raw (non-distinct) tokens — matches functions/text.py _stop_hits
     lst = ", ".join(f"'{w}'" for w in _STOP[code])
     return f"len(list_filter({RAW_TOKENS_SQL}, t -> t IN ({lst})))"
+
+
+def _tri_sat_sep_sql() -> str:
+    """SAT edge-normal separation tests for the nation triangles, with the
+    exact same floating-point expression shapes as operators/raster.py
+    (vertex coords first, then differences — never algebraically
+    simplified, so doubles match bit-for-bit)."""
+    V = {
+        1: ("(t.cx - t.r)", "(t.cy - t.r)"),
+        2: ("(t.cx + t.r)", "(t.cy - t.r)"),
+        3: ("t.cx", "(t.cy + t.r)"),
+    }
+
+    def edge(i: int, j: int) -> str:
+        vix, viy = V[i]
+        vjx, vjy = V[j]
+        nx = f"(-({vjy} - {viy}))"
+        ny = f"({vjx} - {vix})"
+        projs = [f"({nx} * {vx} + {ny} * {vy})" for (vx, vy) in V.values()]
+        pmin, pmax = f"least({', '.join(projs)})", f"greatest({', '.join(projs)})"
+        corners = [
+            f"({nx} * b.{x} + {ny} * b.{y})"
+            for x in ("xmin", "xmax") for y in ("ymin", "ymax")
+        ]
+        bmin, bmax = f"least({', '.join(corners)})", f"greatest({', '.join(corners)})"
+        return f"({bmax} < {pmin} OR {pmax} < {bmin})"
+
+    return " OR ".join(edge(*e) for e in [(1, 2), (2, 3), (3, 1)])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -472,6 +512,14 @@ WHERE ((t.cx + t.r) - (t.cx - t.r)) * (p.y - (t.cy - t.r)) >= 0
       - ((t.cy + t.r) - (t.cy - t.r)) * (p.x - (t.cx + t.r)) >= 0
   AND ((t.cx - t.r) - t.cx) * (p.y - (t.cy + t.r))
       - ((t.cy - t.r) - (t.cy + t.r)) * (p.x - t.cx) >= 0
+""",
+        "raster_vector": f"""
+WITH t AS ({NATION_TRI_SQL}), b AS ({PART_BOXES_SQL})
+SELECT b.id AS image_id, t.poly_id AS poly_id
+FROM b CROSS JOIN t
+WHERE b.xmin <= (t.cx + t.r) AND (t.cx - t.r) <= b.xmax
+  AND b.ymin <= (t.cy + t.r) AND (t.cy - t.r) <= b.ymax
+  AND NOT ({_tri_sat_sep_sql()})
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),

@@ -114,7 +114,9 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     timed("knn", lambda: knn_join(pb, pts, 5, CFG).count())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, 0.7).count())
+    # threshold 0.8 / 16 bands: r=8 rows per band keeps collisions sane on
+    # the driver corpus's tiny 31-word vocabulary (still ~3M true pairs)
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, 0.8, bands=16).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ann_probes = emb.where(F.col("vec_id") < 32).select(

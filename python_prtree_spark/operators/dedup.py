@@ -89,8 +89,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        inter.join(F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))), on="id_a")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))), on="id_b")
         .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
         .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union")
@@ -167,12 +167,18 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     verify: bool = True,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: banded MinHash-LSH candidates, optionally
     verified with exact token-set Jaccard (join back to tokens).
 
     bands * rows_per_band == num_hashes; collision prob at jaccard s is
-    1-(1-s^r)^b. Defaults catch s>=0.5 w.p. ~0.99."""
+    1-(1-s^r)^b. Defaults catch s>=0.5 w.p. ~0.99.
+
+    broadcast_verify: hint-broadcast the per-doc token arrays in the verify
+    joins (the pair table is usually the huge side). Set False when the
+    corpus itself is too large to broadcast — Catalyst falls back to a
+    shuffled join on doc id."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, id_col, text_col, seed)
@@ -202,9 +208,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
     )
+    maybe_b = F.broadcast if broadcast_verify else (lambda x: x)
     return (
-        cand.join(toks.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a")), on="id_a")
-        .join(toks.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b")), on="id_b")
+        cand.join(maybe_b(toks.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))), on="id_a")
+        .join(maybe_b(toks.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))), on="id_b")
         .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn("n_union", F.size(F.array_union("toks_a", "toks_b")))
         .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
@@ -352,8 +359,8 @@ def embedding_near_dup_pairs(
     )
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     return (
-        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
-        .join(vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
+        cand.join(F.broadcast(vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("v_a"))), on="id_a")
+        .join(F.broadcast(vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("v_b"))), on="id_b")
         .withColumn("cosine", dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -165,11 +165,56 @@ class PRTreeTable:
                 json.dump(meta, f)
         self.dirty_cells = frozenset()
 
+    # -- payloads (reference set_obj/get_obj, core.py:263-376;
+    #    return_obj=True at core.py:601-605) ------------------------------------
+    @property
+    def payload_cols(self) -> list[str]:
+        return [c for c in self.df.columns if c not in [self.data_id, *BOX]]
+
+    def set_obj(self, updates_df: DataFrame) -> "PRTreeTable":
+        """Attach/replace payload columns for the given ids (updates_df:
+        (id, <payload cols...>)). Ids absent from the table are ignored,
+        like the reference's unordered_map overwrite semantics."""
+        upd_cols = [c for c in updates_df.columns if c != self.data_id]
+        upd = updates_df.select(
+            self.data_id, *[F.col(c).alias(f"_new_{c}") for c in upd_cols]
+        )
+        out = self.df.join(upd, on=self.data_id, how="left")
+        for c in upd_cols:
+            if c in self.df.columns:
+                out = out.withColumn(c, F.coalesce(F.col(f"_new_{c}"), F.col(c)))
+            else:
+                out = out.withColumn(c, F.col(f"_new_{c}"))
+            out = out.drop(f"_new_{c}")
+        return PRTreeTable(
+            out, self.cfg, self.data_id,
+            _n_at_build=self.n_at_build, _dirty_cells=self.dirty_cells,
+            _validate=False,
+        )
+
+    def get_obj(self, ids: list[int]) -> DataFrame:
+        """Payload rows for the given ids; unset payloads come back NULL
+        (reference prtree.h:269-277: get_obj of unset id → None)."""
+        spark = self.df.sparkSession
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], f"{self.data_id} long")
+        return ids_df.join(
+            self.df.select(self.data_id, *self.payload_cols),
+            on=self.data_id, how="left",
+        )
+
     # -- queries (delegation) --------------------------------------------------
-    def batch_query(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
-        return _probe.batch_query(
+    def batch_query(
+        self, query_df: DataFrame, query_id: str = "qid", return_obj: bool = False
+    ) -> DataFrame:
+        pairs = _probe.batch_query(
             self.df, query_df, self.cfg, self.data_id, query_id, n_data_hint=self._n
         )
+        if not return_obj:
+            return pairs
+        # return_obj=True: join payload columns back onto the result ids
+        return pairs.join(
+            self.df.select(self.data_id, *self.payload_cols), on=self.data_id, how="left"
+        ).select(query_id, self.data_id, *self.payload_cols)
 
     def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
         return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)
