@@ -24,6 +24,8 @@ from python_prtree_spark.operators.pairs import query_intersections
 from python_prtree_spark.operators.knn import knn_join
 from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
+from python_prtree_spark.operators.raster import raster_vector_join
+from python_prtree_spark.operators.nd import batch_query_nd, query_intersections_nd
 from python_prtree_spark.sources.store import save_index, load_index
 
 __all__ = [
@@ -36,6 +38,9 @@ __all__ = [
     "query_intersections",
     "knn_join",
     "point_in_polygon_join",
+    "raster_vector_join",
+    "batch_query_nd",
+    "query_intersections_nd",
     "PRTreeTable",
     "save_index",
     "load_index",

@@ -73,12 +73,15 @@ def knn_join(
     cent_xy = cent.select(data_id, "_cx", "_cy")
 
     pending = points_df.select(query_id, F.col(x).alias("_px"), F.col(y).alias("_py"))
-    spark = data_df.sparkSession
     results: list[DataFrame] = []
     r = r0
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        # truncate lineage: each round otherwise re-executes every prior
+        # round's joins (driver-loop DAG growth kills scaling)
+        if rnd > 0:
+            pending = pending.localCheckpoint(eager=True)
         probes = pending.select(
             query_id, "_px", "_py",
             (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
@@ -97,7 +100,8 @@ def knn_join(
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-        )
+        ).localCheckpoint(eager=True)  # materialize once: reused by the
+        # certificate, the result slice, AND the final union
         exact = r >= diag  # the box now contains every centroid
         if exact:
             results.append(scored.select(query_id, data_id, "rank"))

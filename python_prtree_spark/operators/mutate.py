@@ -216,6 +216,23 @@ class PRTreeTable:
             self.df.select(self.data_id, *self.payload_cols), on=self.data_id, how="left"
         ).select(query_id, self.data_id, *self.payload_cols)
 
+    def query(self, xmin: float, ymin: float, xmax: float | None = None,
+              ymax: float | None = None) -> list[int]:
+        """Single-probe convenience with the reference's return contract
+        (core.py:513-605): sorted ascending id list; a 2-argument call is a
+        point probe (degenerate box, prtree.h:743-754)."""
+        if xmax is None:  # point probe: query(x, y)
+            xmax, ymax = xmin, ymin
+        spark = self.df.sparkSession
+        q = spark.createDataFrame(
+            [(0, float(xmin), float(ymin), float(xmax), float(ymax))],
+            "qid long, xmin double, ymin double, xmax double, ymax double",
+        )
+        rows = _probe.batch_query(
+            self.df, q, self.cfg, self.data_id, "qid", n_data_hint=self._n
+        ).collect()
+        return sorted(r[self.data_id] for r in rows)
+
     def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
         return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)
 
