@@ -41,6 +41,45 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    is too coarsely partitioned for a CPU-bound Arrow UDF stage (e.g. one
+    small parquet file → one task). No-op at real scale, where scans
+    already carry >= cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _bucket_pairs(banded: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from exploded LSH band rows
+    (_id, *key_cols) — via bucket-level dedup: collect each bucket's member
+    list, collapse identical member sets (near-dup docs collide in EVERY
+    band, so the same set recurs once per band), then expand pairs with a
+    self-equi-join on the deduped bucket id. Shuffle volume ≤ the naive
+    two-sided band join; the pair-level `distinct` sees up to `bands`×
+    fewer rows on self-similar corpora. AQE skew-split handles giant
+    buckets."""
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("_id")).alias("members"))
+        .where(F.size("members") >= 2)
+        .select("members")
+        .distinct()
+        .select(F.xxhash64(F.col("members").cast("array<string>")).alias("ubid"),
+                F.explode("members").alias("_id"))
+    )
+    a = buckets.select("ubid", F.col("_id").alias("id_a"))
+    b = buckets.select("ubid", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, on="ubid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -153,7 +192,7 @@ def minhash_signatures(
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     out_t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {out_t}, sig array<long>"
     )
 
@@ -178,45 +217,116 @@ def minhash_lsh_pairs(
     broadcast_verify: hint-broadcast the per-doc token arrays in the verify
     joins (the pair table is usually the huge side). Set False when the
     corpus itself is too large to broadcast — Catalyst falls back to a
-    shuffled join on doc id."""
+    shuffled join on doc id.
+
+    Physical plan (no pair-level ``distinct`` anywhere):
+
+      1. skinny band rows (_id, band, bkey) → groupBy bucket → member
+         lists, drop singletons — only COLLIDING docs go further;
+      2. re-join member ids to their (token hashes, all band keys);
+      3. one ``applyInPandas`` per bucket emits *verified* pairs, and only
+         from the pair's FIRST colliding band (both docs' band keys are in
+         hand, so "∃ earlier band where they agree" is a local test) —
+         each qualifying pair is emitted exactly once globally, replacing
+         the naive plan's 10-100M-row pair shuffle + distinct + two verify
+         joins. In-bucket Jaccard is a dense incidence-matrix matmul
+         (BLAS) over the bucket's local vocabulary, row-chunked so memory
+         stays bounded even for degenerate mega-buckets (which mean the
+         LSH params are mis-tuned for the corpus, but must not OOM).
+
+    broadcast_verify is kept for API compatibility; the bucket-local
+    verifier no longer needs a broadcast."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, id_col, text_col, seed)
-    banded = sigs.select(
+    bkeys = sigs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bkey"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bkey")
-    a = banded.select(F.col("_id").alias("id_a"), "band", "bkey")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "bkey")
-    cand = (
-        a.join(b, on=["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)]
+                ).alias("bkeys"),
     )
-    if not verify:
-        return cand
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+    # both the bucket branch and the member-info join consume bkeys; a lazy
+    # local checkpoint computes the signature scan ONCE instead of twice
+    # (at scale: one pass over the corpus text, not two)
+    bkeys = bkeys.localCheckpoint(eager=False)
+    banded = bkeys.select(
+        "_id", F.posexplode("bkeys").alias("band", "bkey")
     )
-    maybe_b = F.broadcast if broadcast_verify else (lambda x: x)
-    return (
-        cand.join(maybe_b(toks.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))), on="id_a")
-        .join(maybe_b(toks.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))), on="id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn("n_union", F.size(F.array_union("toks_a", "toks_b")))
-        .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
-        .select("id_a", "id_b", "n_inter", "n_union")
+    memb = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list("_id").alias("members"))
+        .where(F.size("members") >= 2)
+        .select("band", "bkey", F.explode("members").alias("_id"))
     )
+    info = bkeys
+    if verify:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+            )).alias("toks"),
+        )
+        info = info.join(toks, on="_id")
+    joined = memb.join(info, on="_id")
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_t}, id_b {id_t}, n_inter int, n_union int"
+        if verify else f"id_a {id_t}, id_b {id_t}"
+    )
+    thr = float(threshold)
+    do_verify = verify
+
+    def emit(pdf):
+        m = len(pdf)
+        band = int(pdf["band"].iloc[0])
+        pdf = pdf.sort_values("_id", kind="stable")  # triangle ⇒ id_a < id_b
+        ids = pdf["_id"].to_numpy()
+        bk = np.stack(pdf["bkeys"].to_numpy())  # (m, bands)
+        if do_verify:
+            tok_arrs = [np.asarray(t, dtype=np.int64) for t in pdf["toks"]]
+            sz = np.fromiter((len(t) for t in tok_arrs), np.int64, count=m)
+            flat = np.concatenate(tok_arrs) if m else np.empty(0, np.int64)
+            vocab, local = np.unique(flat, return_inverse=True)
+            M = np.zeros((m, len(vocab)), dtype=np.float32)
+            row_idx = np.repeat(np.arange(m), sz)
+            M[row_idx, local] = 1.0
+        outs = []
+        chunk = max(1, (1 << 22) // max(m, 1))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            # pairs already colliding in an earlier band are not ours
+            prev = np.zeros((hi - lo, m), dtype=bool)
+            for j in range(band):
+                col = bk[:, j]
+                prev |= col[lo:hi, None] == col[None, :]
+            tri = np.arange(lo, hi)[:, None] < np.arange(m)[None, :]
+            keep = tri & ~prev
+            if do_verify and keep.any():
+                inter = (M[lo:hi] @ M.T).astype(np.int64)  # counts are exact
+                union = sz[lo:hi, None] + sz[None, :] - inter
+                keep &= inter >= thr * union
+            ii, jj = np.nonzero(keep)
+            if len(ii) == 0:
+                continue
+            cols = {"id_a": ids[ii + lo], "id_b": ids[jj]}
+            if do_verify:
+                cols["n_inter"] = inter[ii, jj].astype(np.int32)
+                cols["n_union"] = union[ii, jj].astype(np.int32)
+            outs.append(pd.DataFrame(cols))
+        if not outs:
+            e = pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+            if do_verify:
+                e["n_inter"] = np.array([], np.int32)
+                e["n_union"] = np.array([], np.int32)
+            return e
+        return pd.concat(outs, ignore_index=True)
+
+    out = joined.groupBy("band", "bkey").applyInPandas(emit, schema=out_schema)
+    if do_verify:
+        return out.select("id_a", "id_b",
+                          F.col("n_inter").cast("int").alias("n_inter"),
+                          F.col("n_union").cast("int").alias("n_union"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +360,7 @@ def simhash_signatures(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     out_t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {out_t}, simhash long"
     )
 
@@ -270,7 +380,6 @@ def simhash_pairs(
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -282,14 +391,12 @@ def simhash_pairs(
                 for i in range(n_chunks)
             ])
         ).alias("ck"),
-    ).select("_id", "simhash", "ck.chunk", "ck.cbits")
-    a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cbits")
-    b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cbits")
+    ).select("_id", "ck.chunk", "ck.cbits")
+    cand = _bucket_pairs(chunks, ["chunk", "cbits"])
+    sh = sigs.select(F.col(id_col).alias("_id"), "simhash")
     return (
-        a.join(b, on=["chunk", "cbits"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b")), on="id_b")
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -328,7 +435,7 @@ def embedding_near_dup_pairs(
             yield pd.DataFrame({id_col: pdf[id_col], "sketch": key})
 
     out_t = df.schema[id_col].dataType.simpleString()
-    sk = df.select(id_col, vec_col).mapInPandas(gen, schema=f"{id_col} {out_t}, sketch long")
+    sk = _spread(df.select(id_col, vec_col)).mapInPandas(gen, schema=f"{id_col} {out_t}, sketch long")
     # band the sketch into 4 sub-keys (pigeonhole: tolerate up to 3 differing planes)
     width = n_planes // 4
     banded = sk.select(
@@ -345,14 +452,7 @@ def embedding_near_dup_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bbits")
-    a = banded.select(F.col("_id").alias("id_a"), "band", "bbits")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "bbits")
-    cand = (
-        a.join(b, on=["band", "bbits"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _bucket_pairs(banded, ["band", "bbits"])
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -414,6 +514,6 @@ def rolling_fingerprints(
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
 
     out_t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {out_t}, fingerprints array<long>"
     )
