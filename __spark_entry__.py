@@ -167,6 +167,63 @@ SELECT n_nationkey AS poly_id,
 FROM nation
 """
 
+def _nd_boxes(spark, sf_dir, dims: int, table: str, key: str, id_name: str,
+              muls: list[tuple[int, int]], base: float, ext_mod: int):
+    """D-dim boxes (min0..min{D-1}, max0..max{D-1}) derived from a table key
+    via integer-exact hash arithmetic — same doubles in Spark and DuckDB."""
+    t = _read(spark, sf_dir, table)
+    k = F.col(key)
+    cols = [k.alias(id_name)]
+    for d in range(dims):
+        m_lo, m_ext = muls[d]
+        lo = ((k * m_lo) % 100000).cast("double") / 1000.0
+        cols.append(lo.alias(f"min{d}"))
+        cols.append((lo + base + ((k * m_ext) % ext_mod).cast("double") / 1000.0)
+                    .alias(f"max{d}"))
+    return t.select(*cols)
+
+
+def _nd_boxes_sql(dims: int, table: str, key: str, id_name: str,
+                  muls: list[tuple[int, int]], base: float, ext_mod: int) -> str:
+    sel = [f"{key} AS {id_name}"]
+    for d in range(dims):
+        m_lo, m_ext = muls[d]
+        lo = f"CAST(({key} * {m_lo}) % 100000 AS DOUBLE)/1000.0"
+        sel.append(f"{lo} AS min{d}")
+        sel.append(f"{lo} + {base} + CAST(({key} * {m_ext}) % {ext_mod} AS DOUBLE)/1000.0 AS max{d}")
+    return f"SELECT {', '.join(sel)} FROM {table}"
+
+
+# distinct multiplier pairs per dimension; data boxes tight, probes wide
+_ND_DATA_MULS = [(2654435761, 3266489917), (2246822519, 668265263),
+                 (785685301, 591725237), (715225739, 104395303)]
+_ND_PROBE_MULS = [(377424577, 198491329), (285995483, 954979807),
+                  (433494437, 287649373), (982451653, 540705589)]
+
+
+def _nd_args(dims: int, sf_dir_tag: str):
+    data = ("part", "p_partkey", "id", _ND_DATA_MULS[:dims], 1.0, 3000)
+    # probe extents grow with dims so joint-overlap rows stay non-trivial
+    probe = ("supplier", "s_suppkey", "qid", _ND_PROBE_MULS[:dims],
+             2.0 + 3.0 * (dims - 2), 6000)
+    return data, probe
+
+
+def _nd_join_sql(dims: int) -> str:
+    return " AND ".join(
+        f"q.min{d} <= b.max{d} AND b.min{d} <= q.max{d}" for d in range(dims)
+    )
+
+
+def _nd_pairs_sql(dims: int) -> str:
+    (dt, dk, di, dm, db, de), (pt, pk, pi, pm, pb, pe) = _nd_args(dims, "")
+    return f"""
+WITH b AS ({_nd_boxes_sql(dims, dt, dk, di, dm, db, de)}),
+     q AS ({_nd_boxes_sql(dims, pt, pk, pi, pm, pb, pe)})
+SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {_nd_join_sql(dims)}
+"""
+
+
 TOKENS_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 RAW_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -216,6 +273,26 @@ def _q_intersections_sql(spark, sf_dir):
 
 def _q_intersections_packed(spark, sf_dir):
     return query_intersections(part_boxes(spark, sf_dir), CFG.with_(strategy="packed"), "id")
+
+
+def _make_q_batch_nd(dims: int):
+    def q(spark, sf_dir):
+        from python_prtree_spark.operators.nd import batch_query_nd
+
+        (dt, dk, di, dm, db, de), (pt, pk, pi, pm, pb, pe) = _nd_args(dims, sf_dir)
+        data = _nd_boxes(spark, sf_dir, dims, dt, dk, di, dm, db, de)
+        probes = _nd_boxes(spark, sf_dir, dims, pt, pk, pi, pm, pb, pe)
+        return batch_query_nd(data, probes, dims, CFG, "id", "qid")
+
+    return q
+
+
+def _q_intersections_3d(spark, sf_dir):
+    from python_prtree_spark.operators.nd import query_intersections_nd
+
+    (dt, dk, di, dm, db, de), _ = _nd_args(3, sf_dir)
+    data = _nd_boxes(spark, sf_dir, 3, dt, dk, di, dm, db, de)
+    return query_intersections_nd(data, 3, CFG, "id")
 
 
 def _q_knn(spark, sf_dir):
@@ -373,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_query": _q_point_query,
         "intersections_sql": _q_intersections_sql,
         "intersections_packed": _q_intersections_packed,
+        "batch_query_3d": _make_q_batch_nd(3),
+        "batch_query_4d": _make_q_batch_nd(4),
+        "intersections_3d": _q_intersections_3d,
         "knn": _q_knn,
         "pip_convex": _q_pip,
         "raster_vector": _q_raster_vector,
@@ -488,6 +568,16 @@ WITH b AS ({PART_BOXES_SQL})
 SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
 ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
 AND a.ymin <= c.ymax AND c.ymin <= a.ymax
+""",
+        "batch_query_3d": _nd_pairs_sql(3),
+        "batch_query_4d": _nd_pairs_sql(4),
+        "intersections_3d": f"""
+WITH b AS ({_nd_boxes_sql(3, *_nd_args(3, "")[0])})
+SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
+ON a.id < c.id
+AND a.min0 <= c.max0 AND c.min0 <= a.max0
+AND a.min1 <= c.max1 AND c.min1 <= a.max1
+AND a.min2 <= c.max2 AND c.min2 <= a.max2
 """,
         "knn": f"""
 WITH b AS ({PART_BOXES_SQL}),

@@ -140,15 +140,18 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("python_prtree_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.access("/dev/shm", os.W_OK):  # tmpfs shuffle: don't benchmark the disk
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     result = run(spark, sf_dir)
     result["cpus"] = int(cpus)

@@ -1,13 +1,24 @@
-"""The scaling job: one fixed, large spatial-join workload run at a given
-parallelism level. Invoked by bench/scaling.py at local[8] (N) and
-local[32] (4N) — same input (deterministic JVM-side generation, same seed
-constants, fixed partition counts) so ONLY the core count varies.
+"""The scaling job: one fixed, large spatial workload run at a given
+cluster size. Invoked by bench/scaling.py at local-cluster[1,8] (N = 1
+executor x 8 cores) and local-cluster[4,8] (4N = 4 executors x 8 cores) —
+REAL separate executor JVMs (the in-sandbox stand-in for N vs 4N
+executors per the round rules), same input (deterministic JVM-side
+generation, fixed seeds, fixed 256 shuffle partitions) so ONLY the
+executor count varies.
 
 Workload: build a packed index over 8M synthetic boxes and probe it with
-2M query boxes (level-6 grid, cogrouped STRPack UDF) — the engine's hot
-path at a size where parallel work dominates fixed overheads.
+2M query boxes (level-6 grid, PBSM mapInArrow) — the engine's hot path at
+a size where parallel work dominates fixed overheads.
 
-Prints one JSON line: {"cpus", "t_build", "t_join", "pairs", "rows_per_sec"}.
+Methodology: one cold warm-up iteration (JIT + Arrow init), then
+ITERS timed iterations; the per-stage MINIMUM is the steady-state number
+(a long-running 100 TB job runs hot; single-JVM cold runs measure the JIT
+compiler, not the engine). Single-JVM local[n] is NOT used: 32 task
+threads inside one JVM serialize on the memory/shuffle managers and
+understate scaling by ~2x (measured; see BENCH.md).
+
+Prints one JSON line: {"cpus", "executors", "t_build", "t_join", "pairs",
+"rows_per_sec", ...}.
 """
 
 from __future__ import annotations
@@ -17,7 +28,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +39,8 @@ from python_prtree_spark.operators.build import build_index
 
 N_DATA = 8_000_000
 N_PROBE = 2_000_000
-PARTS = 128  # fixed across levels: identical plans, only cores differ
+PARTS = 256  # fixed across levels: identical plans, only executors differ
+ITERS = 4
 
 
 def gen_boxes(spark, n: int, id_col: str, c1: int, c2: int, c3: int, c4: int,
@@ -36,7 +49,7 @@ def gen_boxes(spark, n: int, id_col: str, c1: int, c2: int, c3: int, c4: int,
     xmin = ((k * c1) % 100000).cast("double") / 1000.0
     ymin = ((k * c2) % 100000).cast("double") / 1000.0
     return (
-        spark.range(0, n, 1, PARTS)
+        spark.range(0, n, 1, 128)
         .select(
             F.col("id").alias(id_col),
             xmin.alias("xmin"), ymin.alias("ymin"),
@@ -47,13 +60,18 @@ def gen_boxes(spark, n: int, id_col: str, c1: int, c2: int, c3: int, c4: int,
 
 
 def main():
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "4"))
+    cores_per = int(os.environ.get("SPARK_GRAFT_CORES_PER", "8"))
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"scaling-{cpus}")
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per},8192]")
+        .appName(f"scaling-{n_exec}x{cores_per}")
         .config("spark.sql.shuffle.partitions", str(PARTS))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan shape
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", "8g")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -66,19 +84,28 @@ def main():
                        0.02, 150).cache()
     n_d, n_p = data.count(), probes.count()  # materialize gen outside timing
 
-    t0 = time.perf_counter()
-    idx, _ = build_index(data, cfg, n_data_hint=n_d, validate=False)
-    n_idx = idx.agg(F.sum("n_rows")).collect()[0][0]
-    t_build = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    pairs = batch_query(data, probes, cfg, n_data_hint=n_d).count()
-    t_join = time.perf_counter() - t0
+    t_builds, t_joins = [], []
+    n_idx = pairs = 0
+    for it in range(ITERS + 1):
+        t0 = time.perf_counter()
+        idx, _ = build_index(data, cfg, n_data_hint=n_d, validate=False)
+        n_idx = idx.agg(F.sum("n_rows")).collect()[0][0]
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pairs = batch_query(data, probes, cfg, n_data_hint=n_d).count()
+        tj = time.perf_counter() - t0
+        if it:  # iteration 0 is the JIT warm-up
+            t_builds.append(tb)
+            t_joins.append(tj)
+    t_build, t_join = min(t_builds), min(t_joins)
 
     print(json.dumps({
-        "cpus": cpus,
+        "executors": n_exec, "cores_per_executor": cores_per,
+        "cpus": n_exec * cores_per,
         "n_data": n_d, "n_probe": n_p, "index_rows": int(n_idx), "pairs": int(pairs),
         "t_build": round(t_build, 2), "t_join": round(t_join, 2),
+        "t_builds": [round(t, 2) for t in t_builds],
+        "t_joins": [round(t, 2) for t in t_joins],
         "build_boxes_per_sec": round(n_d / t_build, 1),
         "join_rows_per_sec": round((n_d + n_p) / t_join, 1),
     }))

@@ -14,8 +14,11 @@ the cell holding the min-corner of its intersection):
                AABB + reference-point filter. 100% JVM whole-stage codegen;
                Catalyst broadcasts the small side; AQE handles join skew.
                Best when per-cell candidate products are modest.
-  * 'packed' — explode cells → cogroup by (cell, salt) → applyInPandas
-               builds an STRPack per cell and probes vectorized. Avoids
+  * 'packed' — PBSM single-shuffle: tag + union both sides, ONE exchange
+               on (cell[, salt]) with an in-partition sort, then a
+               mapInArrow stream builds an STRPack per cell and probes it
+               vectorized (no pandas, no per-group batches; output pairs
+               leave Python as large zero-copy RecordBatches). Avoids
                materializing per-cell cross products; hot cells are salted
                (build rows hash-split, probes replicated) so one Python
                worker never holds more than ~salt_threshold rows — the
@@ -120,71 +123,155 @@ def _batch_query_sql(
 
 
 # ---------------------------------------------------------------------------
-# 'packed' strategy — cogrouped Arrow UDF with per-cell STRPack
+# 'packed' strategy — PBSM single-shuffle mapInArrow with per-cell STRPack
 # ---------------------------------------------------------------------------
+#
+# Both sides are tagged and unioned, shuffled ONCE on (cell[, salt]) and
+# sorted within partitions by (key, side); a mapInArrow stream then walks
+# the partition cell by cell — build STRPack from the side-0 run, probe the
+# side-1 run, emit pairs. Compared to cogrouped applyInPandas this removes
+# (a) one of the two shuffles' worth of machinery, (b) the per-GROUP Arrow
+# batch + pandas DataFrame overhead (one Arrow stream per partition
+# instead), and (c) pandas entirely — output pairs leave Python as large
+# zero-copy RecordBatches. Memory per task = one Arrow batch + one carried
+# cell, never a whole partition (hot cells are salted below the threshold).
 
-def _make_probe_fn(cfg: EngineConfig, query_id: str, data_id: str):
+_OUT_BATCH_ROWS = 1 << 19
+
+
+def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool):
     extent, level, leaf_size = cfg.extent, cfg.level, cfg.leaf_size
 
-    def probe(ddf, qdf):
+    def fn(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        if len(ddf) == 0 or len(qdf) == 0:
-            return pd.DataFrame({query_id: qdf["_qid"].iloc[:0],
-                                 data_id: ddf["_did"].iloc[:0]})
-        cell = int(ddf["cell"].iloc[0])
-        dboxes = ddf[BOX].to_numpy(dtype=np.float64)
-        qboxes = qdf[BOX].to_numpy(dtype=np.float64)
-        # pack over row positions → id type stays whatever the caller uses
-        pack = STRPack(np.arange(len(ddf)), dboxes, leaf_size)
-        qi, pos = pack.query(qboxes)
-        if len(qi) == 0:
-            return pd.DataFrame({query_id: qdf["_qid"].iloc[:0],
-                                 data_id: ddf["_did"].iloc[:0]})
-        # reference-point dedup: keep a pair only in the cell holding the
-        # min-corner of its intersection
-        refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
-        refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
-        keep = cell_of_point_np(refx, refy, extent, level) == cell
-        return pd.DataFrame({
-            query_id: qdf["_qid"].to_numpy()[qi[keep]],
-            data_id: ddf["_did"].to_numpy()[pack.ids[pos[keep]]],
-        })
+        buf_q: list = []
+        buf_d: list = []
+        buf_rows = 0
 
-    return probe
+        def one_chunk(tbl, name):
+            ca = tbl.column(name)
+            if ca.num_chunks == 1:
+                return ca.chunk(0)
+            return pa.concat_arrays(ca.chunks) if ca.num_chunks else pa.array([], ca.type)
+
+        def flush():
+            nonlocal buf_rows
+            rb = pa.record_batch(
+                [pa.array(np.concatenate(buf_q)), pa.array(np.concatenate(buf_d))],
+                names=["_q", "_d"],
+            )
+            buf_q.clear()
+            buf_d.clear()
+            buf_rows = 0
+            return rb
+
+        def process(tbl):
+            """Buffer pairs from one or more COMPLETE key-groups (sorted by
+            key, then side)."""
+            nonlocal buf_rows
+            cells = tbl.column("cell").to_numpy()
+            side = tbl.column("side").to_numpy()
+            coords = np.column_stack([tbl.column(c).to_numpy() for c in BOX])
+            qid_col = one_chunk(tbl, "_qid")
+            did_col = one_chunk(tbl, "_did")
+            if with_salt:
+                salts = tbl.column("salt").to_numpy()
+                new = np.flatnonzero((np.diff(cells) != 0) | (np.diff(salts) != 0)) + 1
+            else:
+                new = np.flatnonzero(np.diff(cells) != 0) + 1
+            bounds = np.concatenate([[0], new, [len(cells)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                mid = a + int(np.searchsorted(side[a:b], 1))
+                if mid == a or mid == b:
+                    continue  # no data rows or no probe rows in this cell
+                cell = int(cells[a])
+                dboxes = coords[a:mid]
+                qboxes = coords[mid:b]
+                pack = STRPack(np.arange(mid - a), dboxes, leaf_size)
+                qi, pos = pack.query(qboxes)
+                if len(qi) == 0:
+                    continue
+                refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
+                refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
+                keep = cell_of_point_np(refx, refy, extent, level) == cell
+                if not keep.any():
+                    continue
+                qv = qid_col.slice(mid, b - mid).to_numpy(zero_copy_only=False)
+                dv = did_col.slice(a, mid - a).to_numpy(zero_copy_only=False)
+                buf_q.append(qv[qi[keep]])
+                buf_d.append(dv[pack.ids[pos[keep]]])
+                buf_rows += int(keep.sum())
+
+        carry: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if tbl.num_rows == 0:
+                continue
+            cells = tbl.column("cell").to_numpy()
+            cut = int(np.searchsorted(cells, cells[-1], side="left"))
+            if with_salt:
+                salts = tbl.column("salt").to_numpy()
+                # within the trailing cell, back up to the start of its
+                # trailing salt run
+                cut += int(np.searchsorted(salts[cut:], salts[-1], side="left"))
+            carry = tbl.slice(cut)
+            if cut > 0:
+                process(tbl.slice(0, cut))
+                if buf_rows >= _OUT_BATCH_ROWS:
+                    yield flush()
+        if carry is not None and carry.num_rows:
+            process(carry)
+        if buf_rows:
+            yield flush()
+
+    return fn
 
 
 def _batch_query_packed(
     data_c: DataFrame, query_c: DataFrame, cfg: EngineConfig,
     data_id: str, query_id: str, salt_counts: DataFrame | None,
 ) -> DataFrame:
-    d = data_c.select(F.col(data_id).alias("_did"), "cell", *BOX)
-    q = query_c.select(F.col(query_id).alias("_qid"), "cell", *BOX)
+    qt = query_c.schema[query_id].dataType.simpleString()
+    dt = data_c.schema[data_id].dataType.simpleString()
+    d = data_c.select(
+        F.lit(0).alias("side"), "cell",
+        F.col(data_id).cast(dt).alias("_did"),
+        F.lit(None).cast(qt).alias("_qid"), *BOX,
+    )
+    q = query_c.select(
+        F.lit(1).alias("side"), "cell",
+        F.lit(None).cast(dt).alias("_did"),
+        F.col(query_id).cast(qt).alias("_qid"), *BOX,
+    )
     keys = ["cell"]
     if salt_counts is not None:
         # salt_counts: (cell, n_salts) for hot cells only — tiny, broadcast
         d = (
             d.join(F.broadcast(salt_counts), on="cell", how="left")
             .withColumn("salt", F.when(F.col("n_salts").isNull(), F.lit(0))
-                        .otherwise(F.pmod(F.xxhash64("_did"), F.col("n_salts"))))
+                        .otherwise(F.pmod(F.xxhash64("_did"), F.col("n_salts"))).cast("int"))
             .drop("n_salts")
         )
         q = (
             q.join(F.broadcast(salt_counts), on="cell", how="left")
             .withColumn("salt", F.explode(F.sequence(
                 F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)))
+            .withColumn("salt", F.col("salt").cast("int"))
             .drop("n_salts")
         )
         keys = ["cell", "salt"]
-    fn = _make_probe_fn(cfg, query_id, data_id)
-    qt = query_c.schema[query_id].dataType.simpleString()
-    dt = data_c.schema[data_id].dataType.simpleString()
-    return (
-        d.groupBy(*keys)
-        .cogroup(q.groupBy(*keys))
-        .applyInPandas(fn, schema=f"{query_id} {qt}, {data_id} {dt}")
+    u = d.unionByName(q)
+    out = (
+        u.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, "side")
+        .mapInArrow(_make_pbsm_fn(cfg, salt_counts is not None),
+                    schema=f"_q {qt}, _d {dt}")
     )
+    return out.select(F.col("_q").alias(query_id), F.col("_d").alias(data_id))
 
 
 def _hot_cells(data_c: DataFrame, cfg: EngineConfig) -> DataFrame | None:

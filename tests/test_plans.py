@@ -24,12 +24,16 @@ def test_batch_query_sql_plan(spark):
 
 
 def test_packed_plan_shuffles_on_cell(spark):
+    """PBSM packed plan: ONE exchange on the cell key feeding an
+    in-partition sort feeding the Arrow stream — never a cartesian."""
     d = boxes_df(spark, rand_boxes(500, 83))
     q = boxes_df(spark, rand_boxes(50, 84), "qid")
     df = batch_query(d, q, CFG.with_(strategy="packed"))
     assert_no_cartesian(df)
     plan = explain_str(df)
-    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert "hashpartitioning(cell" in plan, plan
+    assert "Sort" in plan, plan
 
 
 def test_intersections_plan(spark):
