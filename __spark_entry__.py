@@ -334,6 +334,22 @@ def _q_mutation(spark, sf_dir):
     return t.batch_query(supplier_probes(spark, sf_dir))
 
 
+def _q_payload_return_obj(spark, sf_dir):
+    """set_obj/get_obj parity (reference core.py:263-376): payload columns
+    travel with rows; return_obj=True joins them back onto result pairs."""
+    boxes = part_boxes(spark, sf_dir).withColumn(
+        "caption", F.concat(F.lit("obj-"), (F.col("id") % 97).cast("string"))
+    )
+    t = PRTreeTable(boxes, CFG)  # non-box columns ride along as payloads
+    return t.batch_query(supplier_probes(spark, sf_dir), return_obj=True)
+
+
+def _q_table_size(spark, sf_dir):
+    """size()/len() parity (reference prtree.h:816-824)."""
+    t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
+    return spark.createDataFrame([(t.size(),)], "n_rows long")
+
+
 def _q_persist_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="prtree_idx_")
     save_index(part_boxes(spark, sf_dir), f"{path}/idx", CFG)
@@ -375,6 +391,27 @@ def _q_text_quality(spark, sf_dir):
 def _q_langid(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", langid_col("text").alias("pred_lang"))
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    from python_prtree_spark.functions.text import bpe_token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_col("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (rows-only: the rolling-hash min-window
+    selection has no ANSI-SQL twin)."""
+    from python_prtree_spark.operators.dedup import rolling_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return rolling_fingerprints(docs).select(
+        "doc_id", F.size("fingerprints").cast("long").alias("n_fp"),
+        F.element_at("fingerprints", 1).alias("min_fp"),
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -458,10 +495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": _q_raster_vector,
         "mutation_pipeline": _q_mutation,
         "persist_roundtrip": _q_persist_roundtrip,
+        "payload_return_obj": _q_payload_return_obj,
+        "table_size": _q_table_size,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
         "text_langid": _q_langid,
+        "token_count_bpe": _q_token_count_bpe,
+        "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "events_window": _q_events_window,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
@@ -619,6 +660,13 @@ q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """,
         "persist_roundtrip": _BATCH_PAIRS_SQL,
+        "payload_return_obj": f"""
+WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
+SELECT q.qid AS qid, b.id AS id,
+       'obj-' || CAST(b.id % 97 AS VARCHAR) AS caption
+FROM q JOIN b ON {AABB_JOIN}
+""",
+        "table_size": "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM part",
         "dedup_exact": """
 SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS min_doc_id
@@ -649,6 +697,12 @@ SELECT doc_id,
 FROM documents
 """,
         "text_langid": langid,
+        "token_count_bpe": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents
+""",
         "ann_cosine_topk": """
 WITH qv AS (
   SELECT vec_id AS qid,

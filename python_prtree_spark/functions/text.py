@@ -19,7 +19,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
-    "tokens_col", "token_count_col", "quality_cols", "langid_col", "STOPWORDS",
+    "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
+    "langid_col", "STOPWORDS", "BPE_SPLIT_RE",
 ]
 
 # tiny fixed stoplists — heuristic language ID, not a model
@@ -39,6 +40,19 @@ def tokens_col(text: str | Column) -> Column:
 
 def token_count_col(text: str | Column) -> Column:
     return F.size(tokens_col(text))
+
+
+# BPE-ish pre-tokenizer: words / numbers / single punctuation marks — the
+# standard pre-merge segmentation BPE vocabularies are trained over. Counts
+# (not ids) are what a pipeline needs for length filtering / cost estimates.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: str | Column) -> Column:
+    """Count of BPE-style pre-tokens; pure JVM regexp, DuckDB-reproducible
+    (regexp_extract_all with the same pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0)))
 
 
 def _stop_hits(tokens: Column, words: list[str]) -> Column:
