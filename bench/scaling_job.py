@@ -71,11 +71,16 @@ def main():
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", "8g")
-        .config("spark.executorEnv.PYTHONPATH", REPO)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # ship the package to executors exactly like spark-submit --py-files
+    import shutil
+    import tempfile
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="prtree_pyfiles_"), "python_prtree_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="python_prtree_spark")
+    spark.sparkContext.addPyFile(zip_path)
     cfg = EngineConfig(extent=Extent(0, 0, 105, 105), level=6, strategy="packed",
                        salt_threshold=500_000)
     data = gen_boxes(spark, N_DATA, "id", 2654435761, 2246822519, 3266489917, 668265263,
