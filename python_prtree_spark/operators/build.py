@@ -124,7 +124,7 @@ def build_index(
     cells = explode_cells(slim, cfg.extent, cfg.level).select(
         F.col(data_id).alias("_did"), "cell", *BOX
     )
-    hot = _hot_cells(cells, cfg)
+    hot = _hot_cells(cells, cfg, n)
     keys = ["cell"]
     if hot is not None:
         cells = (

@@ -56,30 +56,81 @@ def _pairs_sql(data_c: DataFrame, cfg: EngineConfig, data_id: str) -> DataFrame:
     )
 
 
-def _make_pairs_fn(cfg: EngineConfig):
+def _make_pairs_stream(cfg: EngineConfig):
+    """Streaming mapInArrow over partitions sorted by cell: one Arrow
+    stream per partition (no per-group batches, no pandas); self-probe the
+    STRPack per cell, emit i<j + reference-point-deduped pairs as large
+    zero-copy RecordBatches. (Self-joins are not salted: splitting a cell
+    would lose intra-cell pairs across salt shards; cap per-cell size via
+    the tiling level instead.)"""
     extent, level, leaf_size = cfg.extent, cfg.level, cfg.leaf_size
 
-    def pairs_fn(pdf):
+    def fn(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": pdf["_did"].iloc[:0],
-                                 "id_b": pdf["_did"].iloc[:0]})
-        cell = int(pdf["cell"].iloc[0])
-        boxes = pdf[BOX].to_numpy(dtype=np.float64)
-        ids = pdf["_did"].to_numpy()
-        pack = STRPack(np.arange(len(pdf)), boxes, leaf_size)
-        qi, pos = pack.query(boxes)          # self-probe: original order vs pack order
-        ia, ib = ids[qi], ids[pack.ids[pos]]
-        keep = ia < ib
-        qi, pos, ia, ib = qi[keep], pos[keep], ia[keep], ib[keep]
-        refx = np.maximum(boxes[qi, 0], pack.boxes[pos, 0])
-        refy = np.maximum(boxes[qi, 1], pack.boxes[pos, 1])
-        keep2 = cell_of_point_np(refx, refy, extent, level) == cell
-        return pd.DataFrame({"id_a": ia[keep2], "id_b": ib[keep2]})
+        buf_a: list = []
+        buf_b: list = []
+        buf_rows = 0
 
-    return pairs_fn
+        def flush():
+            nonlocal buf_rows
+            rb = pa.record_batch(
+                [pa.array(np.concatenate(buf_a)), pa.array(np.concatenate(buf_b))],
+                names=["id_a", "id_b"],
+            )
+            buf_a.clear()
+            buf_b.clear()
+            buf_rows = 0
+            return rb
+
+        def process(tbl):
+            nonlocal buf_rows
+            cells = tbl.column("cell").to_numpy()
+            coords = np.column_stack([tbl.column(c).to_numpy() for c in BOX])
+            ids = tbl.column("_did").to_numpy(zero_copy_only=False)
+            new = np.flatnonzero(np.diff(cells) != 0) + 1
+            bounds = np.concatenate([[0], new, [len(cells)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if b - a < 2:
+                    continue
+                cell = int(cells[a])
+                boxes = coords[a:b]
+                seg_ids = ids[a:b]
+                pack = STRPack(np.arange(b - a), boxes, leaf_size)
+                qi, pos = pack.query(boxes)
+                ia, ib = seg_ids[qi], seg_ids[pack.ids[pos]]
+                keep = ia < ib
+                qi, pos, ia, ib = qi[keep], pos[keep], ia[keep], ib[keep]
+                refx = np.maximum(boxes[qi, 0], pack.boxes[pos, 0])
+                refy = np.maximum(boxes[qi, 1], pack.boxes[pos, 1])
+                keep2 = cell_of_point_np(refx, refy, extent, level) == cell
+                if not keep2.any():
+                    continue
+                buf_a.append(ia[keep2])
+                buf_b.append(ib[keep2])
+                buf_rows += int(keep2.sum())
+
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if tbl.num_rows == 0:
+                continue
+            cells = tbl.column("cell").to_numpy()
+            cut = int(np.searchsorted(cells, cells[-1], side="left"))
+            carry = tbl.slice(cut)
+            if cut > 0:
+                process(tbl.slice(0, cut))
+                if buf_rows >= 1 << 19:
+                    yield flush()
+        if carry is not None and carry.num_rows:
+            process(carry)
+        if buf_rows:
+            yield flush()
+
+    return fn
 
 
 def query_intersections(
@@ -93,10 +144,10 @@ def query_intersections(
     data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
     if _pick_strategy(cfg, n_data) == "sql":
         return _pairs_sql(data_c, cfg, data_id)
-    fn = _make_pairs_fn(cfg)
     it = data_c.schema[data_id].dataType.simpleString()
     return (
         data_c.select(F.col(data_id).alias("_did"), "cell", *BOX)
-        .groupBy("cell")
-        .applyInPandas(fn, schema=f"id_a {it}, id_b {it}")
+        .repartition(F.col("cell"))
+        .sortWithinPartitions("cell")
+        .mapInArrow(_make_pairs_stream(cfg), schema=f"id_a {it}, id_b {it}")
     )

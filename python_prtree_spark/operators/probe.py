@@ -274,9 +274,17 @@ def _batch_query_packed(
     return out.select(F.col("_q").alias(query_id), F.col("_d").alias(data_id))
 
 
-def _hot_cells(data_c: DataFrame, cfg: EngineConfig) -> DataFrame | None:
+def _hot_cells(data_c: DataFrame, cfg: EngineConfig,
+               n_data: int | None = None) -> DataFrame | None:
     """Per-cell build-side histogram → (cell, n_salts) for cells exceeding
-    the salt threshold. Returns None when nothing is hot."""
+    the salt threshold. Returns None when nothing is hot.
+
+    When the table's live row count is known and <= salt_threshold, no
+    cell can possibly exceed it (a row lands in a covering cell at most
+    once) — the histogram pass is skipped entirely. At 100 TB, persisted
+    per-cell lineage metrics should be passed instead of re-scanning."""
+    if n_data is not None and n_data <= cfg.salt_threshold:
+        return None
     hot = (
         data_c.groupBy("cell").count()
         .where(F.col("count") > cfg.salt_threshold)
@@ -311,7 +319,7 @@ def batch_query(
     strategy = _pick_strategy(cfg, n_data)
     if strategy == "sql":
         return _batch_query_sql(data_c, query_c, cfg, data_id, query_id)
-    salt = _hot_cells(data_c, cfg)
+    salt = _hot_cells(data_c, cfg, n_data)
     return _batch_query_packed(data_c, query_c, cfg, data_id, query_id, salt)
 
 
