@@ -112,11 +112,16 @@ def build_index(
     data_id: str = "id",
     validate: bool = True,
     n_data_hint: int | None = None,
+    only_cells: list[int] | None = None,
 ) -> tuple[DataFrame, EngineConfig]:
     """→ (index DataFrame with INDEX_SCHEMA, resolved config).
 
     Validation mirrors the reference ctor (prtree.h:151-185): NaN/Inf,
-    min>max, subnormals raise before any shuffle."""
+    min>max, subnormals raise before any shuffle.
+
+    only_cells: incremental-rebuild path — pack ONLY these cells (rows are
+    pruned right after the cell explode, before the shuffle), so a
+    dirty-cell refresh costs ~|dirty|/|cells| of a full build."""
     slim = data_df.select(data_id, *BOX)
     if validate:
         validate_boxes_df(slim, cfg)
@@ -124,6 +129,8 @@ def build_index(
     cells = explode_cells(slim, cfg.extent, cfg.level).select(
         F.col(data_id).alias("_did"), "cell", *BOX
     )
+    if only_cells is not None:
+        cells = cells.where(F.col("cell").isin([int(c) for c in only_cells]))
     hot = _hot_cells(cells, cfg, n)
     keys = ["cell"]
     if hot is not None:

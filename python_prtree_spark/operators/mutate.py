@@ -141,9 +141,10 @@ class PRTreeTable:
 
         if not self.dirty_cells:
             return
-        index, _ = build_index(self.df, self.cfg, self.data_id, validate=False)
         dirty = list(self.dirty_cells)
-        fresh = _with_bucket(index.where(F.col("cell").isin(*dirty)))
+        index, _ = build_index(self.df, self.cfg, self.data_id, validate=False,
+                               only_cells=dirty)
+        fresh = _with_bucket(index)
         spark = self.df.sparkSession
         old = spark.read.parquet(os.path.join(path, "index"))
         kept = old.where(~F.col("cell").isin(*dirty))

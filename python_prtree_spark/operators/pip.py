@@ -42,18 +42,18 @@ def point_in_polygon_join(
         raise ValueError(f"unknown mode {mode!r}")
 
     # polygons routed by their bounding boxes; points as degenerate boxes.
-    # reuse batch_query: data = poly bboxes (id must be long → synth key)
-    polys = polys_df.withColumn("_pk", F.monotonically_increasing_id())
-    pk_map = polys.select("_pk", poly_id, "ring")
+    # batch_query is id-type-generic, so poly_id joins back directly — no
+    # synthetic key (monotonically_increasing_id is not stable under
+    # recomputation/retries, so it must never be a join key).
     cand = _probe.point_query(
-        polys.select(F.col("_pk").alias("id"), "xmin", "ymin", "xmax", "ymax"),
+        polys_df.select(F.col(poly_id).alias("id"), "xmin", "ymin", "xmax", "ymax"),
         points_df.select(F.col(point_id).alias("qid"), F.col(x).alias("x"), F.col(y).alias("y")),
         cfg, data_id="id", query_id="qid",
-    ).select(F.col("qid").alias(point_id), F.col("id").alias("_pk"))
+    ).select(F.col("qid").alias(point_id), F.col("id").alias(poly_id))
 
     pts = points_df.select(point_id, F.col(x).alias("_px"), F.col(y).alias("_py"))
     edges = (
-        cand.join(pk_map, on="_pk")
+        cand.join(polys_df.select(poly_id, "ring"), on=poly_id)
         .join(pts, on=point_id)
         .select(
             point_id, poly_id, "_px", "_py",

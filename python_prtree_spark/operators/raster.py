@@ -38,13 +38,14 @@ def raster_vector_join(
     """rasters_df: (raster_id, xmin, ymin, xmax, ymax) footprint boxes;
     polys_df: (poly_id, ring array<struct<x,y>>, xmin, ymin, xmax, ymax).
     → (raster_id, poly_id) where footprint and convex polygon intersect."""
-    polys = polys_df.withColumn("_pk", F.monotonically_increasing_id())
-    # phase 1: bbox candidates (the x/y axes of SAT)
+    # phase 1: bbox candidates (the x/y axes of SAT). batch_query is
+    # id-type-generic, so poly_id joins back directly — no synthetic key
+    # (monotonically_increasing_id is unstable under recomputation).
     cand = _probe.batch_query(
-        polys.select(F.col("_pk").alias("id"), "xmin", "ymin", "xmax", "ymax"),
+        polys_df.select(F.col(poly_id).alias("id"), "xmin", "ymin", "xmax", "ymax"),
         rasters_df.select(F.col(raster_id).alias("qid"), "xmin", "ymin", "xmax", "ymax"),
         cfg, data_id="id", query_id="qid",
-    ).select(F.col("qid").alias(raster_id), F.col("id").alias("_pk"))
+    ).select(F.col("qid").alias(raster_id), F.col("id").alias(poly_id))
 
     boxes = rasters_df.select(
         raster_id,
@@ -52,7 +53,7 @@ def raster_vector_join(
         F.col("xmax").alias("bx1"), F.col("ymax").alias("by1"),
     )
     edges = (
-        cand.join(polys.select("_pk", poly_id, "ring"), on="_pk")
+        cand.join(polys_df.select(poly_id, "ring"), on=poly_id)
         .join(boxes, on=raster_id)
         .select(
             raster_id, poly_id, "ring", "bx0", "by0", "bx1", "by1",

@@ -68,8 +68,9 @@ class IngestSink:
         from python_prtree_spark.sources.store import _with_bucket
 
         base = spark.read.parquet(self.base_path)
-        index, _ = build_index(base, self.cfg, self.data_id, validate=False)
-        fresh = _with_bucket(index.where(F.col("cell").isin(dirty)))
+        index, _ = build_index(base, self.cfg, self.data_id, validate=False,
+                               only_cells=dirty)
+        fresh = _with_bucket(index)
         idx_dir = os.path.join(self.index_path, "index")
         if os.path.exists(idx_dir):
             old = spark.read.parquet(idx_dir)
