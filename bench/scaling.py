@@ -86,12 +86,19 @@ def main() -> None:
     j_4n: dict = {}
 
     def _merge(dst: dict, j: dict) -> dict:
+        # per-LAUNCH totals are tracked alongside the per-stage composite:
+        # the composite (min build over launches + min join over launches)
+        # is a capability figure no single run achieved; run_totals lets the
+        # report also state the best total a SINGLE launch achieved.
+        j = dict(j)
+        j["run_totals"] = [round(j["t_build"] + j["t_join"], 2)]
         if not dst:
-            return dict(j)
+            return j
         for k in ("t_build", "t_join"):
             dst[k] = min(dst[k], j[k])
         dst["t_builds"] += j["t_builds"]
         dst["t_joins"] += j["t_joins"]
+        dst["run_totals"] += j["run_totals"]
         dst["build_boxes_per_sec"] = round(dst["n_data"] / dst["t_build"], 1)
         dst["join_rows_per_sec"] = round(
             (dst["n_data"] + dst["n_probe"]) / dst["t_join"], 1)
@@ -120,6 +127,9 @@ def main() -> None:
     sp_j4 = j_n4["t_join"] / j_4n4["t_join"]
     t_n4 = j_n4["t_build"] + j_n4["t_join"]
     t_4n4 = j_4n4["t_build"] + j_4n4["t_join"]
+    # best totals a SINGLE launch achieved (no cross-launch compositing)
+    run_n4, run_4n4 = min(j_n4["run_totals"]), min(j_4n4["run_totals"])
+    run_n, run_4n = min(j_n["run_totals"]), min(j_4n["run_totals"])
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N executors)",
@@ -146,13 +156,19 @@ def main() -> None:
         f"| spatial join | {j_n4['t_join']:.1f} s ({j_n4['join_rows_per_sec']:,.0f} rows/s) "
         f"| {j_4n4['t_join']:.1f} s ({j_4n4['join_rows_per_sec']:,.0f} rows/s) "
         f"| {sp_j4:.2f}x | {sp_j4/4:.2f} |",
-        f"| **total** | {t_n4:.1f} s | {t_4n4:.1f} s | {t_n4/t_4n4:.2f}x "
+        f"| **total (per-stage min composite)** | {t_n4:.1f} s | {t_4n4:.1f} s | {t_n4/t_4n4:.2f}x "
         f"| **{t_n4/t_4n4/4:.2f}** |",
+        f"| **total (best single launch)** | {run_n4:.1f} s | {run_4n4:.1f} s | {run_n4/run_4n4:.2f}x "
+        f"| **{run_n4/run_4n4/4:.2f}** |",
         "",
-        f"**Scaling efficiency {t_n4/t_4n4/4:.2f}** (north-rule target >= 0.8)",
-        "with tight per-run variance (see raw JSON). This pair sits inside",
-        "the region where the VM itself still scales linearly on CPU, so it",
-        "isolates ENGINE scaling from host limits.",
+        f"**Scaling efficiency {t_n4/t_4n4/4:.2f} composite / "
+        f"{run_n4/run_4n4/4:.2f} best-single-launch** (north-rule target >=",
+        "0.8). Two figures because the composite takes each stage's minimum",
+        "across interleaved launches (capability; no single run achieved it),",
+        "while the single-launch row is one run's actual total — per-launch",
+        "totals for both arms are in the raw JSON (`run_totals`). This pair",
+        "sits inside the region where the VM itself still scales linearly on",
+        "CPU, so it isolates ENGINE scaling from host limits.",
         "",
         "## Peak throughput: N = 1x8 -> 4N = 4x8 (bandwidth-ceiling regime)",
         "",
@@ -164,7 +180,9 @@ def main() -> None:
         f"| spatial join | {j_n['t_join']:.1f} s ({j_n['join_rows_per_sec']:,.0f} rows/s) "
         f"| {j_4n['t_join']:.1f} s ({j_4n['join_rows_per_sec']:,.0f} rows/s) "
         f"| {sp_join:.2f}x | {sp_join/4:.2f} |",
-        f"| **total** | {t_n:.1f} s | {t_4n:.1f} s | {sp_all:.2f}x | **{eff:.2f}** |",
+        f"| **total (per-stage min composite)** | {t_n:.1f} s | {t_4n:.1f} s | {sp_all:.2f}x | **{eff:.2f}** |",
+        f"| **total (best single launch)** | {run_n:.1f} s | {run_4n:.1f} s "
+        f"| {run_n/run_4n:.2f}x | **{run_n/run_4n/4:.2f}** |",
         "",
         "## Throughput vs the reference (BASELINE.md)",
         "",

@@ -40,6 +40,7 @@ __all__ = [
     "cell_of_point_np",
     "morton_encode",
     "morton_decode",
+    "morton_col",
 ]
 
 
@@ -155,6 +156,25 @@ def _unspread_bits(v: np.ndarray) -> np.ndarray:
     v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF)
     v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF)
     return v
+
+
+def _spread_bits_col(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def morton_col(cell: Column, level: int) -> Column:
+    """Spark-column twin of ``morton_encode`` over a row-major cell id
+    (cell = ix * side + iy). Pure bit ops — stays in codegen; used to map
+    cells to index-table buckets without collecting them to the driver."""
+    side = F.lit(1 << level)
+    ix = F.floor(cell / side).cast("long")
+    iy = cell % side
+    return _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1)).cast("long")
 
 
 def morton_decode(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -112,7 +112,7 @@ def build_index(
     data_id: str = "id",
     validate: bool = True,
     n_data_hint: int | None = None,
-    only_cells: list[int] | None = None,
+    only_cells: "list[int] | DataFrame | None" = None,
 ) -> tuple[DataFrame, EngineConfig]:
     """→ (index DataFrame with INDEX_SCHEMA, resolved config).
 
@@ -121,7 +121,9 @@ def build_index(
 
     only_cells: incremental-rebuild path — pack ONLY these cells (rows are
     pruned right after the cell explode, before the shuffle), so a
-    dirty-cell refresh costs ~|dirty|/|cells| of a full build."""
+    dirty-cell refresh costs ~|dirty|/|cells| of a full build. Pass a
+    single-column ``cell`` DataFrame for large dirty sets (semi-join —
+    never materialized on the driver); a small Python list also works."""
     slim = data_df.select(data_id, *BOX)
     if validate:
         validate_boxes_df(slim, cfg)
@@ -129,7 +131,10 @@ def build_index(
     cells = explode_cells(slim, cfg.extent, cfg.level).select(
         F.col(data_id).alias("_did"), "cell", *BOX
     )
-    if only_cells is not None:
+    if isinstance(only_cells, DataFrame):
+        wanted = only_cells.select(F.col(only_cells.columns[0]).alias("cell"))
+        cells = cells.join(wanted, on="cell", how="left_semi")
+    elif only_cells is not None:
         cells = cells.where(F.col("cell").isin([int(c) for c in only_cells]))
     hot = _hot_cells(cells, cfg, n)
     keys = ["cell"]

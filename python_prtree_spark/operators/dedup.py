@@ -54,28 +54,35 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def _bucket_pairs(banded: DataFrame, key_cols: list[str]) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from exploded LSH band rows
-    (_id, *key_cols) — via bucket-level dedup: collect each bucket's member
-    list, collapse identical member sets (near-dup docs collide in EVERY
-    band, so the same set recurs once per band), then expand pairs with a
-    self-equi-join on the deduped bucket id. Shuffle volume ≤ the naive
-    two-sided band join; the pair-level `distinct` sees up to `bands`×
-    fewer rows on self-similar corpora. AQE skew-split handles giant
-    buckets."""
-    buckets = (
+    (_id, *key_cols) — via bucket-level dedup: collect each bucket's sorted
+    member list, collapse identical member sets (near-dup docs collide in
+    EVERY band, so the same set recurs once per band), then expand the
+    upper triangle DIRECTLY from each member array with higher-order array
+    functions — no self-join, no bucket-id hash (and so no 64-bit-collision
+    window merging unrelated buckets). Cost ∝ Σ bucket m²/2 candidate rows,
+    all JVM-side; AQE handles skewed bucket sizes."""
+    members = (
         banded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("_id")).alias("members"))
         .where(F.size("members") >= 2)
         .select("members")
         .distinct()
-        .select(F.xxhash64(F.col("members").cast("array<string>")).alias("ubid"),
-                F.explode("members").alias("_id"))
     )
-    a = buckets.select("ubid", F.col("_id").alias("id_a"))
-    b = buckets.select("ubid", F.col("_id").alias("id_b"))
+    pairs = members.select(
+        F.explode(
+            F.flatten(F.transform(
+                "members",
+                lambda x, i: F.transform(
+                    F.slice("members", i + F.lit(2), F.size("members")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            ))
+        ).alias("p")
+    )
     return (
-        a.join(b, on="ubid")
+        pairs.select("p.id_a", "p.id_b")
+        # strict < also drops self-pairs when the corpus has duplicate ids
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 

@@ -4,14 +4,23 @@ contract, on immutable DataFrames.
 Reference semantics reproduced:
   * insert rejects duplicate ids (prtree.h:302-306) and validates boxes
     (prtree.h:315-321); auto-id = n+1 when omitted (core.py:454-457);
+    scalar form insert(idx=None, bb=[xmin, ymin, xmax, ymax], obj=...)
+    (core.py:388-470) and the bulk DataFrame form share one entry point;
   * erase of a missing id raises RuntimeError("Given index is not found")
     (prtree.h:795-799); erase-to-empty then re-insert works (core.py:239-259);
+  * query(..., return_obj=True) returns payloads instead of ids
+    (core.py:601-605);
   * rebuild leaves query results invariant (tests/unit/test_rebuild.py:69-94);
   * automatic re-optimization at 1.25x growth/shrink (types.h:53,
     prtree.h:411-413, 811-813) → ``needs_rebuild`` + dirty-cell tracking:
     only partitions whose cells were touched by mutations are re-packed on
     ``refresh_index`` (incremental rebuild — a MERGE-style partition rewrite,
     not a full rebuild).
+
+Scale invariants: the dirty-cell set is a DataFrame (never collected to the
+driver — a bulk mutation touching millions of cells stays distributed), and
+the live row count is threaded arithmetically through snapshots (no
+full-table recount per mutation; only the mutation batch itself is counted).
 
 Bulk-build ≡ incremental-insert equivalence and pre/post-rebuild invariance
 are the contracts tested by the reference's legacy suite
@@ -45,8 +54,9 @@ class PRTreeTable:
         cfg: EngineConfig = DEFAULT_CONFIG,
         data_id: str = "id",
         _n_at_build: int | None = None,
-        _dirty_cells: frozenset[int] | None = None,
+        _dirty_cells: DataFrame | None = None,
         _validate: bool = True,
+        _n_hint: int | None = None,
     ):
         self.data_id = data_id
         slim = df.select(data_id, *BOX, *[c for c in df.columns if c not in ([data_id] + BOX)])
@@ -56,9 +66,15 @@ class PRTreeTable:
             if dup:
                 raise ValueError("Duplicate ids in input")
         self.df = slim
-        self.cfg, self._n = _probe.resolve_geometry(slim.select(data_id, *BOX), cfg)
+        # with a resolved cfg and an exact n hint this schedules NO job —
+        # mutations thread row-count deltas instead of recounting the table
+        self.cfg, self._n = _probe.resolve_geometry(
+            slim.select(data_id, *BOX), cfg, _n_hint
+        )
         self.n_at_build = _n_at_build if _n_at_build is not None else self._n
-        self.dirty_cells = _dirty_cells or frozenset()
+        #: DataFrame['cell'] of cells touched since the last refresh (None =
+        #: clean). Kept distributed: anti-joined/semi-joined, never collected.
+        self.dirty_cells = _dirty_cells
 
     # -- size (reference prtree.h:816-824) -----------------------------------
     def size(self) -> int:
@@ -71,44 +87,86 @@ class PRTreeTable:
         return self._n == 0
 
     # -- mutations ------------------------------------------------------------
-    def _touched_cells(self, rows_df: DataFrame) -> frozenset[int]:
-        cells = explode_cells(
+    def _touched_cells(self, rows_df: DataFrame) -> DataFrame:
+        return explode_cells(
             rows_df.select(*BOX), self.cfg.extent, self.cfg.level
-        ).select("cell").distinct().collect()
-        return frozenset(r["cell"] for r in cells)
+        ).select("cell").distinct()
 
-    def insert(self, rows_df: DataFrame) -> "PRTreeTable":
-        """Append rows; raises on duplicate id like prtree.h:302-306."""
-        rows_df = rows_df.select(*self.df.columns) if set(self.df.columns) <= set(
-            rows_df.columns) else rows_df.select(self.data_id, *BOX)
-        validate_boxes_df(rows_df.select(*BOX), self.cfg)
+    def _with_dirty(self, extra: DataFrame) -> DataFrame:
+        if self.dirty_cells is None:
+            return extra
+        return self.dirty_cells.unionByName(extra)
+
+    def insert(
+        self,
+        rows_df: DataFrame | None = None,
+        *,
+        idx: int | None = None,
+        bb=None,
+        obj=None,
+    ) -> "PRTreeTable":
+        """Append rows; raises on duplicate id like prtree.h:302-306.
+
+        Two forms, mirroring the reference (core.py:388-470):
+          * bulk:   insert(rows_df) with (id, xmin, ymin, xmax, ymax[, ...]);
+          * scalar: insert(idx=?, bb=[xmin, ymin, xmax, ymax], obj=?) —
+            idx omitted → auto-id n+1 (core.py:454-457); obj is a payload
+            value stored in an ``obj`` column (or a dict of column→value).
+        """
+        spark_rows = rows_df
+        if spark_rows is None:
+            if bb is None:
+                raise ValueError("Specify bounding box")
+            if idx is None and obj is None:
+                raise ValueError("Specify index or obj")
+            if idx is None:
+                idx = self._n + 1  # reference auto-id (core.py:456-457)
+            vals = [float(v) for v in bb]
+            if len(vals) == 2:  # point insert = degenerate box
+                vals = [vals[0], vals[1], vals[0], vals[1]]
+            if len(vals) != 4:
+                raise ValueError("2D bb must be [xmin, ymin, xmax, ymax]")
+            row = {self.data_id: int(idx),
+                   "xmin": vals[0], "ymin": vals[1], "xmax": vals[2], "ymax": vals[3]}
+            if obj is not None:
+                row.update(obj if isinstance(obj, dict) else {"obj": obj})
+            spark = self.df.sparkSession
+            spark_rows = spark.createDataFrame([row])
+        rows = spark_rows.select(
+            self.data_id, *BOX,
+            *[c for c in spark_rows.columns if c not in [self.data_id, *BOX]],
+        )
+        validate_boxes_df(rows.select(*BOX), self.cfg)
         clash = (
             self.df.select(self.data_id)
-            .join(rows_df.select(self.data_id), on=self.data_id)
+            .join(rows.select(self.data_id), on=self.data_id)
             .limit(1).count()
         )
         if clash:
             raise ValueError("Given index is already taken")
-        new_df = self.df.unionByName(rows_df, allowMissingColumns=True)
-        n_new = rows_df.count()
+        n_new = rows.count()  # counts only the (small) mutation batch
+        new_df = self.df.unionByName(rows, allowMissingColumns=True)
         return PRTreeTable(
             new_df, self.cfg, self.data_id,
             _n_at_build=self.n_at_build,
-            _dirty_cells=self.dirty_cells | self._touched_cells(rows_df),
+            _dirty_cells=self._with_dirty(self._touched_cells(rows)),
             _validate=False,
+            _n_hint=self._n + n_new,
         )
 
-    def erase(self, ids: list[int] | DataFrame) -> "PRTreeTable":
-        """Delete by id; missing id raises RuntimeError with the reference's
-        message (prtree.h:795-799)."""
+    def erase(self, ids: int | list[int] | DataFrame) -> "PRTreeTable":
+        """Delete by id (scalar, list, or DataFrame); missing id raises
+        RuntimeError with the reference's message (prtree.h:795-799)."""
         spark = self.df.sparkSession
         if isinstance(ids, DataFrame):
-            ids_df = ids.select(F.col(ids.columns[0]).alias(self.data_id))
+            ids_df = ids.select(F.col(ids.columns[0]).alias(self.data_id)).distinct()
+            n_req = ids_df.count()
         else:
-            ids_df = spark.createDataFrame(
-                [(int(i),) for i in ids], f"{self.data_id} long"
-            )
-        n_req = ids_df.distinct().count()
+            if isinstance(ids, int):
+                ids = [ids]
+            uniq = sorted({int(i) for i in ids})
+            ids_df = spark.createDataFrame([(i,) for i in uniq], f"{self.data_id} long")
+            n_req = len(uniq)
         hit = self.df.join(ids_df, on=self.data_id, how="left_semi")
         n_hit = hit.count()
         if n_hit < n_req:
@@ -118,8 +176,9 @@ class PRTreeTable:
         return PRTreeTable(
             new_df, self.cfg, self.data_id,
             _n_at_build=self.n_at_build,
-            _dirty_cells=self.dirty_cells | dirty,
+            _dirty_cells=self._with_dirty(dirty),
             _validate=False,
+            _n_hint=self._n - n_hit,
         )
 
     # -- re-optimization (reference types.h:53 REBUILD_THRE=1.25) -------------
@@ -129,34 +188,31 @@ class PRTreeTable:
 
     def rebuild(self) -> "PRTreeTable":
         """Full re-pack: results must be invariant (test_rebuild.py:69-94)."""
-        return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False)
+        return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False,
+                           _n_hint=self._n)
 
     def refresh_index(self, path: str) -> None:
-        """Incremental index refresh: re-pack ONLY dirty cells into the
-        persisted index at ``path`` (partition-granular MERGE), then clear
-        the dirty set. Cheap analogue of the reference's amortized rebuild."""
-        from python_prtree_spark.operators.build import build_index
-        from python_prtree_spark.sources.store import N_BUCKETS, _with_bucket
+        """Incremental index refresh: re-pack ONLY dirty cells and overwrite
+        ONLY the index-table buckets they live in (dynamic partition
+        overwrite — untouched bucket directories are byte-identical after
+        the refresh), then clear the dirty set. The distributed analogue of
+        the reference's amortized rebuild (prtree.h:411-413)."""
+        import json
         import os
 
-        if not self.dirty_cells:
+        from python_prtree_spark.operators.build import build_index
+        from python_prtree_spark.sources.store import _with_bucket, merge_refresh
+
+        if self.dirty_cells is None:
             return
-        dirty = list(self.dirty_cells)
+        dirty = self.dirty_cells.distinct()
         index, _ = build_index(self.df, self.cfg, self.data_id, validate=False,
-                               only_cells=dirty)
+                               only_cells=dirty, n_data_hint=self._n)
         fresh = _with_bucket(index)
         spark = self.df.sparkSession
-        old = spark.read.parquet(os.path.join(path, "index"))
-        kept = old.where(~F.col("cell").isin(*dirty))
-        merged = kept.unionByName(fresh.select(*old.columns))
-        tmp = os.path.join(path, "index_new")
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        final = os.path.join(path, "index")
-        import shutil
-        shutil.rmtree(final)
-        os.rename(tmp, final)
+        merge_refresh(spark, os.path.join(path, "index"), fresh, dirty,
+                      self.cfg.level)
         # keep the persisted live-row count in sync
-        import json
         meta_path = os.path.join(path, "_engine_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -164,7 +220,7 @@ class PRTreeTable:
             meta["n_live_rows"] = self._n
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
-        self.dirty_cells = frozenset()
+        self.dirty_cells = None
 
     # -- payloads (reference set_obj/get_obj, core.py:263-376;
     #    return_obj=True at core.py:601-605) ------------------------------------
@@ -190,7 +246,7 @@ class PRTreeTable:
         return PRTreeTable(
             out, self.cfg, self.data_id,
             _n_at_build=self.n_at_build, _dirty_cells=self.dirty_cells,
-            _validate=False,
+            _validate=False, _n_hint=self._n,
         )
 
     def get_obj(self, ids: list[int]) -> DataFrame:
@@ -218,10 +274,13 @@ class PRTreeTable:
         ).select(query_id, self.data_id, *self.payload_cols)
 
     def query(self, xmin: float, ymin: float, xmax: float | None = None,
-              ymax: float | None = None) -> list[int]:
+              ymax: float | None = None, return_obj: bool = False) -> list:
         """Single-probe convenience with the reference's return contract
         (core.py:513-605): sorted ascending id list; a 2-argument call is a
-        point probe (degenerate box, prtree.h:743-754)."""
+        point probe (degenerate box, prtree.h:743-754). With
+        ``return_obj=True`` returns payloads instead of ids, ordered by id
+        (core.py:601-605) — the bare value for a single payload column,
+        else a dict of payload columns."""
         if xmax is None:  # point probe: query(x, y)
             xmax, ymax = xmin, ymin
         spark = self.df.sparkSession
@@ -229,10 +288,17 @@ class PRTreeTable:
             [(0, float(xmin), float(ymin), float(xmax), float(ymax))],
             "qid long, xmin double, ymin double, xmax double, ymax double",
         )
-        rows = _probe.batch_query(
-            self.df, q, self.cfg, self.data_id, "qid", n_data_hint=self._n
-        ).collect()
-        return sorted(r[self.data_id] for r in rows)
+        if not return_obj:
+            rows = _probe.batch_query(
+                self.df, q, self.cfg, self.data_id, "qid", n_data_hint=self._n
+            ).collect()
+            return sorted(r[self.data_id] for r in rows)
+        pcols = self.payload_cols
+        rows = self.batch_query(q, "qid", return_obj=True).collect()
+        rows.sort(key=lambda r: r[self.data_id])
+        if len(pcols) == 1:
+            return [r[pcols[0]] for r in rows]
+        return [{c: r[c] for c in pcols} for r in rows]
 
     def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
         return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators.build import build_index
 
-__all__ = ["save_index", "load_index", "LoadedIndex", "N_BUCKETS"]
+__all__ = ["save_index", "load_index", "LoadedIndex", "N_BUCKETS", "merge_refresh"]
 
 N_BUCKETS = 64
 
@@ -44,6 +44,91 @@ def _with_bucket(index_df: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_of_cell(cell, level: int):
+    """Column expr: index-table bucket of a row-major cell id (must match
+    _with_bucket, which buckets on the pack's zorder)."""
+    from python_prtree_spark.functions.tiling import morton_col
+
+    return F.pmod(morton_col(cell, level), F.lit(N_BUCKETS)).cast("int")
+
+
+def _data_buckets_on_disk(index_dir: str) -> set[int]:
+    if not os.path.isdir(index_dir):
+        return set()
+    out = set()
+    for entry in os.listdir(index_dir):
+        if entry.startswith("bucket="):
+            try:
+                out.add(int(entry.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def merge_refresh(
+    spark: SparkSession,
+    index_dir: str,
+    fresh: DataFrame,
+    dirty_cells: DataFrame,
+    level: int,
+) -> None:
+    """Partition-granular index refresh: replace ONLY the buckets touched
+    by ``dirty_cells`` with (old rows of untouched cells in those buckets)
+    ∪ (freshly packed rows), via dynamic partition overwrite. Untouched
+    bucket directories are never rewritten (byte-identical after refresh).
+
+    This is the distributed analogue of the reference's amortized
+    insert+rebuild contract (prtree.h:411-413, types.h:53): cost scales
+    with the dirty fraction, not the index size."""
+    import shutil
+
+    dirty_cells = dirty_cells.select(
+        F.col(dirty_cells.columns[0]).alias("cell")
+    ).distinct()
+    # buckets are a fixed small enumeration (N_BUCKETS) → collecting the
+    # touched subset is O(N_BUCKETS), never O(cells)
+    dirty_buckets = sorted(
+        r["bucket"]
+        for r in dirty_cells.select(
+            _bucket_of_cell(F.col("cell"), level).alias("bucket")
+        ).distinct().collect()
+    )
+    if not dirty_buckets:
+        return
+    if os.path.isdir(index_dir) and _data_buckets_on_disk(index_dir):
+        old = spark.read.parquet(index_dir)
+        kept = old.where(F.col("bucket").isin(dirty_buckets)).join(
+            dirty_cells, on="cell", how="left_anti"
+        )
+        merged = kept.select(*fresh.columns).unionByName(fresh.select(*fresh.columns))
+    else:
+        merged = fresh
+    merged = merged.persist()
+    try:
+        present = {
+            r["bucket"] for r in merged.select("bucket").distinct().collect()
+        }
+        # a dirty bucket with no merged rows ends up EMPTY: dynamic overwrite
+        # would leave its old directory untouched → delete it first (deleting
+        # first is crash-safe here: its correct final content is "nothing")
+        for b in dirty_buckets:
+            if b not in present:
+                shutil.rmtree(os.path.join(index_dir, f"bucket={b}"),
+                              ignore_errors=True)
+        if present:
+            mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.partitionBy("bucket").mode("overwrite").parquet(index_dir)
+            finally:
+                if mode is not None:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+                else:
+                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally:
+        merged.unpersist()
+
+
 def save_index(
     data_df: DataFrame,
     path: str,
@@ -54,8 +139,12 @@ def save_index(
     """Build and persist the index table; idempotent per bucket.
 
     With ``resume=True``, buckets whose lineage row exists are skipped —
-    partition-granular restart after a kill."""
+    partition-granular restart after a kill. A bucket whose DATA landed but
+    whose lineage row did not (kill between the data job and the lineage
+    append) is reconciled by dropping the orphan data directory before the
+    rewrite, so resume can never double-append a bucket's packs."""
     import json
+    import shutil
 
     spark = data_df.sparkSession
     n_live = data_df.count()
@@ -68,6 +157,11 @@ def save_index(
             r["bucket"]
             for r in spark.read.parquet(_lineage_path(path)).select("bucket").collect()
         }
+        # reconcile the crash window: data without a lineage row is an
+        # uncommitted partial write → remove before re-appending
+        for b in _data_buckets_on_disk(os.path.join(path, "index")) - done:
+            shutil.rmtree(os.path.join(path, "index", f"bucket={b}"),
+                          ignore_errors=True)
         if done:
             index = index.where(~F.col("bucket").isin(*done))
 
@@ -75,18 +169,19 @@ def save_index(
         index.write.partitionBy("bucket").mode("append").parquet(
             os.path.join(path, "index")
         )
-        # lineage: per-bucket metrics, appended after the data lands
+        # lineage: per-bucket metrics, appended only after the data lands;
+        # the read-back is partition-pruned to the newly written buckets
+        written = spark.read.parquet(os.path.join(path, "index"))
+        if done:
+            written = written.where(~F.col("bucket").isin(*done))
         lineage = (
-            spark.read.parquet(os.path.join(path, "index"))
-            .groupBy("bucket")
+            written.groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("n_cells"),
                 F.sum("n_rows").alias("n_rows"),
             )
             .withColumn("status", F.lit("done"))
         )
-        if done:
-            lineage = lineage.where(~F.col("bucket").isin(*done))
         lineage.write.mode("append").parquet(_lineage_path(path))
 
     meta = {
@@ -116,7 +211,18 @@ class LoadedIndex:
         self.cfg = DEFAULT_CONFIG.with_(
             extent=Extent(*e), level=meta["level"], leaf_size=meta["leaf_size"]
         )
-        self.df = spark.read.parquet(os.path.join(path, "index"))
+        idx_dir = os.path.join(path, "index")
+        if _data_buckets_on_disk(idx_dir):
+            self.df = spark.read.parquet(idx_dir)
+        else:
+            # fully emptied index (every bucket refreshed away) — still loadable
+            from python_prtree_spark.operators.build import INDEX_SCHEMA
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            schema = StructType(
+                list(INDEX_SCHEMA.fields) + [StructField("bucket", IntegerType())]
+            )
+            self.df = spark.createDataFrame([], schema)
         self.path = path
         self._n_live = meta.get("n_live_rows")
 

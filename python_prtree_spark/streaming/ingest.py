@@ -54,51 +54,47 @@ class IngestSink:
             return
         batch_df = batch_df.select(self.data_id, *BOX)
         validate_boxes_df(batch_df.select(*BOX), self.cfg)
+        n_batch = batch_df.count()
         batch_df.write.mode("append").parquet(self.base_path)
         spark = batch_df.sparkSession
-        dirty = [
-            r["cell"]
-            for r in explode_cells(batch_df, self.cfg.extent, self.cfg.level)
-            .select("cell").distinct().collect()
-        ]
-        self._refresh_cells(spark, dirty)
+        dirty = explode_cells(
+            batch_df, self.cfg.extent, self.cfg.level
+        ).select("cell").distinct()
+        self._refresh_cells(spark, dirty, n_batch)
 
-    def _refresh_cells(self, spark: SparkSession, dirty: list[int]) -> None:
+    def _refresh_cells(self, spark: SparkSession, dirty: DataFrame,
+                       n_batch: int) -> None:
+        """Partition-granular refresh: re-pack only the batch's dirty cells,
+        dynamic-partition-overwrite only their buckets (sources/store.py
+        merge_refresh) — per-micro-batch cost scales with the batch's cell
+        footprint, never with the index size."""
+        import json
+
         from python_prtree_spark.operators.build import build_index
-        from python_prtree_spark.sources.store import _with_bucket
+        from python_prtree_spark.sources.store import _with_bucket, merge_refresh
 
         base = spark.read.parquet(self.base_path)
         index, _ = build_index(base, self.cfg, self.data_id, validate=False,
                                only_cells=dirty)
         fresh = _with_bucket(index)
         idx_dir = os.path.join(self.index_path, "index")
-        if os.path.exists(idx_dir):
-            old = spark.read.parquet(idx_dir)
-            merged = old.where(~F.col("cell").isin(dirty)).unionByName(
-                fresh.select(*old.columns)
-            )
+        merge_refresh(spark, idx_dir, fresh, dirty, self.cfg.level)
+        # meta for LoadedIndex — live count maintained incrementally
+        meta_path = os.path.join(self.index_path, "_engine_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta["n_live_rows"] = meta.get("n_live_rows", 0) + n_batch
         else:
-            merged = fresh
-        tmp = os.path.join(self.index_path, "index_new")
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(idx_dir):
-            shutil.rmtree(idx_dir)
-        os.rename(tmp, idx_dir)
-        # meta for LoadedIndex
-        import json
-
-        n_live = spark.read.parquet(self.base_path).count()
-        meta = {
-            "extent": [self.cfg.extent.xmin, self.cfg.extent.ymin,
-                       self.cfg.extent.xmax, self.cfg.extent.ymax],
-            "level": self.cfg.level,
-            "leaf_size": self.cfg.leaf_size,
-            "n_live_rows": n_live,
-            "version": 1,
-        }
-        with open(os.path.join(self.index_path, "_engine_meta.json"), "w") as f:
+            meta = {
+                "extent": [self.cfg.extent.xmin, self.cfg.extent.ymin,
+                           self.cfg.extent.xmax, self.cfg.extent.ymax],
+                "level": self.cfg.level,
+                "leaf_size": self.cfg.leaf_size,
+                "n_live_rows": n_batch,
+                "version": 1,
+            }
+        with open(meta_path, "w") as f:
             json.dump(meta, f)
 
 

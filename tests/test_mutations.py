@@ -93,6 +93,82 @@ def test_validation_rejects_bad_boxes(spark):
             PRTreeTable(boxes_df(spark, bad), CFG)
 
 
+def test_scalar_insert_auto_id(spark):
+    """Reference test_insert.py incremental-construction twins:
+    insert(idx=?, bb=?) scalar form; idx omitted → auto-id n+1
+    (core.py:454-457); obj-only insert works; erase(int) scalar form."""
+    boxes = rand_boxes(10, 54)
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+    t2 = t.insert(idx=100, bb=[1.0, 1.0, 2.0, 2.0])
+    assert t2.size() == 11
+    assert 100 in t2.query(1.5, 1.5)
+    # auto-id: n + 1 = 12
+    t3 = t2.insert(bb=[3.0, 3.0, 4.0, 4.0], obj="payload")
+    assert t3.size() == 12
+    assert 12 in t3.query(3.5, 3.5)
+    assert t3.query(3.5, 3.5, return_obj=True) == ["payload"]
+    # scalar erase
+    t4 = t3.erase(100)
+    assert t4.size() == 11
+    assert 100 not in t4.query(1.5, 1.5)
+    with pytest.raises(ValueError, match="Specify index or obj"):
+        t.insert(bb=[0.0, 0.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="Specify bounding box"):
+        t.insert(idx=999)
+
+
+def test_query_return_obj(spark):
+    """query(..., return_obj=True) parity (core.py:601-605): payload values
+    in ascending-id order."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "xmin": [0.0, 0.5, 50.0], "ymin": [0.0, 0.5, 50.0],
+        "xmax": [1.0, 1.5, 51.0], "ymax": [1.0, 1.5, 51.0],
+        "obj": ["a", "b", "c"],
+    }))
+    t = PRTreeTable(df, CFG)
+    assert t.query(0.6, 0.6) == [1, 2]
+    assert t.query(0.6, 0.6, return_obj=True) == ["a", "b"]
+    assert t.query(50.5, 50.5, return_obj=True) == ["c"]
+
+
+def test_no_full_recount_per_mutation(spark):
+    """Mutations thread row-count deltas through snapshots: the only
+    count() actions during insert/erase are over the mutation batch and
+    the O(1) clash probe — never a full-table recount — and size() after
+    a mutation schedules no job at all."""
+    from pyspark.sql import DataFrame
+
+    boxes = rand_boxes(300, 55)
+    t = PRTreeTable(boxes_df(spark, boxes), CFG)
+
+    counted = []
+    orig = DataFrame.count
+
+    def tracking_count(self):
+        counted.append(self)
+        return orig(self)
+
+    DataFrame.count = tracking_count
+    try:
+        t2 = t.insert(boxes_df(spark, rand_boxes(5, 56), ids=np.arange(1000, 1005)))
+        n_insert_counts = len(counted)
+        t3 = t2.erase([1000, 1001])
+        n_erase_counts = len(counted) - n_insert_counts
+        # insert: clash limit(1).count() + batch count; erase: hit count
+        assert n_insert_counts <= 2
+        assert n_erase_counts <= 2
+        counted.clear()
+        assert t3.size() == 303
+        assert len(t3) == 303
+        assert not t3.empty()
+        assert not counted  # size()/len()/empty() schedule no job
+    finally:
+        DataFrame.count = orig
+
+
 def test_erase_to_empty_then_insert(spark):
     """core.py:239-259 workaround contract: empty table keeps working."""
     boxes = rand_boxes(5, 52)

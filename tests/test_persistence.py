@@ -82,6 +82,121 @@ def test_kill_resume(spark, tmp_index):
     assert set(r["bucket"] for r in lineage2.select("bucket").collect()) == set(buckets)
 
 
+def test_crash_window_resume_no_duplicates(spark, tmp_index):
+    """The kill window between the data append and the lineage append
+    (sources/store.py): a bucket with DATA but no LINEAGE row must be
+    reconciled on resume (overwritten, not appended) — never duplicated."""
+    boxes = rand_boxes(1500, 71, ext_max=5.0)
+    d = boxes_df(spark, boxes)
+    save_index(d, tmp_index, CFG)
+
+    # simulate the crash window: drop lineage rows for half the buckets but
+    # KEEP their data directories
+    lineage_path = os.path.join(tmp_index, "_lineage")
+    lineage = spark.read.parquet(lineage_path)
+    buckets = sorted(r["bucket"] for r in lineage.select("bucket").distinct().collect())
+    keep = set(buckets[: len(buckets) // 2])
+    kept_lineage = lineage.where(F.col("bucket").isin(*keep)).collect()
+    shutil.rmtree(lineage_path)
+    spark.createDataFrame(kept_lineage, lineage.schema).write.parquet(lineage_path)
+
+    save_index(d, tmp_index, CFG, resume=True)
+
+    idx = load_index(spark, tmp_index)
+    qboxes = rand_boxes(60, 72, ext_max=5.0)
+    pairs = [
+        (r["qid"], r["id"])
+        for r in idx.batch_query(boxes_df(spark, qboxes, "qid")).collect()
+    ]
+    assert len(pairs) == len(set(pairs))  # no duplicate pairs from re-append
+    assert set(pairs) == oracle_pairs(qboxes, boxes)
+    lineage2 = spark.read.parquet(lineage_path)
+    assert set(r["bucket"] for r in lineage2.select("bucket").collect()) == set(buckets)
+
+
+def _bucket_fingerprint(idx_dir: str) -> dict:
+    """bucket dir → {relative file: (size, md5)} for byte-identity checks."""
+    import hashlib
+
+    out = {}
+    for entry in sorted(os.listdir(idx_dir)):
+        if not entry.startswith("bucket="):
+            continue
+        files = {}
+        bdir = os.path.join(idx_dir, entry)
+        for root, _, names in os.walk(bdir):
+            for n in sorted(names):
+                p = os.path.join(root, n)
+                with open(p, "rb") as f:
+                    files[os.path.relpath(p, bdir)] = (
+                        os.path.getsize(p), hashlib.md5(f.read()).hexdigest()
+                    )
+        out[entry] = files
+    return out
+
+
+def test_refresh_leaves_untouched_buckets_byte_identical(spark, tmp_index):
+    """refresh_index must rewrite ONLY dirty buckets (dynamic partition
+    overwrite) — untouched bucket directories stay byte-identical."""
+    from python_prtree_spark import PRTreeTable
+    from python_prtree_spark.sources.store import N_BUCKETS, _bucket_of_cell
+    from python_prtree_spark.functions.tiling import explode_cells
+
+    boxes = rand_boxes(3000, 73, ext_max=2.0)
+    d = boxes_df(spark, boxes)
+    cfg = CFG.with_(strategy="sql")
+    t = PRTreeTable(d, cfg)
+    save_index(d, tmp_index, t.cfg)
+    idx_dir = os.path.join(tmp_index, "index")
+    before = _bucket_fingerprint(idx_dir)
+
+    # a tiny localized mutation: one new box in one corner
+    t2 = t.insert(boxes_df(spark, np.array([[1.0, 1.0, 1.5, 1.5]]),
+                           ids=np.array([99999])))
+    dirty_buckets = {
+        f"bucket={r['b']}"
+        for r in t2.dirty_cells.select(
+            _bucket_of_cell(F.col("cell"), t.cfg.level).alias("b")
+        ).distinct().collect()
+    }
+    assert len(dirty_buckets) < len(before)  # mutation is localized
+    t2.refresh_index(tmp_index)
+    after = _bucket_fingerprint(idx_dir)
+
+    for b, files in before.items():
+        if b not in dirty_buckets:
+            assert after[b] == files, f"untouched {b} was rewritten"
+    # and the refreshed index answers exactly
+    idx = load_index(spark, tmp_index)
+    qboxes = rand_boxes(50, 74, ext_max=2.0)
+    got = set(
+        (r["qid"], r["id"])
+        for r in idx.batch_query(boxes_df(spark, qboxes, "qid")).collect()
+    )
+    all_boxes = np.vstack([boxes, [[1.0, 1.0, 1.5, 1.5]]])
+    all_ids = np.concatenate([np.arange(3000), [99999]])
+    exp = {(q, int(all_ids[di])) for (q, di) in oracle_pairs(qboxes, all_boxes)}
+    assert got == exp
+
+
+def test_refresh_erase_to_empty(spark, tmp_index):
+    """Erasing every row then refreshing must delete the emptied buckets
+    (stale packs must not survive a zero-row dynamic overwrite)."""
+    from python_prtree_spark import PRTreeTable
+
+    boxes = rand_boxes(200, 75, ext_max=5.0)
+    d = boxes_df(spark, boxes)
+    cfg = CFG.with_(strategy="sql")
+    t = PRTreeTable(d, cfg)
+    save_index(d, tmp_index, t.cfg)
+    t2 = t.erase(list(range(200)))
+    t2.refresh_index(tmp_index)
+    idx = load_index(spark, tmp_index)
+    assert idx.size() == 0
+    qboxes = rand_boxes(20, 76, ext_max=5.0)
+    assert idx.batch_query(boxes_df(spark, qboxes, "qid")).count() == 0
+
+
 def test_incremental_refresh(spark, tmp_index):
     """Dirty-cell incremental rebuild: mutate → refresh_index rewrites only
     touched cells; loaded-index results match a fresh full build."""
