@@ -452,8 +452,40 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    """Oracle-gated (fixed-point trick like ann_cosine_topk): quantize
+    components to integers so dot products are exact in any engine, and
+    union planted exact-duplicate vectors (vec_id + 10M for every 7th id)
+    so qualifying pairs EXIST and LSH recall for them is provably 1
+    (identical vectors share every sketch band). At threshold 0.995 the
+    only qualifying pairs are the planted ones (measured max natural
+    cosine in the test corpus ~0.51), so the approximate candidate stage
+    provably loses nothing and exact SQL is a valid oracle."""
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.8)
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x * 10000 + F.lit(0.5))).alias(
+            "embedding"
+        ),
+    )
+    planted = q.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(q.unionByName(planted), threshold=0.995).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def _q_rebuild(spark, sf_dir):
+    """Rebuild invariance, driver-gated (reference test_rebuild.py:69-94):
+    build → erase → insert → rebuild() → query ≡ the same query without
+    the rebuild (the oracle computes the post-mutation ground truth)."""
+    t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
+    erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 5 == 0).select("id")
+    t = t.erase(erase_ids)
+    t = t.insert(supplier_new_boxes(spark, sf_dir))
+    t = t.rebuild()
+    assert not t.needs_rebuild()  # rebuild resets the growth baseline
+    return t.batch_query(supplier_probes(spark, sf_dir))
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -494,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_convex": _q_pip,
         "raster_vector": _q_raster_vector,
         "mutation_pipeline": _q_mutation,
+        "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
         "payload_return_obj": _q_payload_return_obj,
         "table_size": _q_table_size,
@@ -504,11 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
-        "embedding_near_dup": _q_embedding_near_dup,
         "ann_ivf": _q_ann_ivf,
         "mm_phash_verify": _q_mm_phash,
         "mm_codec_roundtrip": _q_mm_roundtrip,
@@ -659,6 +692,13 @@ b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
 q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """,
+        "rebuild": f"""
+WITH base AS ({PART_BOXES_SQL}),
+ins AS ({SUPPLIER_NEW_BOXES_SQL}),
+b AS (SELECT * FROM base WHERE id % 5 <> 0 UNION ALL SELECT * FROM ins),
+q AS ({SUPPLIER_PROBES_SQL})
+SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+""",
         "persist_roundtrip": _BATCH_PAIRS_SQL,
         "payload_return_obj": f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
@@ -721,6 +761,23 @@ SELECT qid, vec_id, rank FROM (
   SELECT qid, vec_id,
     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
   FROM d) WHERE rank <= 10
+""",
+        "embedding_near_dup": """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS DOUBLE)) AS v
+  FROM embeddings),
+u AS (
+  SELECT vec_id, v FROM q
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, v FROM q WHERE vec_id % 7 = 0),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      AS cosine
+  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM d WHERE cosine >= 0.995
 """,
         "events_window": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

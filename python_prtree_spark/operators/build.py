@@ -2,10 +2,11 @@
 prtree.h:188-259 + build at :470-585, re-expressed Spark-first).
 
 Pipeline: validate → explode covering cells → ONE shuffle on (cell, salt)
-with an in-partition sort → a streaming ``mapInPandas`` packs each cell's
+with an in-partition sort → a streaming ``mapInArrow`` packs each cell's
 rows into an STRPack (one Arrow stream per partition; memory = one batch +
-one carried cell, never a whole partition) → one index row per (cell,
-salt) holding the packed arrays, Morton-sorted for scan locality.
+one carried cell, never a whole partition; output rows leave Python as
+large multi-cell RecordBatches built zero-copy from numpy) → one index row
+per (cell, salt) holding the packed arrays, Morton-sorted for scan locality.
 The persisted form (see sources/store.py) is the durable analogue of the
 reference's cereal archive (prtree.h:119-143) — but columnar, partitioned,
 and partition-prunable.
@@ -44,66 +45,120 @@ INDEX_SCHEMA = StructType([
 ])
 
 
-def _make_pack_fn(cfg: EngineConfig):
+_FLUSH_CELLS = 1 << 10
+_FLUSH_ROWS = 1 << 20
+
+
+def _make_stream_pack_arrow(cfg: EngineConfig, with_salt: bool):
+    """Streaming ``mapInArrow`` pack kernel over partitions sorted by
+    (cell[, salt]): walks each Arrow batch group by group, builds an
+    STRPack per group, and emits index rows in LARGE RecordBatches
+    (~_FLUSH_CELLS cells each) assembled directly from numpy via
+    ``pa.ListArray.from_arrays`` — no pandas anywhere, no one-row-per-cell
+    batches (the prior mapInPandas kernel serialized one Arrow batch PER
+    CELL, which dominated build time). Memory per task = one Arrow batch +
+    one carried (partial) group + one output buffer."""
     leaf_size, level = cfg.leaf_size, cfg.level
     side = 1 << level
 
-    def pack_fn(pdf):
+    def fn(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        cell = int(pdf["cell"].iloc[0])
-        salt = int(pdf["salt"].iloc[0]) if "salt" in pdf.columns else 0
-        boxes = pdf[BOX].to_numpy(dtype=np.float64)
-        pack = STRPack(pdf["_did"].to_numpy(dtype=np.int64), boxes, leaf_size)
-        ix, iy = cell // side, cell % side
-        z = int(morton_encode(np.array([ix]), np.array([iy]))[0])
-        return pd.DataFrame({
-            "cell": [cell], "salt": [salt], "zorder": [z],
-            "n_rows": [pack.n], "leaf_size": [leaf_size],
-            "ids": [pack.ids],
-            "b_xmin": [pack.boxes[:, 0]], "b_ymin": [pack.boxes[:, 1]],
-            "b_xmax": [pack.boxes[:, 2]], "b_ymax": [pack.boxes[:, 3]],
-            "leaf_mbbs": [pack.leaf_mbbs.ravel()],
-        })
+        acc = {k: [] for k in
+               ("cell", "salt", "n", "ids", "bx0", "by0", "bx1", "by1", "mbb")}
+        acc_rows = 0
 
-    return pack_fn
+        def flush():
+            nonlocal acc_rows
+            cells = np.asarray(acc["cell"], np.int64)
+            salts = np.asarray(acc["salt"], np.int32)
+            ns = np.asarray(acc["n"], np.int64)
+            z = morton_encode(cells // side, cells % side)
+            off = np.zeros(len(ns) + 1, np.int64)
+            np.cumsum(ns, out=off[1:])
+            off32 = pa.array(off, type=pa.int32())
+            mbb_ns = np.fromiter((len(m) for m in acc["mbb"]), np.int64,
+                                 count=len(acc["mbb"]))
+            mbb_off = np.zeros(len(mbb_ns) + 1, np.int64)
+            np.cumsum(mbb_ns, out=mbb_off[1:])
 
+            def cat(key, dtype):
+                return (np.concatenate(acc[key]) if acc[key]
+                        else np.empty(0, dtype))
 
-def _make_stream_pack_fn(cfg: EngineConfig, keys: list[str]):
-    """Streaming variant for ``mapInPandas`` over partitions sorted by
-    *keys*: groups never materialize a whole partition — one Arrow batch
-    plus at most one carried (partial) cell live in memory. One Arrow
-    stream per PARTITION instead of one batch per GROUP, which removes the
-    per-group serialization overhead of ``applyInPandas`` (measured 1.5-4x
-    on the 8M-box build) while keeping identical output."""
-    import pandas as pd
+            rb = pa.record_batch(
+                [
+                    pa.array(cells), pa.array(salts), pa.array(z),
+                    pa.array(ns),
+                    pa.array(np.full(len(ns), leaf_size, np.int32)),
+                    pa.ListArray.from_arrays(off32, pa.array(cat("ids", np.int64))),
+                    pa.ListArray.from_arrays(off32, pa.array(cat("bx0", np.float64))),
+                    pa.ListArray.from_arrays(off32, pa.array(cat("by0", np.float64))),
+                    pa.ListArray.from_arrays(off32, pa.array(cat("bx1", np.float64))),
+                    pa.ListArray.from_arrays(off32, pa.array(cat("by1", np.float64))),
+                    pa.ListArray.from_arrays(
+                        pa.array(mbb_off, type=pa.int32()),
+                        pa.array(cat("mbb", np.float64)),
+                    ),
+                ],
+                names=["cell", "salt", "zorder", "n_rows", "leaf_size",
+                       "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+                       "leaf_mbbs"],
+            )
+            for k in acc:
+                acc[k].clear()
+            acc_rows = 0
+            return rb
 
-    pack_fn = _make_pack_fn(cfg)
+        def process(tbl):
+            nonlocal acc_rows
+            cells = tbl.column("cell").to_numpy()
+            coords = np.column_stack([tbl.column(c).to_numpy() for c in BOX])
+            dids = tbl.column("_did").to_numpy()
+            if with_salt:
+                salts = tbl.column("salt").to_numpy()
+                new = np.flatnonzero((np.diff(cells) != 0) | (np.diff(salts) != 0)) + 1
+            else:
+                salts = None
+                new = np.flatnonzero(np.diff(cells) != 0) + 1
+            bounds = np.concatenate([[0], new, [len(cells)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                pack = STRPack(dids[a:b], coords[a:b], leaf_size)
+                acc["cell"].append(int(cells[a]))
+                acc["salt"].append(int(salts[a]) if with_salt else 0)
+                acc["n"].append(pack.n)
+                acc["ids"].append(pack.ids)
+                acc["bx0"].append(pack.boxes[:, 0])
+                acc["by0"].append(pack.boxes[:, 1])
+                acc["bx1"].append(pack.boxes[:, 2])
+                acc["by1"].append(pack.boxes[:, 3])
+                acc["mbb"].append(pack.leaf_mbbs.ravel())
+                acc_rows += pack.n
 
-    def stream(batches):
         carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if tbl.num_rows == 0:
                 continue
-            # rows arrive sorted by keys: every key-group except possibly
-            # the last is complete in this batch
-            last_key = tuple(pdf[k].iloc[-1] for k in keys)
-            is_last = pd.Series(True, index=pdf.index)
-            for k, v in zip(keys, last_key):
-                is_last &= pdf[k] == v
-            carry = pdf[is_last]
-            done = pdf[~is_last]
-            if len(done):
-                for _, g in done.groupby(keys, sort=False):
-                    yield pack_fn(g)
-        if carry is not None and len(carry):
-            for _, g in carry.groupby(keys, sort=False):
-                yield pack_fn(g)
+            cells = tbl.column("cell").to_numpy()
+            cut = int(np.searchsorted(cells, cells[-1], side="left"))
+            if with_salt:
+                salts = tbl.column("salt").to_numpy()
+                cut += int(np.searchsorted(salts[cut:], salts[-1], side="left"))
+            carry = tbl.slice(cut)
+            if cut > 0:
+                process(tbl.slice(0, cut))
+                if len(acc["cell"]) >= _FLUSH_CELLS or acc_rows >= _FLUSH_ROWS:
+                    yield flush()
+        if carry is not None and carry.num_rows:
+            process(carry)
+        if acc["cell"]:
+            yield flush()
 
-    return stream
+    return fn
 
 
 def build_index(
@@ -123,7 +178,10 @@ def build_index(
     pruned right after the cell explode, before the shuffle), so a
     dirty-cell refresh costs ~|dirty|/|cells| of a full build. Pass a
     single-column ``cell`` DataFrame for large dirty sets (semi-join —
-    never materialized on the driver); a small Python list also works."""
+    never materialized on the driver); a small Python list also works.
+
+    n_data_hint must be the EXACT row count or None (same contract as
+    batch_query: an underestimate can skip hot-cell salting)."""
     slim = data_df.select(data_id, *BOX)
     if validate:
         validate_boxes_df(slim, cfg)
@@ -148,9 +206,11 @@ def build_index(
         keys = ["cell", "salt"]
     if "salt" not in cells.columns:
         cells = cells.withColumn("salt", F.lit(0))
+    with_salt = "salt" in keys
     index = (
-        cells.repartition(*[F.col(k) for k in keys])
+        cells.select("_did", "cell", "salt", *BOX)
+        .repartition(*[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
-        .mapInPandas(_make_stream_pack_fn(cfg, keys), schema=INDEX_SCHEMA)
+        .mapInArrow(_make_stream_pack_arrow(cfg, with_salt), schema=INDEX_SCHEMA)
     )
     return index, cfg

@@ -134,9 +134,11 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes has one row PER DOCUMENT — never hint-broadcast it (OOMs the
+    # driver at corpus scale); AQE broadcasts adaptively when it is small
     return (
-        inter.join(F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))), on="id_a")
-        .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))), on="id_b")
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
         .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
         .where(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union")
@@ -237,9 +239,11 @@ def minhash_lsh_pairs(
          each qualifying pair is emitted exactly once globally, replacing
          the naive plan's 10-100M-row pair shuffle + distinct + two verify
          joins. In-bucket Jaccard is a dense incidence-matrix matmul
-         (BLAS) over the bucket's local vocabulary, row-chunked so memory
-         stays bounded even for degenerate mega-buckets (which mean the
-         LSH params are mis-tuned for the corpus, but must not OOM).
+         (BLAS) over the bucket's local vocabulary, chunked over BOTH the
+         pair rows and the vocabulary axis so worker memory stays a fixed
+         budget (~tens of MB of slab) even for degenerate mega-buckets
+         (50k docs x 200k tokens means the LSH params are mis-tuned for
+         the corpus, but must not OOM the worker).
 
     broadcast_verify is kept for API compatibility; the bucket-local
     verifier no longer needs a broadcast."""
@@ -294,9 +298,16 @@ def minhash_lsh_pairs(
             sz = np.fromiter((len(t) for t in tok_arrs), np.int64, count=m)
             flat = np.concatenate(tok_arrs) if m else np.empty(0, np.int64)
             vocab, local = np.unique(flat, return_inverse=True)
-            M = np.zeros((m, len(vocab)), dtype=np.float32)
             row_idx = np.repeat(np.arange(m), sz)
-            M[row_idx, local] = 1.0
+            # token postings sorted by vocab id → vocab-chunk slabs are
+            # contiguous slices (no rescans); the dense incidence slab is
+            # (m, vchunk) so memory is a fixed budget regardless of how
+            # degenerate the bucket is — never m x full-vocab
+            v_order = np.argsort(local, kind="stable")
+            loc_s = local[v_order]
+            row_s = row_idx[v_order]
+            n_vocab = len(vocab)
+            vchunk = max(1, (1 << 24) // max(m, 1))
         outs = []
         chunk = max(1, (1 << 22) // max(m, 1))
         for lo in range(0, m, chunk):
@@ -307,9 +318,18 @@ def minhash_lsh_pairs(
                 col = bk[:, j]
                 prev |= col[lo:hi, None] == col[None, :]
             tri = np.arange(lo, hi)[:, None] < np.arange(m)[None, :]
-            keep = tri & ~prev
+            # != also guards corpora with duplicate doc ids (equal ids are
+            # adjacent after the sort, so positional < would pair them)
+            keep = tri & ~prev & (ids[lo:hi, None] != ids[None, :])
             if do_verify and keep.any():
-                inter = (M[lo:hi] @ M.T).astype(np.int64)  # counts are exact
+                inter = np.zeros((hi - lo, m), dtype=np.int64)
+                for v0 in range(0, n_vocab, vchunk):
+                    v1 = min(v0 + vchunk, n_vocab)
+                    p0 = int(np.searchsorted(loc_s, v0, side="left"))
+                    p1 = int(np.searchsorted(loc_s, v1, side="left"))
+                    Mv = np.zeros((m, v1 - v0), dtype=np.float32)
+                    Mv[row_s[p0:p1], loc_s[p0:p1] - v0] = 1.0
+                    inter += (Mv[lo:hi] @ Mv.T).astype(np.int64)  # exact counts
                 union = sz[lo:hi, None] + sz[None, :] - inter
                 keep &= inter >= thr * union
             ii, jj = np.nonzero(keep)
@@ -344,26 +364,41 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over crc32-seeded splitmix of
-    distinct tokens (weight 1 each)."""
+    distinct tokens (weight 1 each). Vectorized ACROSS documents: one
+    flattened token-hash array per Arrow batch + add.reduceat over doc
+    boundaries (same kernel style as the minhash signature), bounded by a
+    token sub-chunk so the (tokens, 64) bit matrix never exceeds ~64 MB."""
 
     def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        pows = (np.uint64(1) << shifts)
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].fillna("")):
-                h = _token_hashes(text)
+            texts = pdf[text_col].fillna("")
+            per_doc = [_token_hashes(t) for t in texts]
+            nd = len(per_doc)
+            counts = np.fromiter((len(h) for h in per_doc), np.int64, count=nd)
+            out = np.zeros(nd, dtype=np.int64)
+            # doc sub-chunks bound the flattened bit matrix (T x 64 int8)
+            d0 = 0
+            while d0 < nd:
+                d1, tok = d0, 0
+                while d1 < nd and (tok == 0 or tok + counts[d1] <= (1 << 20)):
+                    tok += counts[d1]
+                    d1 += 1
+                flat = np.concatenate(per_doc[d0:d1])
                 # splitmix64 to spread crc32 into 64 bits
-                x = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+                x = flat.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
                 x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
                 x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
                 x = x ^ (x >> np.uint64(31))
-                bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                v = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for j in np.nonzero(v > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(j)
-                out[i] = np.int64(sh.astype(np.int64))
+                bits = ((x[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                starts = np.zeros(d1 - d0, dtype=np.int64)
+                np.cumsum(counts[d0:d1][:-1], out=starts[1:])
+                sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+                v = 2 * sums - counts[d0:d1, None]
+                sh = ((v > 0).astype(np.uint64) * pows[None, :]).sum(axis=1)
+                out[d0:d1] = sh.astype(np.uint64).view(np.int64)
+                d0 = d1
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     out_t = df.schema[id_col].dataType.simpleString()
@@ -465,9 +500,11 @@ def embedding_near_dup_pairs(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    # vecs has one row PER VECTOR — no broadcast hint (the full corpus
+    # embedding table cannot live on the driver); AQE decides adaptively
     return (
-        cand.join(F.broadcast(vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("v_a"))), on="id_a")
-        .join(F.broadcast(vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("v_b"))), on="id_b")
+        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
         .withColumn("cosine", dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -487,36 +524,42 @@ def rolling_fingerprints(
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
     min per sliding window → (id, fingerprints array<long> sorted distinct).
-    Copy-detection grade document signature; numpy inner loop."""
+    Copy-detection grade document signature.
+
+    Vectorized ACROSS documents: one polynomial-hash pass over the batch's
+    concatenated bytes (k multiply-adds total, not k per doc); per-doc work
+    is only a view slice + sliding-window min + unique. A k-gram whose
+    window crosses a document boundary is simply never selected, because
+    each doc reads only its own in-bounds gram positions."""
 
     def gen(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
         B = np.uint64(1_000_003)
         MOD = np.uint64((1 << 61) - 1)
         for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            per_doc = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
+            lens = np.fromiter((len(c) for c in per_doc), np.int64, count=len(per_doc))
+            starts = np.zeros(len(per_doc), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            blob = (np.concatenate(per_doc) if len(per_doc) else
+                    np.empty(0, np.uint8)).astype(np.uint64)
+            n_all = max(len(blob) - k + 1, 0)
+            grams = np.zeros(n_all, dtype=np.uint64)
+            for i in range(k):  # k is small (8): vectorized over positions
+                grams = (grams * B + blob[i : i + n_all]) % MOD
             fps = []
-            for text in pdf[text_col].fillna(""):
-                cs = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(cs) < k:
+            for s, ln in zip(starts, lens):
+                n = ln - k + 1  # in-doc gram positions: [s, s+n)
+                if n <= 0:
                     fps.append(np.array([], dtype=np.int64))
                     continue
-                # rolling polynomial hash of all k-grams
-                n = len(cs) - k + 1
-                h = np.zeros(len(cs), dtype=np.uint64)
-                acc = np.uint64(0)
-                powk = np.uint64(1)
-                for _ in range(k - 1):
-                    powk = (powk * B) % MOD
-                grams = np.zeros(n, dtype=np.uint64)
-                for i in range(k):  # k is small (8): vectorized over positions
-                    acc_vec = cs[i : i + n]
-                    grams = (grams * B + acc_vec) % MOD
-                _ = h, acc, powk
+                g = grams[s : s + n]
                 if n <= window:
-                    sel = np.array([grams.min()], dtype=np.uint64)
+                    sel = g.min(keepdims=True)
                 else:
-                    from numpy.lib.stride_tricks import sliding_window_view
-
-                    sel = sliding_window_view(grams, window).min(axis=1)
+                    sel = sliding_window_view(g, window).min(axis=1)
                 fps.append(np.unique(sel).astype(np.int64))
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
 

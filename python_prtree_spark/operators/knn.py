@@ -78,10 +78,6 @@ def knn_join(
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
 
     for rnd in range(max_rounds):
-        # truncate lineage: each round otherwise re-executes every prior
-        # round's joins (driver-loop DAG growth kills scaling)
-        if rnd > 0:
-            pending = pending.localCheckpoint(eager=True)
         probes = pending.select(
             query_id, "_px", "_py",
             (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
@@ -119,8 +115,14 @@ def knn_join(
             scored.join(resolved_q, on=query_id, how="left_semi")
             .select(query_id, data_id, "rank")
         )
-        pending = pending.join(resolved_q, on=query_id, how="left_anti")
-        if pending.limit(1).count() == 0:
+        # one eager checkpoint doubles as lineage truncation (driver-loop
+        # DAG growth otherwise re-executes every prior round's joins) AND
+        # the source for the emptiness probe — one light job per round,
+        # not two (the heavy job per round stays the single `scored` one)
+        pending = pending.join(
+            resolved_q, on=query_id, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if pending.isEmpty():
             pending = None
             break
         r *= 4.0

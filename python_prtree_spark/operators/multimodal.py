@@ -78,17 +78,22 @@ def resize_images(
     """Block-mean resize (pure numpy, deterministic) → re-encoded bytes."""
 
     def _resize(px: np.ndarray) -> np.ndarray:
+        # summed-area table + fancy-indexed block sums (no per-pixel loop)
         h, w, _ = px.shape
         ye = (np.arange(out_h + 1) * h) // out_h
         xe = (np.arange(out_w + 1) * w) // out_w
-        out = np.empty((out_h, out_w, 3), dtype=np.float64)
         csum = np.zeros((h + 1, w + 1, 3))
         csum[1:, 1:] = px.astype(np.float64).cumsum(0).cumsum(1)
-        for i in range(out_h):
-            for j in range(out_w):
-                y0, y1, x0, x1 = ye[i], ye[i + 1], xe[j], xe[j + 1]
-                s = csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-                out[i, j] = s / ((y1 - y0) * (x1 - x0))
+        y0, y1 = ye[:-1], ye[1:]
+        x0, x1 = xe[:-1], xe[1:]
+        s = (
+            csum[y1[:, None], x1[None, :]]
+            - csum[y0[:, None], x1[None, :]]
+            - csum[y1[:, None], x0[None, :]]
+            + csum[y0[:, None], x0[None, :]]
+        )
+        area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+        out = s / area[..., None]
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
     def gen(batches):

@@ -11,6 +11,13 @@ the only arbiter there too. Routing on 2 of D dims trades some pruning
 power in z/w for a radically simpler partitioner; at 100 TB the first two
 dims carry the partition key and Catalyst prunes on them.
 
+Both physical strategies are honored (cfg.strategy / _pick_strategy, same
+selector as 2D): 'sql' = exploded-cell equi-join in whole-stage codegen;
+'packed' = the PBSM single-shuffle mapInArrow path with per-cell STRPack
+over dims 0-1, salted hot cells, and in-kernel refinement of the carried
+dims 2..D-1 — the scale path when per-cell candidate products are large
+(e.g. z/w-dense data stacking many boxes into one xy cell).
+
 float32 inputs are upcast to float64 before comparison — exact (every
 float32 is representable), so float32/float64 families behave like the
 reference's dtype dispatch (core.py:119-145).
@@ -78,6 +85,20 @@ def batch_query_nd(
     cfg, _n = resolve_geometry(d2.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg)
     dc = explode_cells(d2, cfg.extent, cfg.level)
     qc = explode_cells(q2, cfg.extent, cfg.level)
+
+    if _pick_strategy(cfg, _n) == "packed":
+        # PBSM single-shuffle mapInArrow, same physical plan as the 2D
+        # packed path: ONE exchange on (cell[, salt]) + in-partition sort;
+        # the STRPack probes dims 0-1 and the Arrow kernel refines the
+        # closed-interval predicate on the carried dims 2..D-1. Hot cells
+        # are salted exactly like 2D (z/w-dense skew lands on the same
+        # 2D cells, so the same histogram catches it).
+        from python_prtree_spark.operators.probe import _batch_query_packed, _hot_cells
+
+        salt = _hot_cells(dc, cfg, _n)
+        return _batch_query_packed(
+            dc, qc, cfg, data_id, query_id, salt, extra_dims=dims - 2
+        )
 
     extra = [c for c in dc.columns if c.startswith(("min", "max"))]
     d = dc.select(

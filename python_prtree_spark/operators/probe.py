@@ -139,8 +139,13 @@ def _batch_query_sql(
 _OUT_BATCH_ROWS = 1 << 19
 
 
-def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool):
+def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool, extra_dims: int = 0):
+    """extra_dims > 0: the unioned rows also carry min{d}/max{d} columns for
+    d in [2, 2+extra_dims) — the closed-interval predicate is refined on
+    those after the 2D STRPack probe (ND parity: cells route on dims 0-1,
+    the predicate decides on ALL dims; reference bounding_box.h:104-123)."""
     extent, level, leaf_size = cfg.extent, cfg.level, cfg.leaf_size
+    extra_cols = [f"{mm}{d}" for d in range(2, 2 + extra_dims) for mm in ("min", "max")]
 
     def fn(batches):
         import numpy as np
@@ -174,6 +179,10 @@ def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool):
             cells = tbl.column("cell").to_numpy()
             side = tbl.column("side").to_numpy()
             coords = np.column_stack([tbl.column(c).to_numpy() for c in BOX])
+            extra = (
+                np.column_stack([tbl.column(c).to_numpy() for c in extra_cols])
+                if extra_dims else None
+            )
             qid_col = one_chunk(tbl, "_qid")
             did_col = one_chunk(tbl, "_did")
             if with_salt:
@@ -196,6 +205,14 @@ def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool):
                 refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
                 refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
                 keep = cell_of_point_np(refx, refy, extent, level) == cell
+                if extra_dims:
+                    dorig = pack.ids[pos]  # back to pre-STR row order
+                    dx = extra[a:mid]
+                    qx = extra[mid:b]
+                    for d in range(extra_dims):
+                        keep &= (qx[qi, 2 * d] <= dx[dorig, 2 * d + 1]) & (
+                            dx[dorig, 2 * d] <= qx[qi, 2 * d + 1]
+                        )
                 if not keep.any():
                     continue
                 qv = qid_col.slice(mid, b - mid).to_numpy(zero_copy_only=False)
@@ -234,18 +251,20 @@ def _make_pbsm_fn(cfg: EngineConfig, with_salt: bool):
 def _batch_query_packed(
     data_c: DataFrame, query_c: DataFrame, cfg: EngineConfig,
     data_id: str, query_id: str, salt_counts: DataFrame | None,
+    extra_dims: int = 0,
 ) -> DataFrame:
     qt = query_c.schema[query_id].dataType.simpleString()
     dt = data_c.schema[data_id].dataType.simpleString()
+    extra = [f"{mm}{d}" for d in range(2, 2 + extra_dims) for mm in ("min", "max")]
     d = data_c.select(
         F.lit(0).alias("side"), "cell",
         F.col(data_id).cast(dt).alias("_did"),
-        F.lit(None).cast(qt).alias("_qid"), *BOX,
+        F.lit(None).cast(qt).alias("_qid"), *BOX, *extra,
     )
     q = query_c.select(
         F.lit(1).alias("side"), "cell",
         F.lit(None).cast(dt).alias("_did"),
-        F.col(query_id).cast(qt).alias("_qid"), *BOX,
+        F.col(query_id).cast(qt).alias("_qid"), *BOX, *extra,
     )
     keys = ["cell"]
     if salt_counts is not None:
@@ -268,7 +287,7 @@ def _batch_query_packed(
     out = (
         u.repartition(*[F.col(k) for k in keys])
         .sortWithinPartitions(*keys, "side")
-        .mapInArrow(_make_pbsm_fn(cfg, salt_counts is not None),
+        .mapInArrow(_make_pbsm_fn(cfg, salt_counts is not None, extra_dims),
                     schema=f"_q {qt}, _d {dt}")
     )
     return out.select(F.col("_q").alias(query_id), F.col("_d").alias(data_id))
@@ -312,7 +331,14 @@ def batch_query(
     n_data_hint: int | None = None,
 ) -> DataFrame:
     """Distributed batch box-overlap probe → duplicate-free (query_id,
-    data_id) pairs. Exact closed-interval semantics; no post-join dedup."""
+    data_id) pairs. Exact closed-interval semantics; no post-join dedup.
+
+    n_data_hint CONTRACT: pass the EXACT live row count or None. The hint
+    skips the count pass AND (when <= salt_threshold) the hot-cell salting
+    histogram — an underestimate silently disables skew salting (results
+    stay exact; one Python worker may eat a whole hot cell). PRTreeTable
+    threads exact counts; external callers who merely estimate must pass
+    None."""
     cfg, n_data = resolve_geometry(data_df.select(*( [data_id] + BOX )), cfg, n_data_hint)
     data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
     query_c = explode_cells(query_df.select(query_id, *BOX), cfg.extent, cfg.level)

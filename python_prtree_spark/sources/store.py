@@ -236,6 +236,12 @@ class LoadedIndex:
     def batch_query(
         self, query_df: DataFrame, query_id: str = "qid", data_id: str = "id"
     ) -> DataFrame:
+        """Probe the persisted packs. Scan cost scales with the PROBE
+        footprint, not the index size: the probe cells' bucket set
+        (bounded by N_BUCKETS) partition-prunes the parquet read, and a
+        cell semi-join drops non-probed packs before the cogroup shuffle —
+        a 100 TB index answers a localized probe batch by reading only the
+        touched bucket directories."""
         from python_prtree_spark.functions.tiling import cell_of_point_np, explode_cells
         from python_prtree_spark.operators.strpack import STRPack
 
@@ -245,6 +251,18 @@ class LoadedIndex:
             cfg.extent, cfg.level,
         ).select(F.col(query_id).alias("_qid"), "cell", "xmin", "ymin", "xmax", "ymax")
         extent, level = cfg.extent, cfg.level
+        qcells = q.select("cell").distinct()
+        idx = self.df
+        if "bucket" in idx.columns:
+            probed_buckets = [
+                r["b"]
+                for r in qcells.select(
+                    _bucket_of_cell(F.col("cell"), level).alias("b")
+                ).distinct().collect()  # bounded by N_BUCKETS
+            ]
+            if probed_buckets:
+                idx = idx.where(F.col("bucket").isin(probed_buckets))
+        idx = idx.join(qcells, on="cell", how="left_semi")
 
         def probe(idx_pdf, qdf):
             import numpy as np
@@ -273,7 +291,7 @@ class LoadedIndex:
             return pd.concat(outs) if outs else empty
 
         return (
-            self.df.groupBy("cell")
+            idx.groupBy("cell")
             .cogroup(q.groupBy("cell"))
             .applyInPandas(probe, schema=f"{query_id} long, {data_id} long")
         )

@@ -55,12 +55,50 @@ class IngestSink:
         batch_df = batch_df.select(self.data_id, *BOX)
         validate_boxes_df(batch_df.select(*BOX), self.cfg)
         n_batch = batch_df.count()
-        batch_df.write.mode("append").parquet(self.base_path)
+        # cluster each appended file spatially (sort by min-corner): parquet
+        # row-group min/max stats on xmin/ymin then let the dirty-region
+        # filter in _refresh_cells skip most of the base table at scale
+        batch_df.sortWithinPartitions("xmin", "ymin").write.mode("append").parquet(
+            self.base_path
+        )
         spark = batch_df.sparkSession
         dirty = explode_cells(
             batch_df, self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
         self._refresh_cells(spark, dirty, n_batch)
+
+    def _dirty_region_filter(self, base: DataFrame, dirty: DataFrame) -> DataFrame:
+        """Pushed-down scan prune: only rows whose box can intersect the
+        dirty cells' grid rectangle contribute to any dirty pack — filter
+        the base scan to that rectangle so parquet row-group stats (files
+        are written sorted by min-corner) skip the rest. Border cells clamp
+        out-of-extent geometry, so a dirty border row/column widens its
+        bound to infinity. The filter is a superset: build_index's
+        only_cells semi-join stays the exact arbiter."""
+        ext, level = self.cfg.extent, self.cfg.level
+        side = 1 << level
+        b = dirty.select(
+            F.floor(F.col("cell") / side).alias("ix"),
+            (F.col("cell") % side).alias("iy"),
+        ).agg(
+            F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+            F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+        ).collect()[0]
+        if b["ix0"] is None:
+            return base
+        cw, ch = ext.width() / side, ext.height() / side
+        # one-cell pad: the tiler's floor() can round a hair across an exact
+        # cell boundary; a full cell of slack dwarfs any fp ulp
+        cond = F.lit(True)
+        if b["ix0"] > 1:
+            cond &= F.col("xmax") >= ext.xmin + (b["ix0"] - 1) * cw
+        if b["ix1"] < side - 2:
+            cond &= F.col("xmin") <= ext.xmin + (b["ix1"] + 2) * cw
+        if b["iy0"] > 1:
+            cond &= F.col("ymax") >= ext.ymin + (b["iy0"] - 1) * ch
+        if b["iy1"] < side - 2:
+            cond &= F.col("ymin") <= ext.ymin + (b["iy1"] + 2) * ch
+        return base.where(cond)
 
     def _refresh_cells(self, spark: SparkSession, dirty: DataFrame,
                        n_batch: int) -> None:
@@ -74,6 +112,7 @@ class IngestSink:
         from python_prtree_spark.sources.store import _with_bucket, merge_refresh
 
         base = spark.read.parquet(self.base_path)
+        base = self._dirty_region_filter(base, dirty)
         index, _ = build_index(base, self.cfg, self.data_id, validate=False,
                                only_cells=dirty)
         fresh = _with_bucket(index)

@@ -42,25 +42,51 @@ def nd_df(spark, boxes, dims, id_col="id"):
 
 
 @pytest.mark.parametrize("dims", [2, 3, 4])
-def test_batch_query_nd_oracle(spark, dims):
+@pytest.mark.parametrize("strategy", ["sql", "packed"])
+def test_batch_query_nd_oracle(spark, dims, strategy):
     d = rand_boxes_nd(1000, dims, dims * 10)
     q = rand_boxes_nd(60, dims, dims * 10 + 1)
     got = set(
         (r["qid"], r["id"])
         for r in batch_query_nd(nd_df(spark, d, dims), nd_df(spark, q, dims, "qid"),
-                                dims, CFG).collect()
+                                dims, CFG.with_(strategy=strategy)).collect()
     )
     assert got == oracle_nd(q, d, dims)
 
 
-def test_intersections_3d(spark):
+@pytest.mark.parametrize("strategy", ["sql", "packed"])
+def test_intersections_3d(spark, strategy):
     d = rand_boxes_nd(500, 3, 77, ext_max=10.0)
     got = set(
         (r["id_a"], r["id_b"])
-        for r in query_intersections_nd(nd_df(spark, d, 3), 3, CFG).collect()
+        for r in query_intersections_nd(nd_df(spark, d, 3), 3,
+                                        CFG.with_(strategy=strategy)).collect()
     )
     exp = {(a, b) for (a, b) in oracle_nd(d, d, 3) if a < b}
     assert got == exp
+
+
+def test_nd_packed_zdense_salted(spark):
+    """z/w-dense skew: hundreds of boxes stacked in ONE xy cell (varying
+    only in z) — the packed path salts the hot cell (probes replicated,
+    build rows hash-split) and results stay exact."""
+    rng = np.random.default_rng(91)
+    n = 400
+    boxes = np.zeros((n, 6))
+    boxes[:, 0] = 5.0 + rng.random(n)          # xy: all inside one cell
+    boxes[:, 1] = 5.0 + rng.random(n)
+    boxes[:, 2] = rng.random(n) * 100          # z spreads
+    boxes[:, 3] = boxes[:, 0] + 0.5
+    boxes[:, 4] = boxes[:, 1] + 0.5
+    boxes[:, 5] = boxes[:, 2] + 3.0
+    q = rand_boxes_nd(40, 3, 92)
+    cfg = CFG.with_(strategy="packed", salt_threshold=50, max_salts=8)
+    got = set(
+        (r["qid"], r["id"])
+        for r in batch_query_nd(nd_df(spark, boxes, 3), nd_df(spark, q, 3, "qid"),
+                                3, cfg).collect()
+    )
+    assert got == oracle_nd(q, boxes, 3)
 
 
 def test_float32_inputs_exact(spark):

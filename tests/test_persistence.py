@@ -197,6 +197,23 @@ def test_refresh_erase_to_empty(spark, tmp_index):
     assert idx.batch_query(boxes_df(spark, qboxes, "qid")).count() == 0
 
 
+def test_loaded_probe_partition_pruning(spark, tmp_index):
+    """A localized probe against a persisted index must partition-prune the
+    parquet read to the probed buckets (scan ∝ probe footprint, not index
+    size) — and still answer exactly."""
+    boxes = rand_boxes(2000, 78, ext_max=3.0)
+    save_index(boxes_df(spark, boxes), tmp_index, CFG)
+    idx = load_index(spark, tmp_index)
+    # one tiny probe box in one corner
+    qboxes = np.array([[2.0, 2.0, 6.0, 6.0]])
+    df = idx.batch_query(boxes_df(spark, qboxes, "qid"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any("bucket" in l for l in scan_lines), plan
+    got = set((r["qid"], r["id"]) for r in df.collect())
+    assert got == oracle_pairs(qboxes, boxes)
+
+
 def test_incremental_refresh(spark, tmp_index):
     """Dirty-cell incremental rebuild: mutate → refresh_index rewrites only
     touched cells; loaded-index results match a fresh full build."""

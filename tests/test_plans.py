@@ -36,6 +36,47 @@ def test_packed_plan_shuffles_on_cell(spark):
     assert "Sort" in plan, plan
 
 
+def test_nd_packed_plan_single_exchange(spark):
+    """ND packed (VERDICT r1 item 4): same PBSM shape as 2D — exactly one
+    exchange on the cell key feeding the Arrow stream, no cartesian."""
+    import numpy as np
+
+    from python_prtree_spark.operators.nd import batch_query_nd
+    from tests.test_nd import nd_df, rand_boxes_nd
+
+    d = rand_boxes_nd(400, 3, 93)
+    q = rand_boxes_nd(40, 3, 94)
+    df = batch_query_nd(nd_df(spark, d, 3), nd_df(spark, q, 3, "qid"), 3,
+                        CFG.with_(strategy="packed"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert plan.count("hashpartitioning(cell") == 1, plan
+    assert "Sort" in plan, plan
+
+
+def test_dedup_no_per_doc_broadcast_hint(spark):
+    """VERDICT r1 item 3: the doc-level sides (per-doc sizes / per-vector
+    embeddings) must not carry a mandatory broadcast HINT — AQE may still
+    broadcast small sides adaptively at runtime, which is the point."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import (
+        embedding_near_dup_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20), "text": [f"tok{i} common a b" for i in range(20)],
+    }))
+    lp = ngram_jaccard_pairs(docs)._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in lp and "ResolvedHint" not in lp, lp
+    vecs = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(8), "embedding": [[float(i), 1.0, 0.0] for i in range(8)],
+    }))
+    lp2 = embedding_near_dup_pairs(vecs, dim=3)._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in lp2 and "ResolvedHint" not in lp2, lp2
+
+
 def test_intersections_plan(spark):
     d = boxes_df(spark, rand_boxes(500, 85))
     df = query_intersections(d, CFG.with_(strategy="sql"))
