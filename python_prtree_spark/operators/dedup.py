@@ -233,9 +233,13 @@ def minhash_lsh_pairs(
       1. skinny band rows (_id, band, bkey) → groupBy bucket → member
          lists, drop singletons — only COLLIDING docs go further;
       2. re-join member ids to their (token hashes, all band keys);
-      3. one ``applyInPandas`` per bucket emits *verified* pairs, and only
-         from the pair's FIRST colliding band (both docs' band keys are in
-         hand, so "∃ earlier band where they agree" is a local test) —
+      3. ONE shuffle on (band, bkey) with an in-partition sort, then a
+         streaming ``mapInPandas`` kernel walks bucket runs with numpy
+         slicing (not applyInPandas: LSH makes millions of tiny buckets
+         and one-Arrow-batch-per-bucket overhead dominates) and emits
+         *verified* pairs, only from the pair's FIRST colliding band
+         (both docs' band keys are in hand, so "∃ earlier band where
+         they agree" is a local test) —
          each qualifying pair is emitted exactly once globally, replacing
          the naive plan's 10-100M-row pair shuffle + distinct + two verify
          joins. In-bucket Jaccard is a dense incidence-matrix matmul
@@ -287,28 +291,26 @@ def minhash_lsh_pairs(
     thr = float(threshold)
     do_verify = verify
 
-    def emit(pdf):
-        m = len(pdf)
-        band = int(pdf["band"].iloc[0])
-        pdf = pdf.sort_values("_id", kind="stable")  # triangle ⇒ id_a < id_b
-        ids = pdf["_id"].to_numpy()
-        bk = np.stack(pdf["bkeys"].to_numpy())  # (m, bands)
+    def group_pairs(ids, bk, band, tok_arrs, sink):
+        """One LSH bucket (rows pre-sorted by _id): append verified pair
+        arrays to ``sink``. Triangle + first-colliding-band masking; Jaccard
+        verify via incidence matmul chunked over rows AND vocabulary so
+        worker memory stays a fixed budget even for degenerate mega-buckets
+        (50k docs x 200k tokens means mis-tuned LSH params, but must not
+        OOM)."""
+        m = len(ids)
         if do_verify:
-            tok_arrs = [np.asarray(t, dtype=np.int64) for t in pdf["toks"]]
             sz = np.fromiter((len(t) for t in tok_arrs), np.int64, count=m)
             flat = np.concatenate(tok_arrs) if m else np.empty(0, np.int64)
             vocab, local = np.unique(flat, return_inverse=True)
             row_idx = np.repeat(np.arange(m), sz)
             # token postings sorted by vocab id → vocab-chunk slabs are
-            # contiguous slices (no rescans); the dense incidence slab is
-            # (m, vchunk) so memory is a fixed budget regardless of how
-            # degenerate the bucket is — never m x full-vocab
+            # contiguous slices; the dense incidence slab is (m, vchunk)
             v_order = np.argsort(local, kind="stable")
             loc_s = local[v_order]
             row_s = row_idx[v_order]
             n_vocab = len(vocab)
             vchunk = max(1, (1 << 24) // max(m, 1))
-        outs = []
         chunk = max(1, (1 << 22) // max(m, 1))
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
@@ -335,20 +337,78 @@ def minhash_lsh_pairs(
             ii, jj = np.nonzero(keep)
             if len(ii) == 0:
                 continue
-            cols = {"id_a": ids[ii + lo], "id_b": ids[jj]}
             if do_verify:
-                cols["n_inter"] = inter[ii, jj].astype(np.int32)
-                cols["n_union"] = union[ii, jj].astype(np.int32)
-            outs.append(pd.DataFrame(cols))
-        if not outs:
-            e = pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-            if do_verify:
-                e["n_inter"] = np.array([], np.int32)
-                e["n_union"] = np.array([], np.int32)
-            return e
-        return pd.concat(outs, ignore_index=True)
+                sink.append((ids[ii + lo], ids[jj],
+                             inter[ii, jj].astype(np.int32),
+                             union[ii, jj].astype(np.int32)))
+            else:
+                sink.append((ids[ii + lo], ids[jj]))
 
-    out = joined.groupBy("band", "bkey").applyInPandas(emit, schema=out_schema)
+    def stream_emit(batches):
+        """Streaming per-partition kernel over rows sorted by (band, bkey,
+        _id): walks bucket runs with numpy slicing (no per-bucket pandas,
+        no one-Arrow-batch-per-bucket applyInPandas — LSH produces MILLIONS
+        of tiny buckets at corpus scale and per-group overhead dominates),
+        buffering output pairs into large frames."""
+        carry = None
+        sink: list = []
+        sink_rows = 0
+
+        def flush():
+            nonlocal sink_rows
+            cols = list(zip(*sink))
+            out = {"id_a": np.concatenate(cols[0]), "id_b": np.concatenate(cols[1])}
+            if do_verify:
+                out["n_inter"] = np.concatenate(cols[2])
+                out["n_union"] = np.concatenate(cols[3])
+            sink.clear()
+            sink_rows = 0
+            return pd.DataFrame(out)
+
+        def run_groups(pdf):
+            nonlocal sink_rows
+            n = len(pdf)
+            bands_a = pdf["band"].to_numpy()
+            bkey_a = pdf["bkey"].to_numpy()
+            ids_a = pdf["_id"].to_numpy()
+            bk_a = np.stack(pdf["bkeys"].to_numpy())
+            toks_a = (
+                [np.asarray(t, dtype=np.int64) for t in pdf["toks"]]
+                if do_verify else None
+            )
+            new = np.flatnonzero((np.diff(bands_a) != 0) | (np.diff(bkey_a) != 0)) + 1
+            bounds = np.concatenate([[0], new, [n]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                group_pairs(
+                    ids_a[a:b], bk_a[a:b], int(bands_a[a]),
+                    toks_a[a:b] if do_verify else None, sink,
+                )
+            sink_rows = sum(len(s[0]) for s in sink)
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = (pdf["band"] == pdf["band"].iloc[-1]) & (
+                pdf["bkey"] == pdf["bkey"].iloc[-1]
+            )
+            carry = pdf[last]
+            done = pdf[~last]
+            if len(done):
+                run_groups(done)
+                if sink_rows >= 1 << 16:
+                    yield flush()
+        if carry is not None and len(carry):
+            run_groups(carry)
+        if sink:
+            yield flush()
+
+    out = (
+        joined.repartition("band", "bkey")
+        .sortWithinPartitions("band", "bkey", "_id")
+        .mapInPandas(stream_emit, schema=out_schema)
+    )
     if do_verify:
         return out.select("id_a", "id_b",
                           F.col("n_inter").cast("int").alias("n_inter"),
