@@ -494,6 +494,45 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, probes, 10, n_centroids=16, n_probe=4)
 
 
+def _q_tile_assignment(spark, sf_dir):
+    """Tile assignment — the north star's 'assign every image to its tile':
+    one output row per (id, covering cell) through the engine's own tiler
+    (functions/tiling.py explode_cells), oracle-gated against the identical
+    clamped floor arithmetic in SQL."""
+    from python_prtree_spark.functions.tiling import explode_cells
+
+    b = part_boxes(spark, sf_dir)
+    return explode_cells(b, CFG.extent, CFG.level).select(
+        "id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _q_mm_tile_caption(spark, sf_dir):
+    """North-star per-row invariant on the image+caption table: every image
+    gets a tile (min-corner cell) and its caption must equal the recomputed
+    caption from (id, color cycle, footprint) — caption equality per row
+    plus tile assignment, in one pass of column expressions."""
+    from python_prtree_spark.functions.tiling import axis_index_col
+
+    imgs = image_table(spark, 500)
+    side = 1 << CFG.level
+    ix = axis_index_col(F.col("xmin"), CFG.extent.xmin, CFG.extent.width(), side)
+    iy = axis_index_col(F.col("ymin"), CFG.extent.ymin, CFG.extent.height(), side)
+    colors = "red green blue amber violet teal coral slate".split()
+    nouns = "fox door river tile crate lantern mosaic orchid".split()
+    color = F.array(*[F.lit(c) for c in colors])[(F.col("id") % 8).cast("int")]
+    noun = F.array(*[F.lit(nn) for nn in nouns])[((F.col("id") / 8).cast("long") % 8).cast("int")]
+    expected = F.format_string(
+        "caption of img%010d: %s %s at (%.3f,%.3f)",
+        F.col("id"), color, noun, F.col("xmin"), F.col("ymin"),
+    )
+    return imgs.select(
+        "image_id",
+        (ix * side + iy).cast("long").alias("tile"),
+        (F.col("caption") == expected).alias("caption_ok"),
+    )
+
+
 def _q_mm_phash(spark, sf_dir):
     imgs = image_table(spark, 500)
     return (
@@ -539,10 +578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
+        "tile_assignment": _q_tile_assignment,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "ann_ivf": _q_ann_ivf,
+        "mm_tile_caption": _q_mm_tile_caption,
         "mm_phash_verify": _q_mm_phash,
         "mm_codec_roundtrip": _q_mm_roundtrip,
     }
@@ -778,6 +819,18 @@ d AS (
       AS cosine
   FROM u a JOIN u b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM d WHERE cosine >= 0.995
+""",
+        "tile_assignment": """
+WITH b AS (""" + PART_BOXES_SQL + """),
+c AS (
+  SELECT id,
+    greatest(0, least(15, CAST(floor((xmin - 0.0) / 105.0 * 16) AS BIGINT))) AS ix0,
+    greatest(0, least(15, CAST(floor((xmax - 0.0) / 105.0 * 16) AS BIGINT))) AS ix1,
+    greatest(0, least(15, CAST(floor((ymin - 0.0) / 105.0 * 16) AS BIGINT))) AS iy0,
+    greatest(0, least(15, CAST(floor((ymax - 0.0) / 105.0 * 16) AS BIGINT))) AS iy1
+  FROM b)
+SELECT id, CAST(tx.ix * 16 + ty.iy AS BIGINT) AS cell
+FROM c, unnest(range(ix0, ix1 + 1)) AS tx(ix), unnest(range(iy0, iy1 + 1)) AS ty(iy)
 """,
         "events_window": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -127,3 +127,21 @@ def test_langid_heuristic(spark):
     got = {r["doc_id"]: r["pred"] for r in
            df.select("doc_id", langid_col("text").alias("pred")).collect()}
     assert got[0] == "en" and got[1] == "fr" and got[2] == "und"
+
+
+def test_tile_caption_invariant(spark):
+    """North-star per-row contract: every image gets a tile and its caption
+    equals the recomputed caption (caption equality per row) — driver entry
+    mm_tile_caption must be all-true, not merely row-producing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    df = e._q_mm_tile_caption(spark, None)
+    assert df.count() == 500
+    assert df.where(~F.col("caption_ok")).count() == 0
+    side = 1 << e.CFG.level
+    rng = df.agg(F.min("tile"), F.max("tile")).collect()[0]
+    assert 0 <= rng[0] and rng[1] < side * side
