@@ -494,6 +494,17 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, probes, 10, n_centroids=16, n_probe=4)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Dup-pair clustering: exact Jaccard pairs → connected components
+    (alternating large-star/small-star rounds) → (node, component=min id).
+    Oracle: recursive-CTE transitive closure + min label in DuckDB."""
+    from python_prtree_spark.operators.components import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, 0.6)
+    return connected_components(pairs).select("node", "component")
+
+
 def _q_tile_assignment(spark, sf_dir):
     """Tile assignment — the north star's 'assign every image to its tile':
     one output row per (id, covering cell) through the engine's own tiler
@@ -579,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "tile_assignment": _q_tile_assignment,
+        "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -819,6 +831,27 @@ d AS (
       AS cosine
   FROM u a JOIN u b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM d WHERE cosine >= 0.995
+""",
+        "dedup_components": """
+WITH RECURSIVE tok AS (SELECT doc_id, unnest(""" + TOKENS_SQL + """) AS t FROM documents),
+sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON id_a = sa.doc_id
+  JOIN sz sb ON id_b = sb.doc_id
+  WHERE n_inter >= 0.6 * (sa.sz + sb.sz - n_inter)),
+e AS (SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+r(n, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e) t0
+  UNION
+  SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
+)
+SELECT n AS node, min(l) AS component FROM r GROUP BY n
 """,
         "tile_assignment": """
 WITH b AS (""" + PART_BOXES_SQL + """),
