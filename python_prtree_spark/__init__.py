@@ -26,6 +26,10 @@ from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
 from python_prtree_spark.operators.raster import raster_vector_join
 from python_prtree_spark.operators.nd import batch_query_nd, query_intersections_nd
+from python_prtree_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
 from python_prtree_spark.sources.store import save_index, load_index
 
 __all__ = [
@@ -42,6 +46,8 @@ __all__ = [
     "batch_query_nd",
     "query_intersections_nd",
     "PRTreeTable",
+    "connected_components",
+    "duplicate_clusters",
     "save_index",
     "load_index",
 ]

@@ -148,6 +148,9 @@ def save_index(
 
     spark = data_df.sparkSession
     n_live = data_df.count()
+    if n_live == 0:
+        # reference parity: saving an empty tree raises (core.py:173-178)
+        raise ValueError("Cannot save empty tree")
     index, cfg = build_index(data_df, cfg, data_id=data_id, n_data_hint=n_live)
     index = _with_bucket(index)
 

@@ -245,3 +245,12 @@ def test_incremental_refresh(spark, tmp_index):
     for (q, di) in m:
         exp.add((q, int(new_ids[di])))
     assert got == exp
+
+
+def test_save_empty_raises(spark, tmp_index):
+    """Reference parity (core.py:173-178): saving an empty tree raises."""
+    empty = spark.createDataFrame(
+        [], "id long, xmin double, ymin double, xmax double, ymax double"
+    )
+    with pytest.raises(ValueError, match="Cannot save empty tree"):
+        save_index(empty, tmp_index, CFG)
