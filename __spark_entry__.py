@@ -494,6 +494,18 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, probes, 10, n_centroids=16, n_probe=4)
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-timeout sessionization (batch window form; the stateful
+    applyInPandasWithState streaming twin is pytest-gated stream≡batch in
+    tests/test_sessions.py). Integer-microsecond + fixed-point arithmetic
+    → bit-identical across engines."""
+    from python_prtree_spark.streaming.sessions import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Dup-pair clustering: exact Jaccard pairs → connected components
     (alternating large-star/small-star rounds) → (node, component=min id).
@@ -589,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
@@ -831,6 +844,27 @@ d AS (
       AS cosine
   FROM u a JOIN u b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM d WHERE cosine >= 0.995
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events),
+l AS (
+  SELECT user_id, event_id, us, vq,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, us, vq,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  min(us) AS start_us, max(us) AS end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(vq) AS BIGINT) AS sum_value_x100
+FROM s GROUP BY user_id, session_idx
 """,
         "dedup_components": """
 WITH RECURSIVE tok AS (SELECT doc_id, unnest(""" + TOKENS_SQL + """) AS t FROM documents),
