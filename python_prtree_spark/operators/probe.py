@@ -84,11 +84,31 @@ def resolve_geometry(
     return cfg, n
 
 
-def _pick_strategy(cfg: EngineConfig, n_data: int) -> str:
+_TINY_PROBE_BYTES = 4 << 20  # conservative vs spark.sql.autoBroadcastJoinThreshold
+
+
+def _pick_strategy(cfg: EngineConfig, n_data: int,
+                   query_df: DataFrame | None = None) -> str:
     if cfg.strategy != "auto":
         return cfg.strategy
     # per-cell products stay small below ~1M rows at auto level → pure SQL
-    return "sql" if n_data <= 1_000_000 else "packed"
+    if n_data <= 1_000_000:
+        return "sql"
+    # Big build side + TINY probe side: the 'sql' cell equi-join broadcasts
+    # the probes and the big side is scanned with ZERO exchange — strictly
+    # better than PBSM's two-sided shuffle (never move 100 TB to answer a
+    # small probe batch). Decided from Catalyst's own size estimate of the
+    # probe plan — no job is scheduled.
+    if query_df is not None:
+        try:
+            est = int(str(
+                query_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            ))
+            if 0 < est <= _TINY_PROBE_BYTES:
+                return "sql"
+        except Exception:
+            pass  # estimation unavailable → keep the scale default
+    return "packed"
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +362,7 @@ def batch_query(
     cfg, n_data = resolve_geometry(data_df.select(*( [data_id] + BOX )), cfg, n_data_hint)
     data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
     query_c = explode_cells(query_df.select(query_id, *BOX), cfg.extent, cfg.level)
-    strategy = _pick_strategy(cfg, n_data)
+    strategy = _pick_strategy(cfg, n_data, query_df)
     if strategy == "sql":
         return _batch_query_sql(data_c, query_c, cfg, data_id, query_id)
     salt = _hot_cells(data_c, cfg, n_data)

@@ -54,18 +54,21 @@ class IngestSink:
             return
         batch_df = batch_df.select(self.data_id, *BOX)
         validate_boxes_df(batch_df.select(*BOX), self.cfg)
-        n_batch = batch_df.count()
-        # cluster each appended file spatially (sort by min-corner): parquet
-        # row-group min/max stats on xmin/ymin then let the dirty-region
-        # filter in _refresh_cells skip most of the base table at scale
-        batch_df.sortWithinPartitions("xmin", "ymin").write.mode("append").parquet(
-            self.base_path
-        )
+        # exactly-once under foreachBatch REPLAY: each micro-batch owns its
+        # own base partition directory, so a re-delivered batch_id
+        # overwrites its previous (possibly partial) write instead of
+        # double-appending rows. Files are spatially clustered (sorted by
+        # min-corner) so parquet row-group stats + the dirty-region filter
+        # in _refresh_cells skip most of the base table at scale.
+        batch_dir = os.path.join(self.base_path, f"batch={int(batch_id)}")
+        batch_df.sortWithinPartitions("xmin", "ymin").write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
         spark = batch_df.sparkSession
         dirty = explode_cells(
             batch_df, self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
-        self._refresh_cells(spark, dirty, n_batch)
+        self._refresh_cells(spark, dirty)
 
     def _dirty_region_filter(self, base: DataFrame, dirty: DataFrame) -> DataFrame:
         """Pushed-down scan prune: only rows whose box can intersect the
@@ -100,8 +103,7 @@ class IngestSink:
             cond &= F.col("ymin") <= ext.ymin + (b["iy1"] + 2) * ch
         return base.where(cond)
 
-    def _refresh_cells(self, spark: SparkSession, dirty: DataFrame,
-                       n_batch: int) -> None:
+    def _refresh_cells(self, spark: SparkSession, dirty: DataFrame) -> None:
         """Partition-granular refresh: re-pack only the batch's dirty cells,
         dynamic-partition-overwrite only their buckets (sources/store.py
         merge_refresh) — per-micro-batch cost scales with the batch's cell
@@ -112,28 +114,25 @@ class IngestSink:
         from python_prtree_spark.sources.store import _with_bucket, merge_refresh
 
         base = spark.read.parquet(self.base_path)
-        base = self._dirty_region_filter(base, dirty)
-        index, _ = build_index(base, self.cfg, self.data_id, validate=False,
+        filtered = self._dirty_region_filter(base, dirty)
+        index, _ = build_index(filtered, self.cfg, self.data_id, validate=False,
                                only_cells=dirty)
         fresh = _with_bucket(index)
         idx_dir = os.path.join(self.index_path, "index")
         merge_refresh(spark, idx_dir, fresh, dirty, self.cfg.level)
-        # meta for LoadedIndex — live count maintained incrementally
-        meta_path = os.path.join(self.index_path, "_engine_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            meta["n_live_rows"] = meta.get("n_live_rows", 0) + n_batch
-        else:
-            meta = {
-                "extent": [self.cfg.extent.xmin, self.cfg.extent.ymin,
-                           self.cfg.extent.xmax, self.cfg.extent.ymax],
-                "level": self.cfg.level,
-                "leaf_size": self.cfg.leaf_size,
-                "n_live_rows": n_batch,
-                "version": 1,
-            }
-        with open(meta_path, "w") as f:
+        # meta for LoadedIndex — count(*) over parquet is footer-metadata
+        # only (no data scan), and is exact even across batch REPLAYS
+        # (replayed batch_ids overwrite their own partition)
+        n_live = base.count()
+        meta = {
+            "extent": [self.cfg.extent.xmin, self.cfg.extent.ymin,
+                       self.cfg.extent.xmax, self.cfg.extent.ymax],
+            "level": self.cfg.level,
+            "leaf_size": self.cfg.leaf_size,
+            "n_live_rows": n_live,
+            "version": 1,
+        }
+        with open(os.path.join(self.index_path, "_engine_meta.json"), "w") as f:
             json.dump(meta, f)
 
 

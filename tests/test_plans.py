@@ -77,6 +77,28 @@ def test_dedup_no_per_doc_broadcast_hint(spark):
     assert "UnresolvedHint" not in lp2 and "ResolvedHint" not in lp2, lp2
 
 
+def test_tiny_probe_routes_to_broadcast_no_data_shuffle(spark, tmp_path):
+    """auto strategy with a big build side + tiny probe batch must take the
+    'sql' broadcast plan: the big side is scanned with ZERO exchange (the
+    probes broadcast) — never shuffle 100 TB for a small probe set."""
+    from python_prtree_spark.operators.probe import _pick_strategy
+
+    d = boxes_df(spark, rand_boxes(2000, 95))
+    p = str(tmp_path / "probes")
+    boxes_df(spark, rand_boxes(5, 96), "qid").write.parquet(p)
+    q = spark.read.parquet(p)  # real source → Catalyst has a size estimate
+    auto = CFG.with_(strategy="auto")
+    assert _pick_strategy(auto, 5_000_000, q) == "sql"
+    # unknown estimate (in-memory frame → Long.MaxValue) must stay on the
+    # conservative scale default
+    q_mem = boxes_df(spark, rand_boxes(5, 97), "qid")
+    assert _pick_strategy(auto, 5_000_000, q_mem) == "packed"
+    # and the tiny-probe physical plan has no data-side hash exchange
+    plan = explain_str(batch_query(d, q, CFG.with_(strategy="sql")))
+    assert "hashpartitioning(cell" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_intersections_plan(spark):
     d = boxes_df(spark, rand_boxes(500, 85))
     df = query_intersections(d, CFG.with_(strategy="sql"))

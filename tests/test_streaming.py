@@ -66,3 +66,38 @@ def test_windowed_event_counts_batch_parity(spark):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
+
+
+def test_ingest_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch may REDELIVER a micro-batch after a failure; the sink
+    must be idempotent per batch_id: re-running the same batch neither
+    duplicates base rows nor corrupts query results or size()."""
+    import numpy as np
+
+    from python_prtree_spark import EngineConfig, Extent, load_index
+    from python_prtree_spark.streaming.ingest import IngestSink
+    from tests.conftest import boxes_df, oracle_pairs, rand_boxes
+
+    cfg = EngineConfig(extent=Extent(0, 0, 100, 100), level=3)
+    path = str(tmp_path / "idx")
+    sink = IngestSink(path, cfg)
+    b0 = rand_boxes(300, 21, ext_max=4.0)
+    b1 = rand_boxes(200, 22, ext_max=4.0)
+    sink(boxes_df(spark, b0), 0)
+    sink(boxes_df(spark, b1, ids=np.arange(1000, 1200)), 1)
+    sink(boxes_df(spark, b1, ids=np.arange(1000, 1200)), 1)  # replay!
+    base = spark.read.parquet(sink.base_path)
+    assert base.count() == 500
+
+    idx = load_index(spark, path)
+    assert idx.size() == 500
+    qboxes = rand_boxes(40, 23, ext_max=4.0)
+    pairs = [
+        (r["qid"], r["id"])
+        for r in idx.batch_query(boxes_df(spark, qboxes, "qid")).collect()
+    ]
+    assert len(pairs) == len(set(pairs))
+    all_boxes = np.vstack([b0, b1])
+    all_ids = np.concatenate([np.arange(300), np.arange(1000, 1200)])
+    exp = {(q, int(all_ids[d])) for (q, d) in oracle_pairs(qboxes, all_boxes)}
+    assert set(pairs) == exp
