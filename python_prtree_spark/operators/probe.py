@@ -320,20 +320,44 @@ def _hot_cells(data_c: DataFrame, cfg: EngineConfig,
 
     When the table's live row count is known and <= salt_threshold, no
     cell can possibly exceed it (a row lands in a covering cell at most
-    once) — the histogram pass is skipped entirely. At 100 TB, persisted
-    per-cell lineage metrics should be passed instead of re-scanning."""
+    once) — the histogram pass is skipped entirely.
+
+    Above that, the histogram is ESTIMATED from a deterministic 1/d row
+    sample (d up to 64): a hot cell has >= threshold member rows, so
+    row-sampling is an unbiased per-cell count estimator with thousands of
+    expected samples per hot cell — ample to decide hot-or-not. The sample
+    predicate hashes only the pre-explode id column, so Catalyst pushes it
+    BELOW the cell explode: the pass reads 1/d of the rows instead of
+    re-scanning the table (never pay a second full pass over 100 TB to
+    find skew; with persisted per-cell lineage metrics, pass those
+    instead). Salting never affects results — a missed borderline-hot cell
+    costs balance, not correctness. xxhash64 (not df.sample) keeps the
+    decision identical across runs, retries, and stage re-executions."""
     if n_data is not None and n_data <= cfg.salt_threshold:
         return None
+    d = 16 if n_data is None else max(1, min(64, n_data // cfg.salt_threshold))
+    id_col = next(
+        c for c in data_c.columns
+        if c not in ("cell", "salt", *BOX) and not c.startswith(("min", "max"))
+    )
+    src = data_c
+    if d > 1:
+        src = data_c.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(d)) == 0)
     hot = (
-        data_c.groupBy("cell").count()
-        .where(F.col("count") > cfg.salt_threshold)
+        src.groupBy("cell").count()
+        .withColumn("est", F.col("count") * d)
+        .where(F.col("est") > cfg.salt_threshold)
         .select(
             "cell",
             F.least(
                 F.lit(cfg.max_salts),
-                F.ceil(F.col("count") / cfg.salt_threshold).cast("int"),
+                F.ceil(F.col("est") / cfg.salt_threshold).cast("int"),
             ).alias("n_salts"),
         )
+        # the emptiness probe below materializes the histogram; the lazy
+        # local checkpoint lets the subsequent broadcast reuse that work
+        # instead of re-running the sampled pass
+        .localCheckpoint(eager=False)
     )
     return hot if hot.limit(1).count() > 0 else None
 
