@@ -506,6 +506,18 @@ def _q_events_sessionize(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def _q_distance_join(spark, sf_dir):
+    """Within-distance join (ST_DWithin analogue): customer points vs part
+    boxes within Euclidean distance 2.0 — single spatial shuffle (expand
+    point to a ±r square, cell-route, exact dist² refine JVM-side)."""
+    from python_prtree_spark.operators.distance import distance_join
+
+    return distance_join(
+        part_boxes(spark, sf_dir), customer_points(spark, sf_dir), 2.0, CFG,
+        query_id="pid",
+    )
+
+
 def _q_dedup_components(spark, sf_dir):
     """Dup-pair clustering: exact Jaccard pairs → connected components
     (alternating large-star/small-star rounds) → (node, component=min id).
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
+        "distance_join": _q_distance_join,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -886,6 +899,19 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "distance_join": f"""
+WITH b AS ({PART_BOXES_SQL}), q AS ({CUSTOMER_POINTS_SQL}),
+d AS (
+  SELECT q.pid, b.id,
+    greatest(b.xmin - q.x, q.x - b.xmax, 0.0) AS dx,
+    greatest(b.ymin - q.y, q.y - b.ymax, 0.0) AS dy
+  FROM q JOIN b
+    ON q.x >= b.xmin - 2.0 AND q.x <= b.xmax + 2.0
+   AND q.y >= b.ymin - 2.0 AND q.y <= b.ymax + 2.0
+)
+SELECT pid, id, CAST(floor((dx*dx + dy*dy) * 1000000.0) AS BIGINT) AS dist2_q
+FROM d WHERE dx*dx + dy*dy <= 4.0
 """,
         "tile_assignment": """
 WITH b AS (""" + PART_BOXES_SQL + """),

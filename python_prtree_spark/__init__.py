@@ -22,6 +22,7 @@ from python_prtree_spark.operators.build import build_index
 from python_prtree_spark.operators.probe import batch_query, batch_query_array, point_query
 from python_prtree_spark.operators.pairs import query_intersections
 from python_prtree_spark.operators.knn import knn_join
+from python_prtree_spark.operators.distance import distance_join
 from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
 from python_prtree_spark.operators.raster import raster_vector_join
@@ -41,6 +42,7 @@ __all__ = [
     "point_query",
     "query_intersections",
     "knn_join",
+    "distance_join",
     "point_in_polygon_join",
     "raster_vector_join",
     "batch_query_nd",
