@@ -506,6 +506,32 @@ def _q_events_sessionize(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def _q_geo_tiles(spark, sf_dir):
+    """Geographic tile assignment (the H3/S2 role of the north star, on
+    the public web-mercator grid): every customer point → slippy tile
+    (tx, ty) at zoom 6, row-major tile id, and hierarchical quadkey —
+    pure column expressions, oracle-gated against the identical mercator
+    arithmetic in DuckDB (same IEEE double sequence: radians → tan →
+    1/cos → ln → /pi)."""
+    from python_prtree_spark.functions.geo import (
+        lnglat_tile_cols, quadkey_col, tile_id_col,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = c.select(
+        k.alias("pid"),
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    tx, ty = lnglat_tile_cols(F.col("lng"), F.col("lat"), 6)
+    return g.select(
+        "pid", tx.alias("tx"), ty.alias("ty"),
+        tile_id_col(tx, ty, 6).alias("tile_id"),
+        quadkey_col(tx, ty, 6).alias("quadkey"),
+    )
+
+
 def _q_distance_join(spark, sf_dir):
     """Within-distance join (ST_DWithin analogue): customer points vs part
     boxes within Euclidean distance 2.0 — single spatial shuffle (expand
@@ -616,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
+        "geo_tile_assignment": _q_geo_tiles,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -899,6 +926,28 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "geo_tile_assignment": """
+WITH g AS (
+  SELECT c_custkey AS pid,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM customer),
+t AS (
+  SELECT pid,
+    greatest(0, least(63, CAST(floor((lng + 180.0) / 360.0 * 64.0) AS BIGINT))) AS tx,
+    greatest(0, least(63, CAST(floor(
+      (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0
+    ) AS BIGINT))) AS ty
+  FROM g)
+SELECT pid, tx, ty, CAST(tx * 64 + ty AS BIGINT) AS tile_id,
+  CAST(((tx >> 5) & 1) + 2 * ((ty >> 5) & 1) AS VARCHAR) ||
+  CAST(((tx >> 4) & 1) + 2 * ((ty >> 4) & 1) AS VARCHAR) ||
+  CAST(((tx >> 3) & 1) + 2 * ((ty >> 3) & 1) AS VARCHAR) ||
+  CAST(((tx >> 2) & 1) + 2 * ((ty >> 2) & 1) AS VARCHAR) ||
+  CAST(((tx >> 1) & 1) + 2 * ((ty >> 1) & 1) AS VARCHAR) ||
+  CAST((tx & 1) + 2 * (ty & 1) AS VARCHAR) AS quadkey
+FROM t
 """,
         "distance_join": f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({CUSTOMER_POINTS_SQL}),

@@ -1,0 +1,99 @@
+"""Geographic tiler (functions/geo.py): slippy tiles, quadkeys, hierarchy.
+
+Anchors use the public OSM tiling convention (e.g. lng=0, lat=0 at zoom 1
+is tile (1, 0)..(1,1) boundary → (1, 1) upper half? no: y=0.5 → ty=1? see
+per-case comments); the Spark columns, the numpy twins, and a pure-python
+reference implementation must all agree on random points.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_prtree_spark.functions.geo import (
+    lnglat_tile_cols,
+    lnglat_tiles_np,
+    quadkey_col,
+    quadkey_np,
+    quadkey_parent_col,
+    tile_id_col,
+)
+
+
+def _ref_tile(lng: float, lat: float, zoom: int) -> tuple[int, int]:
+    """Textbook scalar slippy-map formula (independent of the impl)."""
+    n = 1 << zoom
+    tx = int(math.floor((lng + 180.0) / 360.0 * n))
+    lat_r = math.radians(lat)
+    ty = int(math.floor(
+        (1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n
+    ))
+    return max(0, min(n - 1, tx)), max(0, min(n - 1, ty))
+
+
+def _pts(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    lng = rng.uniform(-180.0, 180.0, n)
+    lat = rng.uniform(-85.0, 85.0, n)
+    return lng, lat
+
+
+@pytest.mark.parametrize("zoom", [1, 6, 12])
+def test_tiles_match_reference_formula(spark, zoom):
+    lng, lat = _pts()
+    tx_np, ty_np = lnglat_tiles_np(lng, lat, zoom)
+    for i in range(len(lng)):
+        assert (tx_np[i], ty_np[i]) == _ref_tile(lng[i], lat[i], zoom)
+
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(len(lng)), "lng": lng, "lat": lat}),
+        schema="i long, lng double, lat double",
+    )
+    tx, ty = lnglat_tile_cols(F.col("lng"), F.col("lat"), zoom)
+    rows = df.select("i", tx.alias("tx"), ty.alias("ty"),
+                     tile_id_col(tx, ty, zoom).alias("tid"),
+                     quadkey_col(tx, ty, zoom).alias("qk")).collect()
+    qk_np = quadkey_np(tx_np, ty_np, zoom)
+    for r in rows:
+        i = r["i"]
+        assert (r["tx"], r["ty"]) == (tx_np[i], ty_np[i])
+        assert r["tid"] == tx_np[i] * (1 << zoom) + ty_np[i]
+        assert r["qk"] == qk_np[i]
+        assert len(r["qk"]) == zoom
+
+
+def test_polar_clamping():
+    """Latitudes beyond the mercator singularity land in the edge rows."""
+    tx, ty = lnglat_tiles_np(np.array([0.0, 0.0]), np.array([89.9, -89.9]), 4)
+    assert ty[0] == 0 and ty[1] == 15
+    tx, _ = lnglat_tiles_np(np.array([-180.0, 179.999]), np.array([0.0, 0.0]), 4)
+    assert tx[0] == 0 and tx[1] == 15
+
+
+def test_quadkey_hierarchy(spark):
+    """Parent quadkey is a strict prefix; children share it."""
+    lng, lat = _pts(100, seed=9)
+    tx, ty = lnglat_tiles_np(lng, lat, 10)
+    qk10 = quadkey_np(tx, ty, 10)
+    qk7 = quadkey_np(tx >> 3, ty >> 3, 7)
+    assert all(k10.startswith(k7) for k10, k7 in zip(qk10, qk7))
+
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"qk": qk10}), schema="qk string")
+    got = df.select(quadkey_parent_col(F.col("qk"), 3).alias("p")).collect()
+    assert [r["p"] for r in got] == list(qk7)
+
+
+def test_known_anchor_tiles():
+    """Public anchor: (lng 13.4050, lat 52.5200) Berlin @ z=10 → (550, 335)
+    — standard OSM tile calculator value."""
+    tx, ty = lnglat_tiles_np(np.array([13.4050]), np.array([52.5200]), 10)
+    assert (tx[0], ty[0]) == (550, 335)
+    # Null Island @ z=1 → tile (1, 1) boundary: x=0.5→tx 1, y=0.5→ty 1
+    tx, ty = lnglat_tiles_np(np.array([0.0]), np.array([0.0]), 1)
+    assert (tx[0], ty[0]) == (1, 1)
