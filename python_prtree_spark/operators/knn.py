@@ -32,6 +32,83 @@ from python_prtree_spark.operators import probe as _probe
 
 __all__ = ["knn_join"]
 
+# probe batches whose Catalyst plan estimate is under this take the
+# single-scan broadcast route (the expanding-radius loop costs one full
+# data-side pass PER ROUND — never scan 100 TB three times to answer a
+# thousand probes). ~40k probe points; map-side work is O(rows x m).
+_BCAST_PROBE_BYTES = 1 << 20
+
+
+def _knn_broadcast(
+    cent_xy: DataFrame, points_df: DataFrame, k: int,
+    data_id: str, query_id: str, x: str, y: str,
+) -> DataFrame:
+    """Single-pass exact kNN for tiny probe batches: probes are broadcast
+    into an Arrow kernel over the data partitions; each partition emits its
+    LOCAL top-k per probe ((partitions x m x k) skinny rows — the map-side
+    combine of kNN), and one window takes the global top-k. ONE scan of the
+    data side, zero data shuffle, one skinny exchange. Tie-break matches
+    the expanding-radius path: ascending (dist2, id)."""
+    import numpy as np
+
+    spark = points_df.sparkSession
+    pts = points_df.select(query_id, x, y).toPandas()  # gated tiny
+    bc = spark.sparkContext.broadcast((
+        pts[query_id].to_numpy(),
+        pts[x].to_numpy(np.float64),
+        pts[y].to_numpy(np.float64),
+    ))
+    kk = int(k)
+    qt = points_df.schema[query_id].dataType.simpleString()
+    dt = cent_xy.schema[data_id].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        qids, px, py = bc.value
+        m = len(qids)
+        if m == 0:
+            return
+        # per chunk: keep every candidate with dist <= the k-th smallest
+        # (np.partition, O(m*c), no sort) — a SUPERSET of the chunk's true
+        # top-k including all boundary ties, so no exact (dist, id)
+        # ordering is needed Python-side; the final window is the only
+        # arbiter of ranks. Emitted rows ~= k + ties per (probe, chunk).
+        out_q, out_i, out_d = [], [], []
+        for pdf in batches:
+            ids = pdf[data_id].to_numpy()
+            cx = pdf["_cx"].to_numpy(np.float64)
+            cy = pdf["_cy"].to_numpy(np.float64)
+            c = max(256, (1 << 23) // max(m, 1))  # m x c doubles <= ~64 MB
+            for lo in range(0, len(ids), c):
+                hi = min(lo + c, len(ids))
+                d = ((cx[None, lo:hi] - px[:, None]) ** 2
+                     + (cy[None, lo:hi] - py[:, None]) ** 2)
+                if hi - lo > kk:
+                    kth = np.partition(d, kk - 1, axis=1)[:, kk - 1:kk]
+                    qi, ci = np.nonzero(d <= kth)
+                else:
+                    qi, ci = np.nonzero(np.isfinite(d))
+                out_q.append(qids[qi])
+                out_i.append(ids[lo:hi][ci])
+                out_d.append(d[qi, ci])
+        if out_q:
+            yield pd.DataFrame({
+                query_id: np.concatenate(out_q),
+                data_id: np.concatenate(out_i),
+                "dist2": np.concatenate(out_d),
+            })
+
+    local = cent_xy.select(data_id, "_cx", "_cy").mapInPandas(
+        gen, schema=f"{query_id} {qt}, {data_id} {dt}, dist2 double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(query_id, data_id, "rank")
+    )
+
 
 def knn_join(
     data_df: DataFrame,
@@ -46,6 +123,31 @@ def knn_join(
     max_rounds: int = 8,
 ) -> DataFrame:
     """k nearest data-box centroids per probe point → (qid, id, rank)."""
+    # centroids once; reused by both routes / across rounds
+    cent = data_df.select(
+        data_id,
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("_cx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("_cy"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    cent_xy = cent.select(data_id, "_cx", "_cy")
+
+    # tiny probe batch + numeric ids → single-scan broadcast kNN (decided
+    # from Catalyst's own size estimate, like probe._pick_strategy; no job
+    # is scheduled — not even resolve_geometry's count, which only the
+    # radius loop needs). The expanding-radius loop below costs one
+    # data-side pass per round — strictly worse whenever the probes fit
+    # in memory.
+    if cent_xy.schema[data_id].dataType.simpleString() in ("bigint", "int"):
+        try:
+            est = int(str(
+                points_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            ))
+        except Exception:
+            est = None
+        if est is not None and 0 < est <= _BCAST_PROBE_BYTES:
+            return _knn_broadcast(cent_xy, points_df, k, data_id, query_id, x, y)
+
     cfg, n_data = _probe.resolve_geometry(
         data_df.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg
     )
@@ -58,19 +160,11 @@ def knn_join(
             diag, 1.5 * math.sqrt(max(k, 1) * area / max(n_data, 1))
         )
 
-    # centroids once; reuse across rounds
-    cent = data_df.select(
-        data_id,
-        ((F.col("xmin") + F.col("xmax")) / 2).alias("_cx"),
-        ((F.col("ymin") + F.col("ymax")) / 2).alias("_cy"),
-        "xmin", "ymin", "xmax", "ymax",
-    )
     cent_boxes = cent.select(
         data_id,
         F.col("_cx").alias("xmin"), F.col("_cy").alias("ymin"),
         F.col("_cx").alias("xmax"), F.col("_cy").alias("ymax"),
     )
-    cent_xy = cent.select(data_id, "_cx", "_cy")
 
     pending = points_df.select(query_id, F.col(x).alias("_px"), F.col(y).alias("_py"))
     results: list[DataFrame] = []

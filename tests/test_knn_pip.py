@@ -25,7 +25,14 @@ def _knn_oracle(boxes, pts, k):
 
 
 @pytest.mark.parametrize("k", [1, 5, 50])
-def test_knn_oracle(spark, k):
+@pytest.mark.parametrize("route", ["broadcast", "radius"])
+def test_knn_oracle(spark, k, route, monkeypatch):
+    """Both physical routes — single-scan broadcast top-k (tiny probes)
+    and expanding-radius rounds — must produce identical exact results."""
+    if route == "radius":  # force the loop even for a tiny probe batch
+        from python_prtree_spark.operators import knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_BCAST_PROBE_BYTES", 0)
     boxes = rand_boxes(800, 31, ext_max=2.0)
     rng = np.random.default_rng(32)
     pts = rng.random((60, 2)) * 100
