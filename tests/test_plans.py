@@ -124,3 +124,50 @@ def test_scan_column_pruning(spark, tmp_path):
     for s in scans:
         if "boxes" in s:
             assert "payload" not in s and "extra" not in s, s
+
+
+def test_distance_join_plan(spark):
+    """distance_join inherits the cell-routed join — never a cartesian —
+    and the refine predicate stays JVM-side (no Python eval in the plan
+    for the 'sql' route)."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark import distance_join
+
+    d = boxes_df(spark, rand_boxes(500, 91))
+    rng = np.random.default_rng(92)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(40), "x": rng.random(40) * 100,
+                      "y": rng.random(40) * 100}),
+        schema="qid long, x double, y double",
+    )
+    df = distance_join(d, pts, 2.0, CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Join" in plan and "cell" in plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_knn_broadcast_route_single_data_pass(spark, tmp_path):
+    """Tiny probe batches must take the single-scan broadcast kNN: no
+    cell exchange of the data side at all; the only exchange is the skinny
+    final top-k window."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark import knn_join
+
+    d = boxes_df(spark, rand_boxes(2000, 93))
+    p = str(tmp_path / "knn_probes")
+    rng = np.random.default_rng(94)
+    spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(20), "x": rng.random(20) * 100,
+                      "y": rng.random(20) * 100}),
+        schema="qid long, x double, y double",
+    ).write.parquet(p)
+    q = spark.read.parquet(p)  # real source → Catalyst size estimate
+    df = knn_join(d, q, 3, CFG)
+    plan = explain_str(df)
+    assert "hashpartitioning(cell" not in plan, plan
+    assert "Window" in plan, plan

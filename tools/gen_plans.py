@@ -82,6 +82,30 @@ def main() -> None:
         fmt(build_index(pb, e.CFG)[0]),
     ))
     sections.append((
+        "distance_join — ±r square route + exact dist² refine",
+        "Probe points expand to [p±r] squares through the same cell-routed "
+        "join (candidate superset certificate), then a pure-JVM "
+        "point-to-box distance predicate refines — no Python in the plan.",
+        fmt(__import__("python_prtree_spark").distance_join(
+            pb, e.customer_points(spark, sf), 2.0, e.CFG.with_(strategy="sql"),
+            query_id="pid",
+        )),
+    ))
+    sections.append((
+        "knn_join — tiny probe batch → single-scan broadcast top-k",
+        "Probes broadcast into an Arrow kernel over the data partitions "
+        "(per-partition top-k superset incl. boundary ties), one skinny "
+        "exchange for the global top-k window. ONE pass over the data "
+        "side — the expanding-radius loop would pay one pass per round.",
+        fmt(__import__("python_prtree_spark").knn_join(
+            pb, spark.read.parquet(f"{sf}/supplier.parquet").selectExpr(
+                "s_suppkey as qid",
+                "CAST((s_suppkey * 377424577) % 100000 AS DOUBLE)/1000.0 as x",
+                "CAST((s_suppkey * 285995483) % 100000 AS DOUBLE)/1000.0 as y",
+            ), 5, e.CFG,
+        )),
+    ))
+    sections.append((
         "dedup: minhash_lsh_pairs",
         "Signatures once (localCheckpoint reuse), bucket groupBy, "
         "member-info join, ONE exchange on (band, bkey) + in-partition "
