@@ -506,6 +506,38 @@ def _q_events_sessionize(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def supplier_diamonds(spark, sf_dir) -> DataFrame:
+    """Convex CCW quads (diamonds) for the polygon-polygon join: center +
+    radius derived integer-exactly from s_suppkey."""
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    cx = (((k * 1299709 + 3) % 90000).cast("double") / 1000.0) + 5.0
+    cy = (((k * 15487469 + 19) % 90000).cast("double") / 1000.0) + 5.0
+    r = (((k * 104717) % 6000).cast("double") / 1000.0) + 1.5
+    return s.select(
+        k.alias("b_id"),
+        F.array(
+            F.struct(cx.alias("x"), (cy - r).alias("y")),
+            F.struct((cx + r).alias("x"), cy.alias("y")),
+            F.struct(cx.alias("x"), (cy + r).alias("y")),
+            F.struct((cx - r).alias("x"), cy.alias("y")),
+        ).alias("ring"),
+        (cx - r).alias("xmin"), (cy - r).alias("ymin"),
+        (cx + r).alias("xmax"), (cy + r).alias("ymax"),
+    )
+
+
+def _q_polygon_join(spark, sf_dir):
+    """Polygon-polygon intersection join (vector-vector): nation triangles
+    vs supplier diamonds, closed semantics — bbox prefilter through the
+    cell-routed join, exact segment-intersection + convex-containment
+    refine, all JVM column arithmetic (bit-identical in DuckDB)."""
+    from python_prtree_spark.operators.polygon import polygon_join
+
+    tri = nation_triangles(spark, sf_dir).withColumnRenamed("poly_id", "a_id")
+    return polygon_join(tri, supplier_diamonds(spark, sf_dir), CFG, mode="convex")
+
+
 def _q_geo_tiles(spark, sf_dir):
     """Geographic tile assignment (the H3/S2 role of the north star, on
     the public web-mercator grid): every customer point → slippy tile
@@ -643,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
         "geo_tile_assignment": _q_geo_tiles,
+        "polygon_join": _q_polygon_join,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -926,6 +959,72 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "polygon_join": f"""
+WITH tri AS ({NATION_TRI_SQL}),
+dia AS (
+  SELECT s_suppkey AS b_id,
+    CAST((s_suppkey * 1299709 + 3) % 90000 AS DOUBLE)/1000.0 + 5.0 AS cx,
+    CAST((s_suppkey * 15487469 + 19) % 90000 AS DOUBLE)/1000.0 + 5.0 AS cy,
+    CAST((s_suppkey * 104717) % 6000 AS DOUBLE)/1000.0 + 1.5 AS r
+  FROM supplier),
+cand AS (
+  SELECT t.poly_id AS a_id, d.b_id
+  FROM tri t JOIN dia d
+    ON t.cx - t.r <= d.cx + d.r AND d.cx - d.r <= t.cx + t.r
+   AND t.cy - t.r <= d.cy + d.r AND d.cy - d.r <= t.cy + t.r),
+ae AS (
+  SELECT poly_id AS a_id,
+    CASE k WHEN 0 THEN cx - r WHEN 1 THEN cx + r ELSE cx END AS ax1,
+    CASE k WHEN 0 THEN cy - r WHEN 1 THEN cy - r ELSE cy + r END AS ay1,
+    CASE k WHEN 0 THEN cx + r WHEN 1 THEN cx ELSE cx - r END AS ax2,
+    CASE k WHEN 0 THEN cy - r WHEN 1 THEN cy + r ELSE cy - r END AS ay2
+  FROM tri CROSS JOIN (VALUES (0),(1),(2)) AS ks(k)),
+be AS (
+  SELECT b_id,
+    CASE k WHEN 0 THEN cx WHEN 1 THEN cx + r WHEN 2 THEN cx ELSE cx - r END AS bx1,
+    CASE k WHEN 0 THEN cy - r WHEN 1 THEN cy WHEN 2 THEN cy + r ELSE cy END AS by1,
+    CASE k WHEN 0 THEN cx + r WHEN 1 THEN cx WHEN 2 THEN cx - r ELSE cx END AS bx2,
+    CASE k WHEN 0 THEN cy WHEN 1 THEN cy + r WHEN 2 THEN cy ELSE cy - r END AS by2
+  FROM dia CROSS JOIN (VALUES (0),(1),(2),(3)) AS ks(k)),
+segd AS (
+  SELECT c.a_id, c.b_id,
+    (b.bx2 - b.bx1) * (a.ay1 - b.by1) - (b.by2 - b.by1) * (a.ax1 - b.bx1) AS d1,
+    (b.bx2 - b.bx1) * (a.ay2 - b.by1) - (b.by2 - b.by1) * (a.ax2 - b.bx1) AS d2,
+    (a.ax2 - a.ax1) * (b.by1 - a.ay1) - (a.ay2 - a.ay1) * (b.bx1 - a.ax1) AS d3,
+    (a.ax2 - a.ax1) * (b.by2 - a.ay1) - (a.ay2 - a.ay1) * (b.bx2 - a.ax1) AS d4,
+    a.ax1, a.ay1, a.ax2, a.ay2, b.bx1, b.by1, b.bx2, b.by2
+  FROM cand c JOIN ae a ON a.a_id = c.a_id JOIN be b ON b.b_id = c.b_id),
+seg AS (
+  SELECT DISTINCT a_id, b_id FROM segd
+  WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+     AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+     OR (d1 = 0 AND least(bx1,bx2) <= ax1 AND ax1 <= greatest(bx1,bx2)
+                AND least(by1,by2) <= ay1 AND ay1 <= greatest(by1,by2))
+     OR (d2 = 0 AND least(bx1,bx2) <= ax2 AND ax2 <= greatest(bx1,bx2)
+                AND least(by1,by2) <= ay2 AND ay2 <= greatest(by1,by2))
+     OR (d3 = 0 AND least(ax1,ax2) <= bx1 AND bx1 <= greatest(ax1,ax2)
+                AND least(ay1,ay2) <= by1 AND by1 <= greatest(ay1,ay2))
+     OR (d4 = 0 AND least(ax1,ax2) <= bx2 AND bx2 <= greatest(ax1,ax2)
+                AND least(ay1,ay2) <= by2 AND by2 <= greatest(ay1,ay2))),
+a_in_b AS (
+  SELECT a_id, b_id FROM (
+    SELECT c.a_id, c.b_id,
+      min((b.bx2 - b.bx1) * (t.cy - t.r - b.by1)
+        - (b.by2 - b.by1) * (t.cx - t.r - b.bx1)) AS m
+    FROM cand c JOIN tri t ON t.poly_id = c.a_id JOIN be b ON b.b_id = c.b_id
+    GROUP BY c.a_id, c.b_id) q
+  WHERE m >= 0),
+b_in_a AS (
+  SELECT a_id, b_id FROM (
+    SELECT c.a_id, c.b_id,
+      min((a.ax2 - a.ax1) * (d.cy - d.r - a.ay1)
+        - (a.ay2 - a.ay1) * (d.cx - a.ax1)) AS m
+    FROM cand c JOIN dia d ON d.b_id = c.b_id JOIN ae a ON a.a_id = c.a_id
+    GROUP BY c.a_id, c.b_id) q
+  WHERE m >= 0)
+SELECT DISTINCT a_id, b_id FROM (
+  SELECT * FROM seg UNION ALL SELECT * FROM a_in_b UNION ALL SELECT * FROM b_in_a)
 """,
         "geo_tile_assignment": """
 WITH g AS (

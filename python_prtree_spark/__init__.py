@@ -24,6 +24,7 @@ from python_prtree_spark.operators.pairs import query_intersections
 from python_prtree_spark.operators.knn import knn_join
 from python_prtree_spark.operators.distance import distance_join
 from python_prtree_spark.operators.pip import point_in_polygon_join
+from python_prtree_spark.operators.polygon import polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
 from python_prtree_spark.operators.raster import raster_vector_join
 from python_prtree_spark.operators.nd import batch_query_nd, query_intersections_nd
@@ -44,6 +45,7 @@ __all__ = [
     "knn_join",
     "distance_join",
     "point_in_polygon_join",
+    "polygon_join",
     "raster_vector_join",
     "batch_query_nd",
     "query_intersections_nd",
