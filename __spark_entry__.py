@@ -446,6 +446,17 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.7)
 
 
+def _q_minhash_exact(spark, sf_dir):
+    """The FULL MinHash-LSH machinery (signatures → banding → bucket join
+    → streaming verify kernel) under a hash-gated oracle: at threshold 1.0
+    recall is PROVABLY 1 (identical token sets ⇒ identical signatures in
+    every band ⇒ guaranteed collision), and the verified output — pairs
+    with Jaccard exactly 1 plus exact n_inter/n_union — equals plain
+    token-set-equality pairs, which ANSI SQL can compute."""
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=1.0)
+
+
 def _q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": _q_distance_join,
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
+        "dedup_minhash_exact": _q_minhash_exact,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -959,6 +971,15 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "dedup_minhash_exact": f"""
+WITH tok AS (
+  SELECT doc_id, list_sort({TOKENS_SQL}) AS ts FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.ts) AS n
+  FROM tok a JOIN tok b ON a.ts = b.ts AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(n AS INTEGER) AS n_inter, CAST(n AS INTEGER) AS n_union
+FROM p
 """,
         "polygon_join": f"""
 WITH tri AS ({NATION_TRI_SQL}),

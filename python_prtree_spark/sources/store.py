@@ -12,6 +12,22 @@ row counts and cell counts — per-partition lineage + metrics per the north
 rule. ``save_index(..., resume=True)`` skips buckets already recorded, so a
 killed build resumes at partition granularity; a kill/resume test exercises
 this.
+
+Iceberg mapping (the north rule's production target; this sandbox ships no
+iceberg-spark-runtime jar, so the Parquet path is the tested stand-in —
+every operation below has an exact catalog-table equivalent):
+
+  * ``write.partitionBy("bucket").mode("append").parquet(dir)``
+      → ``writeTo("cat.db.index").append()`` on a table
+        ``PARTITIONED BY (bucket)``;
+  * ``partitionOverwriteMode=dynamic`` overwrite in ``merge_refresh``
+      → ``writeTo(...).overwritePartitions()`` (same dirty-buckets-only
+        contract, plus Iceberg's snapshot isolation);
+  * the ``_lineage`` Parquet dir → a plain Iceberg checkpoint table;
+  * resume's bucket reconciliation (data present + lineage absent →
+    overwrite, never append) → the same logic over the table's partition
+    listing, or Iceberg's own atomic snapshot commit making the crash
+    window moot.
 """
 
 from __future__ import annotations
