@@ -505,6 +505,42 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, probes, 10, n_centroids=16, n_probe=4)
 
 
+def _q_ann_ivf_exhaustive(spark, sf_dir):
+    """The FULL IVF machinery (k-means coarse quantizer, inverted-list
+    partitioning, list-routed probe join, rerank) under a hash-gated
+    oracle: n_probe = n_centroids visits every list, so recall is PROVABLY
+    1.0 regardless of centroid float math, and the quantized rerank makes
+    ranks bit-reproducible — the result must equal plain exact top-k."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_topk(emb, probes, 10, n_centroids=16, n_probe=16,
+                    quantize_scale=10_000).select(
+        "qid", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_simhash_exact(spark, sf_dir):
+    """The FULL SimHash machinery (vectorized signatures, pigeonhole band
+    join, bit_count verify) as the CANDIDATE GENERATOR under a hash-gated
+    oracle: token-set-equal docs always have identical signatures (recall
+    for set-equality is provably 1.0 at hamming 0), while hamming-0 alone
+    is not sufficient (64 majority votes can survive a token diff — 3 such
+    pairs exist at sf0.01), so an exact set-equality verify filters the
+    candidates. Result provably = token-set-equality pairs (SQL twin)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=1).where(F.col("hamming") == 0)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("ts"),
+    )
+    return (
+        pairs.join(toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("_ta")), on="id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("_tb")), on="id_b")
+        .where(F.col("_ta") == F.col("_tb"))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Gap-timeout sessionization (batch window form; the stateful
     applyInPandasWithState streaming twin is pytest-gated stream≡batch in
@@ -688,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
         "dedup_minhash_exact": _q_minhash_exact,
+        "dedup_simhash_exact": _q_simhash_exact,
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -971,6 +1009,31 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "ann_ivf_exhaustive": """
+WITH qv AS (
+  SELECT vec_id AS qid,
+    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id < 8),
+cv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+d AS (
+  SELECT qv.qid, cv.vec_id,
+    list_dot_product(cv.v, qv.v)
+      / sqrt(list_dot_product(cv.v, cv.v) * list_dot_product(qv.v, qv.v)) AS sim
+  FROM qv CROSS JOIN cv)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM d) WHERE rank <= 10
+""",
+        "dedup_simhash_exact": f"""
+WITH tok AS (
+  SELECT doc_id, list_sort({TOKENS_SQL}) AS ts FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM tok a JOIN tok b ON a.ts = b.ts AND a.doc_id < b.doc_id
 """,
         "dedup_minhash_exact": f"""
 WITH tok AS (

@@ -105,11 +105,19 @@ def ivf_topk(
     seed: int = 11,
     kmeans_rounds: int = 5,
     sample_size: int = 10_000,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse centroids from a seeded sample (driver numpy,
     Lloyd iterations on <= sample_size rows), inverted lists = corpus
     partitioned by nearest centroid, probes visit n_probe lists, exact
-    cosine rerank inside. → (qid, vec_id, rank, cosine)."""
+    cosine rerank inside. → (qid, vec_id, rank, cosine).
+
+    quantize_scale: rerank on fixed-point components instead (integer dots
+    are exactly associative → ranks bit-reproducible in any engine, same
+    trick as cosine_topk_quantized); output is (qid, vec_id, rank) only.
+    With n_probe = n_centroids every probe visits every list, making the
+    result provably the EXACT top-k (recall 1.0 independent of the
+    centroid float math) — the oracle-gated configuration."""
     samp = np.stack(
         [r["v"] for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
          .limit(sample_size).collect()]
@@ -153,9 +161,29 @@ def ivf_topk(
     p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).mapInPandas(assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")
+    joined = c.join(F.broadcast(p.withColumnRenamed("_v", "_pv")), on="list_id")
+    if quantize_scale is not None:
+        qz = lambda col: F.transform(  # noqa: E731
+            col, lambda x: F.floor(x * quantize_scale + F.lit(0.5)).cast("long"))
+        dot = F.aggregate(
+            F.zip_with(qz(F.col("_v")), qz(F.col("_pv")), lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda s, x: s + x,
+        )
+        n2 = lambda col: F.aggregate(  # noqa: E731
+            qz(col), F.lit(0).cast("long"), lambda s, x: s + x * x)
+        w = Window.partitionBy("_pid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+        return (
+            joined.withColumn(
+                "sim",
+                dot / F.sqrt(n2(F.col("_v")).cast("double") * n2(F.col("_pv")).cast("double")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_pid").alias(probe_id), F.col("_cid").alias(id_col), "rank")
+        )
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
     return (
-        c.join(F.broadcast(p.withColumnRenamed("_v", "_pv")), on="list_id")
+        joined
         .withColumn("cosine", _dot(F.col("_v"), F.col("_pv")) / (_norm(F.col("_v")) * _norm(F.col("_pv"))))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
