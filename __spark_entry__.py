@@ -414,6 +414,22 @@ def _q_fingerprints(spark, sf_dir):
     )
 
 
+def _q_fingerprints_exact(spark, sf_dir):
+    """Winnowing fingerprints under a hash-gated oracle (exploded rows, one
+    per distinct selected gram hash). The kernel's k-gram hash is clean
+    modular arithmetic (Σ byte_i · B^(k-1-i) mod M, M < 2^44 — see
+    dedup.rolling_fingerprints), so DuckDB recomputes it bit-for-bit with
+    precomputed B^j mod M coefficients + a 4-row window min. Precondition:
+    the corpus is ASCII (kernel hashes UTF-8 BYTES, SQL uses codepoints —
+    equal exactly on ASCII; holds for the driver corpus)."""
+    from python_prtree_spark.operators.dedup import rolling_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return rolling_fingerprints(docs).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 8).select(
@@ -726,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_exact": _q_minhash_exact,
         "dedup_simhash_exact": _q_simhash_exact,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
+        "doc_fingerprints_exact": _q_fingerprints_exact,
         "dedup_components": _q_dedup_components,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1009,6 +1026,29 @@ r(n, l) AS (
   SELECT e.a, r.l FROM e JOIN r ON e.b = r.n
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
+""",
+        "doc_fingerprints_exact": """
+WITH d AS (
+  SELECT doc_id, text, length(text) - 7 AS n
+  FROM documents WHERE length(text) >= 8),
+pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p, text FROM d),
+g AS (
+  SELECT doc_id, n, p,
+    (CAST(ascii(substring(text, p + 0, 1)) AS BIGINT) * 13093627074328
+   + CAST(ascii(substring(text, p + 1, 1)) AS BIGINT) * 1259574651310
+   + CAST(ascii(substring(text, p + 2, 1)) AS BIGINT) * 14454419230023
+   + CAST(ascii(substring(text, p + 3, 1)) AS BIGINT) * 16867844411465
+   + CAST(ascii(substring(text, p + 4, 1)) AS BIGINT) * 16368705227670
+   + CAST(ascii(substring(text, p + 5, 1)) AS BIGINT) * 1000006000009
+   + CAST(ascii(substring(text, p + 6, 1)) AS BIGINT) * 1000003
+   + CAST(ascii(substring(text, p + 7, 1)) AS BIGINT)) % 17592186044399 AS gh
+  FROM pos),
+w AS (
+  SELECT doc_id, n, p,
+    min(gh) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g)
+SELECT DISTINCT doc_id, fp FROM w WHERE p <= greatest(1, n - 3)
 """,
         "ann_ivf_exhaustive": """
 WITH qv AS (

@@ -595,8 +595,14 @@ def rolling_fingerprints(
     def gen(batches):
         from numpy.lib.stride_tricks import sliding_window_view
 
+        # MOD < 2^44 keeps every intermediate below 2^64 (g*B + byte <
+        # (2^44)*(2^20) + 255), so the hash is CLEAN modular arithmetic —
+        # Σ byte_i · B^(k-1-i) mod M — replicable bit-for-bit by any engine
+        # with 128-bit ints (the DuckDB oracle uses precomputed B^j mod M);
+        # a 2^61 modulus would silently wrap g*B at 2^64 and make the
+        # fingerprints numpy-only.
         B = np.uint64(1_000_003)
-        MOD = np.uint64((1 << 61) - 1)
+        MOD = np.uint64((1 << 44) - 17)
         for pdf in batches:
             texts = pdf[text_col].fillna("")
             per_doc = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
