@@ -12,6 +12,7 @@ scaling — plus the training-data ops the north rule adds):
   batch_query      — part x supplier probe join (the correctness query)
   intersections    — self-join over part boxes
   knn              — k=5 over part centroids, supplier probes
+  distance_join    — customers within 2.0 of part boxes (ST_DWithin)
   dedup_minhash    — MinHash-LSH near-dup pairs over documents
   ann_ivf          — IVF top-10 over embeddings
 
@@ -30,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from python_prtree_spark import EngineConfig, Extent, batch_query, knn_join, query_intersections
+from python_prtree_spark import (
+    EngineConfig, Extent, batch_query, distance_join, knn_join, query_intersections,
+)
 from python_prtree_spark.operators.build import build_index
 from python_prtree_spark.operators.ann import ivf_topk
 from python_prtree_spark.operators.dedup import minhash_lsh_pairs
@@ -151,6 +154,15 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     )
     timed("knn", lambda: knn_join(pb, pts, 5, CFG).count())
 
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.col("c_custkey")
+    cust_pts = c.select(
+        ck.alias("qid"),
+        (((ck * 961748927) % 100000).cast("double") / 1000.0).alias("x"),
+        (((ck * 920419813) % 100000).cast("double") / 1000.0).alias("y"),
+    )
+    timed("distance_join", lambda: distance_join(pb, cust_pts, 2.0, CFG).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # threshold 0.8 / 16 bands: r=8 rows per band keeps collisions sane on
     # the driver corpus's tiny 31-word vocabulary (still ~3M true pairs)
@@ -166,7 +178,7 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     probes.unpersist()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline suite wall time (build + spatial joins + knn + dedup + ann)",
+        "metric": "headline suite wall time (build + spatial joins + knn + distance + dedup + ann)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -337,8 +337,9 @@ def _hot_cells(data_c: DataFrame, cfg: EngineConfig,
         return None
     d = 16 if n_data is None else max(1, min(64, n_data // cfg.salt_threshold))
     id_col = next(
-        c for c in data_c.columns
-        if c not in ("cell", "salt", *BOX) and not c.startswith(("min", "max"))
+        (c for c in data_c.columns
+         if c not in ("cell", "salt", *BOX) and not c.startswith(("min", "max"))),
+        data_c.columns[0],  # any deterministic column works as sample key
     )
     src = data_c
     if d > 1:
