@@ -208,7 +208,7 @@ class PRTreeTable:
         dirty = self.dirty_cells.distinct()
         index, _ = build_index(self.df, self.cfg, self.data_id, validate=False,
                                only_cells=dirty, n_data_hint=self._n)
-        fresh = _with_bucket(index)
+        fresh = _with_bucket(index, self.cfg.level)
         spark = self.df.sparkSession
         merge_refresh(spark, os.path.join(path, "index"), fresh, dirty,
                       self.cfg.level)

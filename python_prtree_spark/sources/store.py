@@ -2,7 +2,7 @@
 
 The reference persists one cereal binary blob (prtree.h:119-143). Our
 durable form is a *table*: one row per (cell, salt) pack, written as
-Parquet partitioned by ``bucket`` (a stable hash range of the Morton key,
+Parquet partitioned by ``bucket`` (a contiguous range of the Morton key,
 so spatially nearby cells co-locate and partition pruning works on cell
 ranges). save = write, load = read — exactly the mapping SURVEY.md §2 row 9
 prescribes.
@@ -53,10 +53,20 @@ def _lineage_path(path: str) -> str:
     return os.path.join(path, "_lineage")
 
 
-def _with_bucket(index_df: DataFrame) -> DataFrame:
-    # bucket by Morton-key range → neighbouring cells share buckets
+def _per_bucket(level: int) -> int:
+    """Morton keys per bucket: contiguous RANGES of the space-filling curve
+    (not pmod — modulo would send ADJACENT cells to different buckets, so a
+    spatially local probe batch would touch every bucket; range bucketing
+    keeps a 2^k x 2^k cell block inside one curve range → one bucket)."""
+    span = 4 ** level  # morton keys are < 4^level for a 2^level grid
+    return max(1, -(-span // N_BUCKETS))
+
+
+def _with_bucket(index_df: DataFrame, level: int) -> DataFrame:
     return index_df.withColumn(
-        "bucket", F.pmod(F.col("zorder"), F.lit(N_BUCKETS)).cast("int")
+        "bucket",
+        F.least(F.lit(N_BUCKETS - 1),
+                F.floor(F.col("zorder") / F.lit(_per_bucket(level)))).cast("int"),
     )
 
 
@@ -65,7 +75,10 @@ def _bucket_of_cell(cell, level: int):
     _with_bucket, which buckets on the pack's zorder)."""
     from python_prtree_spark.functions.tiling import morton_col
 
-    return F.pmod(morton_col(cell, level), F.lit(N_BUCKETS)).cast("int")
+    return F.least(
+        F.lit(N_BUCKETS - 1),
+        F.floor(morton_col(cell, level) / F.lit(_per_bucket(level))),
+    ).cast("int")
 
 
 def _data_buckets_on_disk(index_dir: str) -> set[int]:
@@ -168,7 +181,7 @@ def save_index(
         # reference parity: saving an empty tree raises (core.py:173-178)
         raise ValueError("Cannot save empty tree")
     index, cfg = build_index(data_df, cfg, data_id=data_id, n_data_hint=n_live)
-    index = _with_bucket(index)
+    index = _with_bucket(index, cfg.level)
 
     done: set[int] = set()
     if resume and os.path.exists(_lineage_path(path)):

@@ -117,7 +117,7 @@ class IngestSink:
         filtered = self._dirty_region_filter(base, dirty)
         index, _ = build_index(filtered, self.cfg, self.data_id, validate=False,
                                only_cells=dirty)
-        fresh = _with_bucket(index)
+        fresh = _with_bucket(index, self.cfg.level)
         idx_dir = os.path.join(self.index_path, "index")
         merge_refresh(spark, idx_dir, fresh, dirty, self.cfg.level)
         # meta for LoadedIndex — count(*) over parquet is footer-metadata

@@ -254,3 +254,22 @@ def test_save_empty_raises(spark, tmp_index):
     )
     with pytest.raises(ValueError, match="Cannot save empty tree"):
         save_index(empty, tmp_index, CFG)
+
+
+def test_bucket_locality(spark):
+    """Buckets are contiguous Morton RANGES: an aligned 4x4 cell block (one
+    Morton range of 16 keys at level 5) maps to at most 2 buckets — a
+    spatially local probe batch prunes to a few partitions. (pmod bucketing
+    would scatter the same block across 16 buckets.)"""
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.sources.store import _bucket_of_cell
+
+    side = 32  # level 5
+    cells = [ix * side + iy for ix in range(8, 12) for iy in range(16, 20)]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = {
+        r["b"] for r in
+        df.select(_bucket_of_cell(F.col("cell"), 5).alias("b")).collect()
+    }
+    assert len(got) <= 2, got
