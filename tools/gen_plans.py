@@ -75,10 +75,13 @@ def main() -> None:
         fmt(query_intersections(pb, e.CFG.with_(strategy="packed"))),
     ))
     sections.append((
-        "build_index — streaming mapInArrow pack",
-        "Explode covering cells → ONE exchange on (cell, salt) → "
-        "in-partition sort → Arrow kernel packs STRPacks and emits "
-        "multi-cell RecordBatches (no pandas, no per-cell batches).",
+        "build_index — JVM-only SQL pack (default kernel)",
+        "Explode covering cells → ONE aggregate exchange on (cell, salt) → "
+        "collect_list → array_sort comparators compute the STR layout and "
+        "leaf MBBs entirely JVM-side. No Python workers anywhere in the "
+        "plan (the Arrow transfer, not pack compute, dominated build cost); "
+        "kernel='arrow' keeps the streaming mapInArrow numpy pack as a "
+        "cross-check path.",
         fmt(build_index(pb, e.CFG)[0]),
     ))
     sections.append((
