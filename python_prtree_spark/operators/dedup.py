@@ -113,27 +113,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """All pairs with distinct-token Jaccard >= threshold.
 
     Shared-token blocking: a qualifying pair shares >= 1 token, so the
     token equi-join enumerates a superset; per-pair intersection counts
     come from the join's groupBy — integers only, then one exact ratio
-    comparison. Exact (not approximate), cost ~ sum over tokens of df².
-    Prefer minhash_lsh_pairs when token document-frequencies are huge."""
+    comparison. Cost ~ sum over tokens of df², which a handful of
+    stop-word-frequency tokens can blow up at corpus scale.
+
+    max_token_df is the scale guard: with it set, only tokens whose
+    document frequency is <= max_token_df generate candidate pairs
+    (bounding join cost by max_token_df x total tokens), and each
+    candidate's intersection is then counted EXACTLY over ALL its tokens
+    in a second phase — so every reported (n_inter, n_union, ratio) stays
+    exact. The only approximation is recall: a qualifying pair EVERY one
+    of whose shared tokens has df > max_token_df is missed (for near-dup
+    text such pairs share many tokens, so in practice the cap loses
+    nothing until it drops below typical shared-token df). Default None =
+    single-phase fully exact plan; prefer minhash_lsh_pairs when the
+    corpus is too large even for the capped join."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
     )
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.select(F.col("_id").alias("id_a"), "tok")
-    b = toks.select(F.col("_id").alias("id_b"), "tok")
-    inter = (
-        a.join(b, on="tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_token_df is None:
+        a = toks.select(F.col("_id").alias("id_a"), "tok")
+        b = toks.select(F.col("_id").alias("id_b"), "tok")
+        inter = (
+            a.join(b, on="tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        rare = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+            .where(F.col("tdf") <= int(max_token_df))
+            .select("tok")
+        )
+        bl = toks.join(rare, on="tok", how="left_semi")
+        cand = (
+            bl.select(F.col("_id").alias("id_a"), "tok")
+            .join(bl.select(F.col("_id").alias("id_b"), "tok"), on="tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # phase 2: exact intersection over ALL tokens of each candidate
+        inter = (
+            cand.join(toks.select(F.col("_id").alias("id_a"), "tok"), on="id_a")
+            .join(toks.select(F.col("_id").alias("id_b"), "tok"), on=["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     # sizes has one row PER DOCUMENT — never hint-broadcast it (OOMs the
     # driver at corpus scale); AQE broadcasts adaptively when it is small
     return (

@@ -166,3 +166,43 @@ def test_embedding_near_dup(spark, emb):
            embedding_near_dup_pairs(df, threshold=0.999).collect()}
     first = emb.first()["vec_id"]
     assert (first, first + 100000) in got
+
+
+def test_ngram_jaccard_capped_df_exact_values(spark):
+    """max_token_df (the scale guard): candidates come only from rare
+    tokens, but (n_inter, n_union) stay EXACT — counted over all tokens,
+    including the capped-out stop word. A pair sharing ONLY the stop word
+    is the documented recall loss."""
+    import pandas as pd
+
+    texts = [
+        "STOP alpha beta gamma delta",      # 0: near-dup of 1
+        "STOP alpha beta gamma epsilon",    # 1
+        "STOP zeta eta theta iota",         # 2: shares only STOP with 0/1
+        "STOP zeta eta theta kappa",        # 3: near-dup of 2
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+    # STOP has df=4 > cap=3; all other tokens are rare
+    capped = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, 0.5, max_token_df=3).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    # every qualifying pair shares rare tokens => identical results,
+    # with intersection counts that INCLUDE the capped-out STOP token
+    assert capped == uncapped == {(0, 1): (4, 6), (2, 3): (4, 6)}
+
+    # drop the threshold so STOP-only pairs qualify: the capped plan
+    # misses exactly those (recall semantics of the guard)
+    loose_cap = {(r["id_a"], r["id_b"])
+                 for r in ngram_jaccard_pairs(docs, 0.1, max_token_df=3).collect()}
+    loose_full = {(r["id_a"], r["id_b"])
+                  for r in ngram_jaccard_pairs(docs, 0.1).collect()}
+    assert loose_full - loose_cap == {(0, 2), (0, 3), (1, 2), (1, 3)}
+    assert loose_cap == {(0, 1), (2, 3)}
