@@ -254,6 +254,20 @@ def _q_batch_packed(spark, sf_dir):
     )
 
 
+def _q_batch_f32(spark, sf_dir):
+    """Float32 input family (reference core.py:119-145 dtype dispatch;
+    tests/unit/test_precision.py): FloatType columns upcast exactly to
+    float64 inside the engine, so results must match an oracle that
+    rounds the same coordinates to REAL — comparison of upcast float32
+    values is identical to float32 comparison."""
+    box = ["xmin", "ymin", "xmax", "ymax"]
+    d = part_boxes(spark, sf_dir).select(
+        "id", *[F.col(c).cast("float").alias(c) for c in box])
+    q = supplier_probes(spark, sf_dir).select(
+        "qid", *[F.col(c).cast("float").alias(c) for c in box])
+    return batch_query(d, q, CFG.with_(strategy="packed"), "id", "qid")
+
+
 def _q_batch_counts(spark, sf_dir):
     return batch_query_array(
         part_boxes(spark, sf_dir), supplier_probes(spark, sf_dir), CFG, "id", "qid"
@@ -710,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "batch_query_sql": _q_batch_sql,
         "batch_query_packed": _q_batch_packed,
+        "batch_query_f32": _q_batch_f32,
         "batch_query_counts": _q_batch_counts,
         "point_query": _q_point_query,
         "intersections_sql": _q_intersections_sql,
@@ -760,6 +775,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _BATCH_PAIRS_SQL = f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
+SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+"""
+
+# float32 family: round every coordinate to REAL exactly as Spark's
+# cast('float') does (both IEEE round-to-nearest-even), then compare —
+# equivalent to the engine's upcast-to-double comparison
+_F32_COLS = ", ".join(
+    f"CAST({c} AS REAL) AS {c}" for c in ("xmin", "ymin", "xmax", "ymax"))
+_BATCH_PAIRS_F32_SQL = f"""
+WITH b0 AS ({PART_BOXES_SQL}), q0 AS ({SUPPLIER_PROBES_SQL}),
+b AS (SELECT id, {_F32_COLS} FROM b0),
+q AS (SELECT qid, {_F32_COLS} FROM q0)
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """
 
@@ -826,6 +853,7 @@ FROM s
     return {
         "batch_query_sql": _BATCH_PAIRS_SQL,
         "batch_query_packed": _BATCH_PAIRS_SQL,
+        "batch_query_f32": _BATCH_PAIRS_F32_SQL,
         "batch_query_counts": f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, CAST(count(b.id) AS BIGINT) AS n_hits
