@@ -195,7 +195,8 @@ def main() -> None:
         "The reference's query figure comes from its own simplified",
         "linear-scan benchmark (BASELINE.md caveat) at a 10k-box index; this",
         "engine probes an 800x larger index at higher q/s, paying one",
-        "shuffle. Build is 5x below the C++ single-node figure — the cost of",
+        f"shuffle. Build is {9.2e6 / j_4n['build_boxes_per_sec']:.1f}x below "
+        "the C++ single-node figure — the cost of",
         "durable, shuffle-partitioned, horizontally-scalable construction vs",
         "malloc into process memory (and the reference cannot scale past",
         "1.08x with threads; this build scales with executors).",
