@@ -188,9 +188,11 @@ def main() -> None:
         "",
         "| metric | reference (single-node C++, in-memory) | this engine (4x8, distributed w/ shuffle) |",
         "|---|---|---|",
-        f"| build | 9.20 M boxes/s @ 1M boxes | {j_4n['build_boxes_per_sec']/1e6:.2f} M boxes/s @ 8M boxes |",
+        f"| build | 9.20 M boxes/s @ 1M boxes | {j_4n['build_boxes_per_sec']/1e6:.2f} "
+        f"M boxes/s @ {j_4n['n_data']/1e6:.0f}M boxes |",
         f"| batch_query | 25,536 q/s @ 10k boxes, ~small results | "
-        f"{j_4n['n_probe']/j_4n['t_join']:,.0f} q/s @ 8M boxes, ~22 hits/query |",
+        f"{j_4n['n_probe']/j_4n['t_join']:,.0f} q/s @ {j_4n['n_data']/1e6:.0f}M boxes, "
+        f"~{j_4n['pairs']/j_4n['n_probe']:.0f} hits/query |",
         "",
         "The reference's query figure comes from its own simplified",
         "linear-scan benchmark (BASELINE.md caveat) at a 10k-box index; this",

@@ -37,9 +37,9 @@ from pyspark.sql import functions as F
 from python_prtree_spark import EngineConfig, Extent, batch_query
 from python_prtree_spark.operators.build import build_index
 
-N_DATA = 8_000_000
-N_PROBE = 2_000_000
-PARTS = 256  # fixed across levels: identical plans, only executors differ
+N_DATA = 16_000_000   # big enough that the one-off driver plan compile
+N_PROBE = 4_000_000   # (~0.6 s) amortizes — scaling must measure the
+PARTS = 256           # per-row engine, not per-job fixed cost
 ITERS = 4
 
 
