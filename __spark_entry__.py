@@ -371,6 +371,17 @@ def _q_persist_roundtrip(spark, sf_dir):
     return idx.batch_query(supplier_probes(spark, sf_dir))
 
 
+def _q_persist_intersections(spark, sf_dir):
+    """Load-then-query_intersections parity (reference PRTree(fname) then
+    query_intersections(), prtree.h:839-958): the persisted packs ARE the
+    data — LoadedIndex.boxes() reconstructs the base table and the
+    self-join must match the oracle run on the original rows."""
+    path = tempfile.mkdtemp(prefix="prtree_idx_")
+    save_index(part_boxes(spark, sf_dir), f"{path}/idx", CFG)
+    idx = load_index(spark, f"{path}/idx")
+    return idx.query_intersections()
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return exact_duplicates(docs).select(
@@ -738,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
+        "persist_intersections": _q_persist_intersections,
         "payload_return_obj": _q_payload_return_obj,
         "table_size": _q_table_size,
         "dedup_exact": _q_dedup_exact,
@@ -866,6 +878,12 @@ SELECT p.pid AS qid, b.id AS id FROM p JOIN b
 ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
 """,
         "intersections_sql": f"""
+WITH b AS ({PART_BOXES_SQL})
+SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
+ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
+AND a.ymin <= c.ymax AND c.ymin <= a.ymax
+""",
+        "persist_intersections": f"""
 WITH b AS ({PART_BOXES_SQL})
 SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
 ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax

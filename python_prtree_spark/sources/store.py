@@ -265,6 +265,41 @@ class LoadedIndex:
             return self._n_live
         return self.df.select(F.explode("ids").alias("i")).distinct().count()
 
+    def boxes(self, data_id: str = "id") -> DataFrame:
+        """Reconstruct the base (id, xmin, ymin, xmax, ymax) table from the
+        persisted packs — the index IS the data (the reference archive
+        stores idx2bb alongside the tree, prtree.h:119-132; here the pack
+        arrays already hold every row). A row spanning k cells is stored k
+        times; dedup by id (copies are identical by construction)."""
+        return (
+            self.df.select(F.explode(F.arrays_zip(
+                "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax")).alias("r"))
+            .select(
+                F.col("r.ids").alias(data_id),
+                F.col("r.b_xmin").alias("xmin"), F.col("r.b_ymin").alias("ymin"),
+                F.col("r.b_xmax").alias("xmax"), F.col("r.b_ymax").alias("ymax"),
+            )
+            .dropDuplicates([data_id])
+        )
+
+    def query_intersections(self, data_id: str = "id") -> DataFrame:
+        """All intersecting pairs (id_a < id_b) of the persisted rows —
+        load-then-query_intersections parity with the reference
+        (PRTree(fname) then query_intersections(), prtree.h:839-958)."""
+        from python_prtree_spark.operators.pairs import query_intersections as _qi
+
+        n = self._n_live
+        return _qi(self.boxes(data_id), self.cfg, data_id, n_data_hint=n)
+
+    def knn_join(self, points_df: DataFrame, k: int,
+                 query_id: str = "qid", data_id: str = "id", **kw) -> DataFrame:
+        """k nearest stored-box centroids per probe point, over the
+        reconstructed base table (north-rule operator on a loaded index)."""
+        from python_prtree_spark.operators.knn import knn_join as _knn
+
+        return _knn(self.boxes(data_id), points_df, k, self.cfg,
+                    data_id, query_id, **kw)
+
     def batch_query(
         self, query_df: DataFrame, query_id: str = "qid", data_id: str = "id"
     ) -> DataFrame:

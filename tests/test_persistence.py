@@ -273,3 +273,42 @@ def test_bucket_locality(spark):
         df.select(_bucket_of_cell(F.col("cell"), 5).alias("b")).collect()
     }
     assert len(got) <= 2, got
+
+
+def test_loaded_index_full_operator_surface(spark, tmp_index):
+    """Load-then-query parity beyond batch_query (reference: PRTree(fname)
+    exposes the full surface): boxes() reconstructs the base table exactly;
+    query_intersections and knn_join on the loaded index match the same
+    operators run directly on the original table."""
+    import pandas as pd
+
+    from python_prtree_spark import knn_join, query_intersections
+
+    boxes = rand_boxes(400, 55, ext_max=6.0)
+    d = boxes_df(spark, boxes)
+    save_index(d, tmp_index, CFG)
+    li = load_index(spark, tmp_index)
+
+    # boxes(): exact reconstruction (every id once, identical coordinates)
+    got = {r["id"]: (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+           for r in li.boxes().collect()}
+    exp = {i: tuple(boxes[i]) for i in range(len(boxes))}
+    assert got == exp
+
+    pairs_loaded = {(r["id_a"], r["id_b"])
+                    for r in li.query_intersections().collect()}
+    pairs_direct = {(r["id_a"], r["id_b"])
+                    for r in query_intersections(d, CFG).collect()}
+    assert pairs_loaded == pairs_direct and pairs_loaded
+
+    rng = np.random.default_rng(56)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(20), "x": rng.random(20) * 100,
+                      "y": rng.random(20) * 100}),
+        schema="qid long, x double, y double",
+    )
+    knn_loaded = {(r["qid"], r["id"], r["rank"])
+                  for r in li.knn_join(pts, 3).collect()}
+    knn_direct = {(r["qid"], r["id"], r["rank"])
+                  for r in knn_join(d, pts, 3, CFG).collect()}
+    assert knn_loaded == knn_direct and knn_loaded
