@@ -174,6 +174,33 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     )
     timed("ann_ivf", lambda: ivf_topk(emb, ann_probes, 10, n_centroids=32, n_probe=4).count())
 
+    # at-scale construction throughput (synthetic 8M boxes, level-7 grid —
+    # the regime BASELINE.md's 9.2M boxes/s reference figure lives in;
+    # sf0.1's 600k-box build above is fixed-overhead-dominated). Reported
+    # in extras only: it is a throughput probe, not a headline stage, so
+    # it does not inflate the suite wall time being tracked across rounds.
+    n8 = 8_000_000
+    big = (
+        spark.range(n8).select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 100000 / 1000.0).alias("xmin"),
+            ((F.col("id") * 2246822519) % 100000 / 1000.0).alias("ymin"))
+        .withColumn("xmax", F.col("xmin") + 0.01)
+        .withColumn("ymax", F.col("ymin") + 0.01)
+        .localCheckpoint()
+    )
+    cfg8 = CFG.with_(extent=Extent(0, 0, 105, 105), level=7)
+    best8 = None
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        build_index(big, cfg8, n_data_hint=n8, validate=False)[0] \
+            .agg(F.sum("n_rows")).collect()
+        dt = time.perf_counter() - t0
+        best8 = dt if best8 is None else min(best8, dt)
+    extras["build_8m_sec"] = round(best8, 3)
+    extras["build_8m_boxes_per_sec"] = round(n8 / best8, 1)
+    big.unpersist()
+
     li.unpersist()
     probes.unpersist()
     total = round(sum(timings.values()), 3)
