@@ -503,6 +503,31 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=3)
 
 
+def _q_phash_hamming(spark, sf_dir):
+    """Image-pipeline Hamming join, fully oracle-gated: the generic
+    hamming_pairs pigeonhole join (the op that deduplicates an image table
+    by its input_hint ``phash`` column) over a 60-bit code both engines
+    derive identically from md5 (Spark conv ≡ DuckDB hex cast, verified
+    bit-equal). Exact-duplicate texts share the code at distance 0, so the
+    output is nonempty; the DuckDB oracle brute-forces bit_count(xor)."""
+    from python_prtree_spark.operators.dedup import hamming_pairs
+
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("code"),
+    )
+    # plant near-duplicates (every 7th doc, 3 bits flipped → distance 3)
+    # so the gate exercises real pairs — random 60-bit codes alone have
+    # no Hamming<=8 neighbours and the check would be vacuous
+    planted = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("code").bitwiseXOR(F.lit(137)).alias("code"),
+    )
+    return hamming_pairs(base.unionByName(planted), max_hamming=8,
+                         bits_col="code")
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Oracle-gated (fixed-point trick like ann_cosine_topk): quantize
     components to integers so dot products are exact in any engine, and
@@ -768,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_join": _q_polygon_join,
         "dedup_minhash_exact": _q_minhash_exact,
         "dedup_simhash_exact": _q_simhash_exact,
+        "phash_hamming": _q_phash_hamming,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "doc_fingerprints_exact": _q_fingerprints_exact,
         "dedup_components": _q_dedup_components,
@@ -882,6 +908,20 @@ WITH b AS ({PART_BOXES_SQL})
 SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
 ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
 AND a.ymin <= c.ymax AND c.ymin <= a.ymax
+""",
+        "phash_hamming": """
+WITH b0 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS code
+  FROM documents),
+c AS (
+  SELECT * FROM b0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, xor(code, 137) AS code
+  FROM b0 WHERE doc_id % 7 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+FROM c a JOIN c b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= 8
 """,
         "persist_intersections": f"""
 WITH b AS ({PART_BOXES_SQL})

@@ -34,6 +34,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "hamming_pairs",
     "embedding_near_dup_pairs",
     "rolling_fingerprints",
 ]
@@ -502,26 +503,30 @@ def simhash_signatures(
     )
 
 
-def simhash_pairs(
+def hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    bits_col: str = "bits",
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= max_hamming via pigeonhole
-    banding: split 64 bits into (max_hamming+1) chunks; any qualifying pair
-    collides on >= 1 chunk → equi-join on (chunk_idx, chunk_bits), verify
-    with bit_count(xor)."""
+    """Pairs with Hamming distance <= max_hamming between 64-bit codes,
+    via pigeonhole banding: split the word into (max_hamming+1) disjoint
+    chunks — a pair differing in <= max_hamming bits has >= 1 chunk with
+    no differing bit (the chunks need not cover every bit for this to
+    hold), so the (chunk_idx, chunk_bits) equi-join finds every
+    qualifying pair; exact ``bit_count(xor)`` verifies. Works for ANY
+    64-bit fingerprint column: SimHash text codes, image perceptual
+    hashes (the input_hint's ``phash`` column), audio chromaprints."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sigs = simhash_signatures(df, id_col, text_col)
-    chunks = sigs.select(
-        F.col(id_col).alias("_id"),
+    src = df.select(F.col(id_col).alias("_id"), F.col(bits_col).alias("_bits"))
+    chunks = src.select(
+        "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    F.shiftrightunsigned(F.col("_bits"), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("cbits"),
                 )
@@ -530,14 +535,26 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("_id", "ck.chunk", "ck.cbits")
     cand = _bucket_pairs(chunks, ["chunk", "cbits"])
-    sh = sigs.select(F.col(id_col).alias("_id"), "simhash")
+    sh = src
     return (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a")), on="id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b")), on="id_b")
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_bits").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_bits").alias("sh_b")), on="id_b")
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming — signature
+    computation + the generic ``hamming_pairs`` pigeonhole join."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return hamming_pairs(sigs, max_hamming, id_col, "simhash")
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from python_prtree_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
+    hamming_pairs,
     ngram_jaccard_pairs,
     rolling_fingerprints,
     simhash_pairs,
@@ -206,3 +207,30 @@ def test_ngram_jaccard_capped_df_exact_values(spark):
                   for r in ngram_jaccard_pairs(docs, 0.1).collect()}
     assert loose_full - loose_cap == {(0, 2), (0, 3), (1, 2), (1, 3)}
     assert loose_cap == {(0, 1), (2, 3)}
+
+
+def test_hamming_pairs_generic_bits_column(spark):
+    """hamming_pairs over a raw 64-bit fingerprint column (the image-table
+    phash use case): pigeonhole banding finds every pair within distance,
+    none beyond, with exact distances — checked against brute force."""
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 1 << 63, size=40, dtype=np.int64)
+    codes[10] = codes[3] ^ 0b101          # distance 2
+    codes[25] = codes[3] ^ (1 << 40)      # distance 1
+    codes[30] = codes[7]                  # distance 0
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": np.arange(40), "phash": codes}),
+        schema="image_id long, phash long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, max_hamming=4, id_col="image_id",
+                                  bits_col="phash").collect()}
+    exp = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = bin((int(codes[i]) ^ int(codes[j])) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                exp[(i, j)] = d
+    assert got == exp and (3, 10) in got and (3, 25) in got and (7, 30) in got
