@@ -300,6 +300,17 @@ class LoadedIndex:
         return _knn(self.boxes(data_id), points_df, k, self.cfg,
                     data_id, query_id, **kw)
 
+    def point_query(self, points_df: DataFrame,
+                    query_id: str = "qid", data_id: str = "id") -> DataFrame:
+        """Point probes against the persisted packs (degenerate-box form of
+        batch_query, reference prtree.h:743-754) — same bucket-pruned scan."""
+        pts = points_df.select(
+            query_id,
+            F.col("x").alias("xmin"), F.col("y").alias("ymin"),
+            F.col("x").alias("xmax"), F.col("y").alias("ymax"),
+        )
+        return self.batch_query(pts, query_id, data_id)
+
     def batch_query(
         self, query_df: DataFrame, query_id: str = "qid", data_id: str = "id"
     ) -> DataFrame:

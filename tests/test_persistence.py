@@ -312,3 +312,24 @@ def test_loaded_index_full_operator_surface(spark, tmp_index):
     knn_direct = {(r["qid"], r["id"], r["rank"])
                   for r in knn_join(d, pts, 3, CFG).collect()}
     assert knn_loaded == knn_direct and knn_loaded
+
+
+def test_loaded_point_query(spark, tmp_index):
+    """Loaded-index point probes equal the direct point_query operator."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.probe import point_query
+
+    boxes = rand_boxes(500, 57, ext_max=6.0)
+    d = boxes_df(spark, boxes)
+    save_index(d, tmp_index, CFG)
+    li = load_index(spark, tmp_index)
+    rng = np.random.default_rng(58)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(30), "x": rng.random(30) * 100,
+                      "y": rng.random(30) * 100}),
+        schema="qid long, x double, y double",
+    )
+    got = {(r["qid"], r["id"]) for r in li.point_query(pts).collect()}
+    exp = {(r["qid"], r["id"]) for r in point_query(d, pts, CFG).collect()}
+    assert got == exp and got
