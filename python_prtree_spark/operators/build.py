@@ -348,6 +348,10 @@ def build_index(
     workers, 2.3x faster end-to-end; 'arrow' keeps the streaming
     mapInArrow numpy kernel (useful as a cross-check and for engines
     without higher-order-function support)."""
+    if kernel not in ("sql", "arrow"):
+        raise ValueError(
+            f"kernel must be 'sql' or 'arrow', got {kernel!r}"
+        )
     slim = data_df.select(data_id, *BOX)
     if validate:
         validate_boxes_df(slim, cfg)

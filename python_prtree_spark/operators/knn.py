@@ -37,6 +37,11 @@ __all__ = ["knn_join"]
 # data-side pass PER ROUND — never scan 100 TB three times to answer a
 # thousand probes). ~40k probe points; map-side work is O(rows x m).
 _BCAST_PROBE_BYTES = 1 << 20
+# hard row cap checked AFTER toPandas: Catalyst's sizeInBytes is an
+# estimate (with CBO off it can grossly undercount after selective
+# filters/projections) — if the materialized probe set is in fact large,
+# abandon the broadcast route rather than ship it to every task
+_BCAST_PROBE_ROWS = 100_000
 
 
 def _knn_broadcast(
@@ -53,6 +58,8 @@ def _knn_broadcast(
 
     spark = points_df.sparkSession
     pts = points_df.select(query_id, x, y).toPandas()  # gated tiny
+    if len(pts) > _BCAST_PROBE_ROWS:
+        return None  # estimate lied — caller falls back to the radius path
     bc = spark.sparkContext.broadcast((
         pts[query_id].to_numpy(),
         pts[x].to_numpy(np.float64),
@@ -146,7 +153,9 @@ def knn_join(
         except Exception:
             est = None
         if est is not None and 0 < est <= _BCAST_PROBE_BYTES:
-            return _knn_broadcast(cent_xy, points_df, k, data_id, query_id, x, y)
+            out = _knn_broadcast(cent_xy, points_df, k, data_id, query_id, x, y)
+            if out is not None:  # None = row-cap tripped after materializing
+                return out
 
     cfg, n_data = _probe.resolve_geometry(
         data_df.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg

@@ -120,15 +120,17 @@ def _contained(cand: DataFrame, outer_edges: DataFrame,
             .where(F.col("_m") >= 0)
             .select(outer_id, inner_id)
         )
+    # multiplication-only crossing test: px < (ox2-ox1)*(py-oy1)/(oy2-oy1)+ox1
+    # rearranged as (px-ox1)*(oy2-oy1) vs (ox2-ox1)*(py-oy1) with the
+    # comparison direction following sign(oy2-oy1) — no division rounding
+    # step, so a first vertex extremely close to the outer boundary cannot
+    # be misclassified by the quotient's extra ulp. The edge straddles _py
+    # (the != guard), so oy2 != oy1 wherever the comparison is evaluated.
+    _lhs = (F.col("_px") - F.col("ox1")) * (F.col("oy2") - F.col("oy1"))
+    _rhs = (F.col("ox2") - F.col("ox1")) * (F.col("_py") - F.col("oy1"))
     crosses = (
         ((F.col("oy1") > F.col("_py")) != (F.col("oy2") > F.col("_py")))
-        & (
-            F.col("_px")
-            < (F.col("ox2") - F.col("ox1"))
-            * (F.col("_py") - F.col("oy1"))
-            / (F.col("oy2") - F.col("oy1"))
-            + F.col("ox1")
-        )
+        & F.when(F.col("oy2") > F.col("oy1"), _lhs < _rhs).otherwise(_lhs > _rhs)
     )
     return (
         rows.groupBy(outer_id, inner_id)

@@ -43,6 +43,12 @@ from python_prtree_spark.operators.build import build_index
 __all__ = ["save_index", "load_index", "LoadedIndex", "N_BUCKETS", "merge_refresh"]
 
 N_BUCKETS = 64
+#: bucket-assignment scheme written to (and required from) index meta.
+#: Pre-v2 indexes used pmod(zorder, N_BUCKETS); the current contiguous
+#: Morton-range formula would PRUNE WRONG BUCKETS against them, silently
+#: dropping matching packs — so loading checks the scheme and disables
+#: bucket pruning (correct, just unpruned) when it doesn't match.
+BUCKET_SCHEME = "morton_range"
 
 
 def _meta_path(path: str) -> str:
@@ -184,6 +190,15 @@ def save_index(
     index = _with_bucket(index, cfg.level)
 
     done: set[int] = set()
+    if resume and os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            old_scheme = json.load(f).get("bucket_scheme")
+        if old_scheme != BUCKET_SCHEME:
+            raise ValueError(
+                f"index at {path} was written with bucket scheme "
+                f"{old_scheme!r}; resuming with {BUCKET_SCHEME!r} would mix "
+                "bucket assignments — rebuild without resume=True"
+            )
     if resume and os.path.exists(_lineage_path(path)):
         done = {
             r["bucket"]
@@ -221,7 +236,8 @@ def save_index(
         "level": cfg.level,
         "leaf_size": cfg.leaf_size,
         "n_live_rows": n_live,
-        "version": 1,
+        "version": 2,
+        "bucket_scheme": BUCKET_SCHEME,
     }
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f)
@@ -257,6 +273,9 @@ class LoadedIndex:
             self.df = spark.createDataFrame([], schema)
         self.path = path
         self._n_live = meta.get("n_live_rows")
+        # scheme gate (see BUCKET_SCHEME): mismatching/legacy meta → read
+        # every bucket rather than prune with the wrong formula
+        self._prune_buckets = meta.get("bucket_scheme") == BUCKET_SCHEME
 
     def size(self) -> int:
         """Live (unreplicated) row count — a row spanning k cells is stored
@@ -301,13 +320,16 @@ class LoadedIndex:
                     data_id, query_id, **kw)
 
     def point_query(self, points_df: DataFrame,
-                    query_id: str = "qid", data_id: str = "id") -> DataFrame:
+                    query_id: str = "qid", data_id: str = "id",
+                    x: str = "x", y: str = "y") -> DataFrame:
         """Point probes against the persisted packs (degenerate-box form of
-        batch_query, reference prtree.h:743-754) — same bucket-pruned scan."""
+        batch_query, reference prtree.h:743-754) — same bucket-pruned scan.
+        x/y name the probe coordinate columns, mirroring knn_join and
+        distance_join."""
         pts = points_df.select(
             query_id,
-            F.col("x").alias("xmin"), F.col("y").alias("ymin"),
-            F.col("x").alias("xmax"), F.col("y").alias("ymax"),
+            F.col(x).alias("xmin"), F.col(y).alias("ymin"),
+            F.col(x).alias("xmax"), F.col(y).alias("ymax"),
         )
         return self.batch_query(pts, query_id, data_id)
 
@@ -331,7 +353,7 @@ class LoadedIndex:
         extent, level = cfg.extent, cfg.level
         qcells = q.select("cell").distinct()
         idx = self.df
-        if "bucket" in idx.columns:
+        if "bucket" in idx.columns and self._prune_buckets:
             probed_buckets = [
                 r["b"]
                 for r in qcells.select(
