@@ -86,7 +86,47 @@ class PRTreeTable:
     def empty(self) -> bool:
         return self._n == 0
 
+    # -- reopening a persisted index (reference load → mutate → query,
+    #    tests/integration/test_persistence_query_workflow.py:41-72) ----------
+    @classmethod
+    def from_index(cls, spark, path: str, data_id: str = "id") -> "PRTreeTable":
+        """Reopen a persisted index as a mutable table bound to the SAME
+        directory: cfg and the live row count come from the index meta
+        (no jobs scheduled here), the base rows are reconstructed lazily
+        from the persisted pack arrays, and ``refresh_index(path)`` after
+        mutations re-packs ONLY dirty cells — untouched bucket
+        directories stay byte-identical, no O(index) re-pack. Payload
+        columns are not stored in packs, so the reopened table is
+        geometry-only (reattach payloads with ``set_obj``)."""
+        from python_prtree_spark.sources.store import load_index
+
+        li = load_index(spark, path)
+        n = li.size()
+        t = cls(li.boxes(data_id), li.cfg, data_id, _n_at_build=n,
+                _validate=False, _n_hint=n)
+        t.index_path = path
+        return t
+
     # -- mutations ------------------------------------------------------------
+    def _maybe_auto_rebuild(self, snap: "PRTreeTable") -> "PRTreeTable":
+        """The reference's automatic re-optimization (REBUILD_THRE = 1.25,
+        types.h:53; grow trigger prtree.h:411-413, shrink :811-813): when a
+        mutation crosses the threshold, the snapshot becomes a FULL
+        re-pack — n_at_build resets to the live count and EVERY cell is
+        marked dirty, so the next ``refresh_index`` rewrites the whole
+        index. Query results are invariant either way; this is the
+        amortized-compaction contract, not correctness."""
+        if not snap.needs_rebuild():
+            return snap
+        all_cells = explode_cells(
+            snap.df.select(*BOX), snap.cfg.extent, snap.cfg.level
+        ).select("cell").distinct()
+        return PRTreeTable(
+            snap.df, snap.cfg, snap.data_id,
+            _n_at_build=snap._n, _dirty_cells=all_cells,
+            _validate=False, _n_hint=snap._n,
+        )
+
     def _touched_cells(self, rows_df: DataFrame) -> DataFrame:
         return explode_cells(
             rows_df.select(*BOX), self.cfg.extent, self.cfg.level
@@ -146,13 +186,13 @@ class PRTreeTable:
             raise ValueError("Given index is already taken")
         n_new = rows.count()  # counts only the (small) mutation batch
         new_df = self.df.unionByName(rows, allowMissingColumns=True)
-        return PRTreeTable(
+        return self._maybe_auto_rebuild(PRTreeTable(
             new_df, self.cfg, self.data_id,
             _n_at_build=self.n_at_build,
             _dirty_cells=self._with_dirty(self._touched_cells(rows)),
             _validate=False,
             _n_hint=self._n + n_new,
-        )
+        ))
 
     def erase(self, ids: int | list[int] | DataFrame) -> "PRTreeTable":
         """Delete by id (scalar, list, or DataFrame); missing id raises
@@ -173,13 +213,13 @@ class PRTreeTable:
             raise RuntimeError("Given index is not found")
         dirty = self._touched_cells(hit)
         new_df = self.df.join(ids_df, on=self.data_id, how="left_anti")
-        return PRTreeTable(
+        return self._maybe_auto_rebuild(PRTreeTable(
             new_df, self.cfg, self.data_id,
             _n_at_build=self.n_at_build,
             _dirty_cells=self._with_dirty(dirty),
             _validate=False,
             _n_hint=self._n - n_hit,
-        )
+        ))
 
     # -- re-optimization (reference types.h:53 REBUILD_THRE=1.25) -------------
     def needs_rebuild(self) -> bool:
@@ -187,9 +227,15 @@ class PRTreeTable:
         return self._n > thr * self.n_at_build or thr * self._n < self.n_at_build
 
     def rebuild(self) -> "PRTreeTable":
-        """Full re-pack: results must be invariant (test_rebuild.py:69-94)."""
+        """Full re-pack: results must be invariant (test_rebuild.py:69-94).
+        n_at_build resets to the live count and every cell is marked dirty
+        so a following ``refresh_index`` rewrites the whole persisted
+        index (never silently drops pending dirty cells)."""
+        all_cells = explode_cells(
+            self.df.select(*BOX), self.cfg.extent, self.cfg.level
+        ).select("cell").distinct()
         return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False,
-                           _n_hint=self._n)
+                           _dirty_cells=all_cells, _n_hint=self._n)
 
     def refresh_index(self, path: str) -> None:
         """Incremental index refresh: re-pack ONLY dirty cells and overwrite

@@ -74,14 +74,19 @@ def test_rebuild_invariant(spark):
 
 
 def test_rebuild_threshold(spark):
-    """REBUILD_THRE=1.25 growth/shrink triggers (types.h:53)."""
+    """REBUILD_THRE=1.25 growth/shrink triggers (types.h:53). Like the
+    reference (prtree.h:411-413, 811-813) the rebuild fires INSIDE
+    insert/erase: the returned snapshot has already re-optimized
+    (n_at_build reset, all cells dirty) and needs_rebuild() is False
+    again. The trigger fine-structure (at/over threshold) is covered by
+    tests/test_from_index.py."""
     boxes = rand_boxes(100, 50)
     t = PRTreeTable(boxes_df(spark, boxes), CFG)
     assert not t.needs_rebuild()
     t2 = t.insert(boxes_df(spark, rand_boxes(30, 51), ids=np.arange(100, 130)))
-    assert t2.needs_rebuild()  # 130 > 1.25 * 100
+    assert t2.n_at_build == 130 and not t2.needs_rebuild()  # 130 > 1.25*100 fired
     t3 = t.erase(list(range(30)))
-    assert t3.needs_rebuild()  # 1.25 * 70 < 100
+    assert t3.n_at_build == 70 and not t3.needs_rebuild()  # 1.25*70 < 100 fired
 
 
 def test_validation_rejects_bad_boxes(spark):
