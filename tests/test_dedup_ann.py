@@ -209,6 +209,51 @@ def test_ngram_jaccard_capped_df_exact_values(spark):
     assert loose_cap == {(0, 1), (2, 3)}
 
 
+def test_ngram_jaccard_auto_guard_default(spark):
+    """The scale guard is ACTIVE by default ('auto'): on a benign corpus
+    the computed cap clears every token df, so results are identical to
+    the fully exact plan (provable recall 1.0), while a Zipf-style corpus
+    (huge rare vocabulary + one stop word) gets a cap below the stop-word
+    df — bounding the Σdf² join — with values still exact."""
+    import pandas as pd
+
+    rng = np.random.default_rng(57)
+    # benign: shared vocabulary of 30 tokens, dfs clustered
+    texts = [
+        " ".join(rng.choice([f"t{k}" for k in range(30)], size=12, replace=False))
+        for _ in range(80)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(80), "text": texts}),
+        schema="doc_id long, text string",
+    )
+    auto = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, 0.5, max_token_df=None).collect()
+    }
+    assert auto == exact and len(auto) > 0
+
+    # Zipf-style: 400 docs, each with 5 unique tokens (df=1) + the stop
+    # word THE (df=400) → p99 of dfs is 1, cap = 64 < 400: THE generates
+    # no candidates, so the join cost is bounded by rare-token dfs
+    ztexts = [
+        "THE " + " ".join(f"u{i}_{j}" for j in range(5)) for i in range(400)
+    ]
+    zdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(400), "text": ztexts}),
+        schema="doc_id long, text string",
+    )
+    # no pair shares a rare token → zero candidates, zero output (the
+    # THE-only pairs are the documented recall condition)
+    assert ngram_jaccard_pairs(zdocs, 0.05).count() == 0
+    # the exact plan reports all 79800 THE-sharing pairs (Jaccard 1/11)
+    assert ngram_jaccard_pairs(zdocs, 0.05, max_token_df=None).count() == 79800
+
+
 def test_hamming_pairs_generic_bits_column(spark):
     """hamming_pairs over a raw 64-bit fingerprint column (the image-table
     phash use case): pigeonhole banding finds every pair within distance,
