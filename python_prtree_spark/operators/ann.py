@@ -33,6 +33,28 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+# probe sides whose Catalyst plan estimate is under this get a mandatory
+# broadcast hint (the common ANN shape: few probes, huge corpus). Above
+# it — or when the estimate is unavailable — the join goes un-hinted and
+# Catalyst/AQE picks the strategy at runtime: a caller with 10^8 probes
+# must never be forced through executor memory by a hint (VERDICT r2
+# item 7; same gate as knn.py / probe._pick_strategy).
+_BCAST_PROBE_BYTES = 8 << 20
+
+
+def _gated_probe(p: "DataFrame") -> tuple["DataFrame", bool]:
+    """(probe side possibly wrapped in F.broadcast, was_hinted)."""
+    try:
+        est = int(str(
+            p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:
+        est = None
+    if est is not None and 0 < est <= _BCAST_PROBE_BYTES:
+        return F.broadcast(p), True
+    return p, False
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -47,9 +69,10 @@ def cosine_topk(
     per-probe window."""
     c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv"))
     p = probes.select(F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_pv"))
+    p, _ = _gated_probe(p)
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
     return (
-        c.join(F.broadcast(p))
+        c.crossJoin(p)
         .withColumn("cosine", _dot(F.col("_cv"), F.col("_pv")) / (_norm(F.col("_cv")) * _norm(F.col("_pv"))))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -77,9 +100,10 @@ def cosine_topk_quantized(
         F.zip_with("_cv", "_pv", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
     )
     n2 = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda s, x: s + x * x)  # noqa: E731
+    p, _ = _gated_probe(p)
     w = Window.partitionBy("_pid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
     return (
-        c.join(F.broadcast(p))
+        c.crossJoin(p)
         .withColumn("_dot", dot)
         .withColumn("_n2c", n2(F.col("_cv")))
         .withColumn("_n2p", n2(F.col("_pv")))
@@ -161,7 +185,8 @@ def ivf_topk(
     p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).mapInPandas(assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")
-    joined = c.join(F.broadcast(p.withColumnRenamed("_v", "_pv")), on="list_id")
+    pp, _ = _gated_probe(p.withColumnRenamed("_v", "_pv"))
+    joined = c.join(pp, on="list_id")
     if quantize_scale is not None:
         qz = lambda col: F.transform(  # noqa: E731
             col, lambda x: F.floor(x * quantize_scale + F.lit(0.5)).cast("long"))

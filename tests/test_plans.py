@@ -173,6 +173,39 @@ def test_knn_broadcast_route_single_data_pass(spark, tmp_path):
     assert "Window" in plan, plan
 
 
+def test_ann_probe_broadcast_gated(spark, tmp_path):
+    """VERDICT r2 item 7: the ANN probe-side broadcast must be gated on
+    Catalyst's size estimate — a small parquet probe set keeps the
+    mandatory hint, a large probe side goes un-hinted (AQE decides at
+    runtime)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.operators.ann import cosine_topk
+
+    rng_rows = [[float(i % 7), 1.0, 0.5] for i in range(50)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": rng_rows}),
+        schema="vec_id long, embedding array<double>",
+    )
+    p_small = str(tmp_path / "small_probes")
+    spark.createDataFrame(
+        pd.DataFrame({"qid": range(4), "embedding": rng_rows[:4]}),
+        schema="qid long, embedding array<double>",
+    ).write.parquet(p_small)
+    small = spark.read.parquet(p_small)
+    lp = cosine_topk(corpus, small, 3)._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" in lp or "ResolvedHint" in lp, lp
+
+    # large probe side: 2M rows from range → estimate far above the gate
+    big = spark.range(2_000_000).select(
+        F.col("id").alias("qid"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    lp_big = cosine_topk(corpus, big, 3)._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in lp_big and "ResolvedHint" not in lp_big, lp_big
+
+
 def test_sql_build_plan_jvm_only(spark):
     """The default build kernel must stay entirely JVM-side (VERDICT r1
     item 8: the JVM->Python Arrow transfer, not pack compute, dominated
