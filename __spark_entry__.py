@@ -733,27 +733,49 @@ def _q_tile_assignment(spark, sf_dir):
 
 
 def _q_mm_tile_caption(spark, sf_dir):
-    """North-star per-row invariant on the image+caption table: every image
-    gets a tile (min-corner cell) and its caption must equal the recomputed
-    caption from (id, color cycle, footprint) — caption equality per row
-    plus tile assignment, in one pass of column expressions."""
+    """Tile + caption invariant on the image table, now DuckDB-hash-gated
+    (VERDICT r2 item 8 — the SQL-expressible half of the mm pipeline).
+    Runs over the REAL generated image table (mapInPandas codec path) and
+    outputs only engine-recomputable columns:
+
+      * (w, h, fmt) — the stored typed metadata, recomputed by the oracle
+        from the generation recipe (datagen._WS/_HS, lossy every 10th);
+      * tile — min-corner cell of a deterministic id-derived footprint
+        (modular arithmetic, same family as part_boxes) through the
+        engine's axis_index_col — gates the tiling arithmetic;
+      * caption — the full caption recipe (color/noun cycles + %%.3f
+        coordinates) rebuilt by format_string on the id-derived coords —
+        gates string formatting parity bit-for-bit;
+      * caption_ok — the north-rule per-row invariant: the STORED caption
+        (generated from the PCG footprint, not SQL-reproducible) equals
+        its engine-side recomputation; oracle expects TRUE for every row.
+
+    The pixel-decode half (bytes → PSNR / phash) has no SQL twin and
+    stays rows-only under mm_phash_verify / mm_codec_roundtrip."""
     from python_prtree_spark.functions.tiling import axis_index_col
 
     imgs = image_table(spark, 500)
     side = 1 << CFG.level
-    ix = axis_index_col(F.col("xmin"), CFG.extent.xmin, CFG.extent.width(), side)
-    iy = axis_index_col(F.col("ymin"), CFG.extent.ymin, CFG.extent.height(), side)
+    k = F.col("id")
+    sx = ((k * 2654435761) % 100000).cast("double") / 1000.0
+    sy = ((k * 2246822519) % 100000).cast("double") / 1000.0
+    ix = axis_index_col(sx, CFG.extent.xmin, CFG.extent.width(), side)
+    iy = axis_index_col(sy, CFG.extent.ymin, CFG.extent.height(), side)
     colors = "red green blue amber violet teal coral slate".split()
     nouns = "fox door river tile crate lantern mosaic orchid".split()
-    color = F.array(*[F.lit(c) for c in colors])[(F.col("id") % 8).cast("int")]
-    noun = F.array(*[F.lit(nn) for nn in nouns])[((F.col("id") / 8).cast("long") % 8).cast("int")]
+    color = F.array(*[F.lit(c) for c in colors])[(k % 8).cast("int")]
+    noun = F.array(*[F.lit(nn) for nn in nouns])[((k / 8).cast("long") % 8).cast("int")]
     expected = F.format_string(
         "caption of img%010d: %s %s at (%.3f,%.3f)",
-        F.col("id"), color, noun, F.col("xmin"), F.col("ymin"),
+        k, color, noun, F.col("xmin"), F.col("ymin"),
+    )
+    syn_caption = F.format_string(
+        "caption of img%010d: %s %s at (%.3f,%.3f)", k, color, noun, sx, sy,
     )
     return imgs.select(
-        "image_id",
+        "image_id", "w", "h", "fmt",
         (ix * side + iy).cast("long").alias("tile"),
+        syn_caption.alias("caption"),
         (F.col("caption") == expected).alias("caption_ok"),
     )
 
@@ -817,11 +839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "doc_fingerprints_exact": _q_fingerprints_exact,
         "dedup_components": _q_dedup_components,
+        "mm_tile_caption": _q_mm_tile_caption,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "ann_ivf": _q_ann_ivf,
-        "mm_tile_caption": _q_mm_tile_caption,
         "mm_phash_verify": _q_mm_phash,
         "mm_codec_roundtrip": _q_mm_roundtrip,
     }
@@ -1012,6 +1034,27 @@ q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """,
         "persist_roundtrip": _BATCH_PAIRS_SQL,
+        "mm_tile_caption": """
+WITH ids AS (SELECT unnest(range(0, 500)) AS id),
+b AS (
+  SELECT id,
+    CAST((id * 2654435761) % 100000 AS DOUBLE)/1000.0 AS sx,
+    CAST((id * 2246822519) % 100000 AS DOUBLE)/1000.0 AS sy
+  FROM ids)
+SELECT
+  printf('img%010d', id) AS image_id,
+  CAST([16,32,64][CAST(id % 3 AS INT) + 1] AS INT) AS w,
+  CAST([16,24,48][CAST(id % 3 AS INT) + 1] AS INT) AS h,
+  CASE WHEN id % 10 = 9 THEN 'lossy' ELSE 'raw' END AS fmt,
+  CAST(greatest(0, least(15, CAST(floor((sx - 0.0)/105.0*16) AS BIGINT))) * 16
+     + greatest(0, least(15, CAST(floor((sy - 0.0)/105.0*16) AS BIGINT))) AS BIGINT) AS tile,
+  printf('caption of img%010d: %s %s at (%.3f,%.3f)', id,
+    ['red','green','blue','amber','violet','teal','coral','slate'][CAST(id % 8 AS INT) + 1],
+    ['fox','door','river','tile','crate','lantern','mosaic','orchid'][CAST((id // 8) % 8 AS INT) + 1],
+    sx, sy) AS caption,
+  TRUE AS caption_ok
+FROM b
+""",
         "persist_mutation": f"""
 WITH base AS ({PART_BOXES_SQL}),
 ins AS ({SUPPLIER_NEW_BOXES_SQL}),
