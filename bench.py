@@ -179,6 +179,23 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     # sf0.1's 600k-box build above is fixed-overhead-dominated). Reported
     # in extras only: it is a throughput probe, not a headline stage, so
     # it does not inflate the suite wall time being tracked across rounds.
+    #
+    # Throttle robustness (BENCH.md methodology; the sandbox hypervisor
+    # throttles CPU in multi-minute windows, 3-4x between runs with zero
+    # code change): the probe takes min over >= 5 samples, and a
+    # fixed-flops numpy calibration runs before and after so the recorded
+    # artifact carries direct evidence of the throttle state the samples
+    # were taken under (calib ~0.5 s unthrottled; 3-4x that when the VM is
+    # being starved).
+    def calib() -> float:
+        import numpy as np
+
+        a = np.random.default_rng(0).standard_normal((512, 512))
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = a @ a / 512.0
+        return round(time.perf_counter() - t0, 3)
+
     n8 = 8_000_000
     big = (
         spark.range(n8).select(
@@ -190,13 +207,19 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
         .localCheckpoint()
     )
     cfg8 = CFG.with_(extent=Extent(0, 0, 105, 105), level=7)
+    extras["calib_sec_pre"] = calib()
     best8 = None
-    for _ in range(max(1, repeats)):
+    # each sample builds a FRESH DataFrame: fresh Catalyst analysis, fresh
+    # shuffle — nothing reusable between samples. (A shared DataFrame
+    # instance would let Spark reuse the prior job's shuffle map files and
+    # report a fantasy number.)
+    for _ in range(max(5, repeats)):
         t0 = time.perf_counter()
         build_index(big, cfg8, n_data_hint=n8, validate=False)[0] \
             .agg(F.sum("n_rows")).collect()
         dt = time.perf_counter() - t0
         best8 = dt if best8 is None else min(best8, dt)
+    extras["calib_sec_post"] = calib()
     extras["build_8m_sec"] = round(best8, 3)
     extras["build_8m_boxes_per_sec"] = round(n8 / best8, 1)
     big.unpersist()
