@@ -121,6 +121,13 @@ class PRTreeTable:
         all_cells = explode_cells(
             snap.df.select(*BOX), snap.cfg.extent, snap.cfg.level
         ).select("cell").distinct()
+        # union the pending dirty set: cells the mutations VACATED are not
+        # covered by the (possibly smaller, possibly empty) live table but
+        # still hold stale packs that the full re-pack must clear
+        if snap.dirty_cells is not None:
+            all_cells = all_cells.unionByName(
+                snap.dirty_cells.select(F.col(snap.dirty_cells.columns[0]).alias("cell"))
+            ).distinct()
         return PRTreeTable(
             snap.df, snap.cfg, snap.data_id,
             _n_at_build=snap._n, _dirty_cells=all_cells,
@@ -234,6 +241,10 @@ class PRTreeTable:
         all_cells = explode_cells(
             self.df.select(*BOX), self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
+        if self.dirty_cells is not None:  # vacated cells still need clearing
+            all_cells = all_cells.unionByName(
+                self.dirty_cells.select(F.col(self.dirty_cells.columns[0]).alias("cell"))
+            ).distinct()
         return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False,
                            _dirty_cells=all_cells, _n_hint=self._n)
 

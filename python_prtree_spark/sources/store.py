@@ -304,11 +304,135 @@ class LoadedIndex:
     def query_intersections(self, data_id: str = "id") -> DataFrame:
         """All intersecting pairs (id_a < id_b) of the persisted rows —
         load-then-query_intersections parity with the reference
-        (PRTree(fname) then query_intersections(), prtree.h:839-958)."""
-        from python_prtree_spark.operators.pairs import query_intersections as _qi
+        (PRTree(fname) then query_intersections(), prtree.h:839-958).
 
-        n = self._n_live
-        return _qi(self.boxes(data_id), self.cfg, data_id, n_data_hint=n)
+        Probes the persisted packs DIRECTLY (VERDICT r2 minor 5): no
+        O(index) base-table reconstruction, no dropDuplicates shuffle, no
+        re-pack — the index rows already hold each cell's STR-packed
+        arrays, so the self-join is ONE shuffle of pack rows on
+        (cell, sa, sb) pack-pair keys. A hot cell split into S salt
+        shards at build time decomposes into S(S+1)/2 pack pairs
+        (diagonal = one pack self-probed, off-diagonal = pack sb's rows
+        probed against pack sa), inheriting the salted-self-join skew
+        bound. Cross-cell duplicates are removed by the same
+        reference-point rule as the live path."""
+        extent, level = self.cfg.extent, self.cfg.level
+        idx = self.df.select(
+            "cell", "salt", "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+            "leaf_mbbs", "leaf_size",
+        )
+        max_salt = idx.groupBy("cell").agg(F.max("salt").alias("max_salt"))
+        base = idx.join(max_salt, on="cell")
+        s = F.col("salt")
+        a_keys = F.transform(
+            F.sequence(s, F.col("max_salt")),
+            lambda b: F.struct(s.alias("sa"), b.cast("int").alias("sb")),
+        )
+        b_keys = F.transform(
+            F.filter(F.sequence(F.lit(0), F.col("max_salt")), lambda a: a < s),
+            lambda a: F.struct(a.cast("int").alias("sa"), s.alias("sb")),
+        )
+        repl = base.withColumn("k", F.explode(F.concat(a_keys, b_keys))).select(
+            "cell", "salt", F.col("k.sa").alias("sa"), F.col("k.sb").alias("sb"),
+            "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+            "leaf_mbbs", "leaf_size",
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from python_prtree_spark.functions.tiling import cell_of_point_np
+            from python_prtree_spark.operators.strpack import STRPack
+
+            sink_a: list = []
+            sink_b: list = []
+
+            def flush():
+                out = pd.DataFrame({
+                    "id_a": np.concatenate(sink_a), "id_b": np.concatenate(sink_b),
+                })
+                sink_a.clear()
+                sink_b.clear()
+                return out
+
+            def pack_of(row):
+                return STRPack.from_arrays(
+                    row["ids"], row["b_xmin"], row["b_ymin"],
+                    row["b_xmax"], row["b_ymax"], row["leaf_mbbs"],
+                    row["leaf_size"],
+                )
+
+            def group(rows):
+                """One (cell, sa, sb) key: 1 pack (diagonal) or 2 packs."""
+                cell = int(rows[0]["cell"])
+                if rows[0]["sa"] == rows[0]["sb"]:
+                    pk = pack_of(rows[0])
+                    qi, pos = pk.query(pk.boxes)
+                    ia, ib = pk.ids[qi], pk.ids[pos]
+                    qb, db = pk.boxes, pk.boxes
+                    keep = ia < ib
+                else:
+                    if len(rows) < 2:
+                        return  # a shard's pack is absent → no cross pairs
+                    a_row = rows[0] if rows[0]["salt"] == rows[0]["sa"] else rows[1]
+                    b_row = rows[1] if a_row is rows[0] else rows[0]
+                    pa, pb = pack_of(a_row), pack_of(b_row)
+                    qi, pos = pa.query(pb.boxes)
+                    ia, ib = pb.ids[qi], pa.ids[pos]
+                    qb, db = pb.boxes, pa.boxes
+                    keep = ia != ib
+                if not keep.any():
+                    return
+                qi, pos, ia, ib = qi[keep], pos[keep], ia[keep], ib[keep]
+                refx = np.maximum(qb[qi, 0], db[pos, 0])
+                refy = np.maximum(qb[qi, 1], db[pos, 1])
+                k2 = cell_of_point_np(refx, refy, extent, level) == cell
+                if not k2.any():
+                    return
+                sink_a.append(np.minimum(ia[k2], ib[k2]))
+                sink_b.append(np.maximum(ia[k2], ib[k2]))
+
+            def run(pdf):
+                recs = pdf.to_dict("records")
+                i = 0
+                while i < len(recs):
+                    j = i
+                    key = (recs[i]["cell"], recs[i]["sa"], recs[i]["sb"])
+                    while j < len(recs) and (
+                        recs[j]["cell"], recs[j]["sa"], recs[j]["sb"]
+                    ) == key:
+                        j += 1
+                    group(recs[i:j])
+                    i = j
+
+            carry_df = None
+            for pdf in batches:
+                if carry_df is not None and len(carry_df):
+                    pdf = pd.concat([carry_df, pdf], ignore_index=True)
+                if not len(pdf):
+                    continue
+                tail = pdf.iloc[-1]
+                mask = (
+                    (pdf["cell"] == tail["cell"]) & (pdf["sa"] == tail["sa"])
+                    & (pdf["sb"] == tail["sb"])
+                )
+                carry_df = pdf[mask]
+                done = pdf[~mask]
+                if len(done):
+                    run(done)
+                    if sum(len(x) for x in sink_a) >= 1 << 17:
+                        yield flush()
+            if carry_df is not None and len(carry_df):
+                run(carry_df)
+            if sink_a:
+                yield flush()
+
+        return (
+            repl.repartition(F.col("cell"), F.col("sa"), F.col("sb"))
+            .sortWithinPartitions("cell", "sa", "sb")
+            .mapInPandas(gen, schema="id_a long, id_b long")
+        )
 
     def knn_join(self, points_df: DataFrame, k: int,
                  query_id: str = "qid", data_id: str = "id", **kw) -> DataFrame:
@@ -375,17 +499,21 @@ class LoadedIndex:
             outs = []
             qboxes = qdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
             qids = qdf["_qid"].to_numpy(dtype=np.int64)
-            for _, row in idx_pdf.iterrows():   # ≥1 row per (cell,salt) pack
-                pack = STRPack.from_arrays(
-                    row["ids"], row["b_xmin"], row["b_ymin"],
-                    row["b_xmax"], row["b_ymax"], row["leaf_mbbs"], row["leaf_size"],
-                )
+            # plain zip over column arrays, one iteration per (cell,salt)
+            # pack — not iterrows (per-pack Series construction was pure
+            # overhead; the loop body is already vectorized)
+            for ids_, bx0, by0, bx1, by1, mbbs, ls, cell_v in zip(
+                idx_pdf["ids"], idx_pdf["b_xmin"], idx_pdf["b_ymin"],
+                idx_pdf["b_xmax"], idx_pdf["b_ymax"], idx_pdf["leaf_mbbs"],
+                idx_pdf["leaf_size"], idx_pdf["cell"],
+            ):
+                pack = STRPack.from_arrays(ids_, bx0, by0, bx1, by1, mbbs, ls)
                 qi, pos = pack.query(qboxes)
                 if not len(qi):
                     continue
                 refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
                 refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
-                keep = cell_of_point_np(refx, refy, extent, level) == int(row["cell"])
+                keep = cell_of_point_np(refx, refy, extent, level) == int(cell_v)
                 outs.append(pd.DataFrame({query_id: qids[qi[keep]],
                                           data_id: pack.ids[pos[keep]]}))
             return pd.concat(outs) if outs else empty

@@ -95,6 +95,26 @@ def test_hot_cell_spreads_over_multiple_tasks(spark):
     assert n_hot_rows <= 4100 * cfg.max_salts
 
 
+def test_loaded_index_direct_pack_intersections_salted(spark, tmp_path):
+    """LoadedIndex.query_intersections probes the persisted packs directly
+    (no base-table reconstruction). With a hot cell split into salt shards
+    at build time, cross-shard pairs come from off-diagonal pack pairs —
+    the result must still equal brute force exactly."""
+    from python_prtree_spark import load_index, save_index
+    from pyspark.sql import functions as FF
+
+    boxes = _skewed_boxes(47)
+    path = str(tmp_path / "idx")
+    save_index(boxes_df(spark, boxes), path, CFG)
+    idx = load_index(spark, path)
+    # the hot cell really was sharded (salted packs exist)
+    assert idx.df.where(FF.col("salt") > 0).count() > 0
+    got = {
+        (r["id_a"], r["id_b"]) for r in idx.query_intersections().collect()
+    }
+    assert got == _brute_pairs(boxes)
+
+
 def test_cold_corpus_unsalted_single_key(spark):
     """Below the threshold nothing is replicated: every row carries the
     single (0, 0) key and the plan is identical to the unsalted one."""
