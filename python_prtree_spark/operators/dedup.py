@@ -399,12 +399,17 @@ def minhash_lsh_pairs(
     banded = bkeys.select(
         "_id", F.posexplode("bkeys").alias("band", "bkey")
     )
-    memb = (
+    # singleton-bucket filter WITHOUT materializing member lists: a
+    # count-aggregate (map-side partial, skinny output) + semi-join keeps
+    # exactly the rows of >= 2-member buckets — a degenerate mega-bucket
+    # never becomes one multi-MB collect_list row
+    hot_buckets = (
         banded.groupBy("band", "bkey")
-        .agg(F.collect_list("_id").alias("members"))
-        .where(F.size("members") >= 2)
-        .select("band", "bkey", F.explode("members").alias("_id"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("band", "bkey")
     )
+    memb = banded.join(hot_buckets, on=["band", "bkey"], how="left_semi")
     info = bkeys
     if verify:
         toks = df.select(
