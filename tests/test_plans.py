@@ -173,6 +173,66 @@ def test_knn_broadcast_route_single_data_pass(spark, tmp_path):
     assert "Window" in plan, plan
 
 
+def test_hamming_streaming_kernel_plan(spark):
+    """hamming_pairs must route distinct codes through ONE (chunk, cbits)
+    repartition into a single streaming MapInPandas kernel — never a
+    collect_list bucket expansion or a pair-level distinct after the
+    kernel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.operators.dedup import hamming_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8), "bits": [i * 7 for i in range(8)]}),
+        schema="doc_id long, bits long",
+    )
+    df = hamming_pairs(docs, 3, bits_col="bits")
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "hashpartitioning(chunk" in plan, plan
+    # one kernel node (each physical node prints twice in 'formatted':
+    # a tree line "MapInPandas (n)" and a detail header "(n) MapInPandas")
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "collect_list" not in plan, plan
+    # the only Deduplicate is the code collapse BEFORE the kernel, keyed
+    # on _bits — nothing deduplicates emitted pairs
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate [id_a" not in lp and "Deduplicate [bits_a" not in lp, lp
+
+
+def test_embedding_streaming_kernel_plan(spark):
+    """embedding_near_dup_pairs: ONE (band, bbits) repartition into the
+    cosine-verify kernel; no bucket collect_list, no pair distinct, no
+    mandatory broadcast hints."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import embedding_near_dup_pairs
+
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(8),
+                      "embedding": [[float(i), 1.0, 0.0] for i in range(8)]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    df = embedding_near_dup_pairs(vecs, dim=3)
+    plan = explain_str(df)
+    assert "hashpartitioning(band" in plan, plan
+    assert "collect_list" not in plan, plan
+    lp = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in lp and "ResolvedHint" not in lp, lp
+
+
+def test_salted_pairs_plan_single_exchange(spark):
+    """query_intersections packed: exactly one data exchange, keyed on
+    (cell, ka, kb), feeding the Arrow stream."""
+    d = boxes_df(spark, rand_boxes(500, 99))
+    df = query_intersections(d, CFG.with_(strategy="packed"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert "hashpartitioning(cell" in plan and "ka" in plan and "kb" in plan, plan
+
+
 def test_ann_probe_broadcast_gated(spark, tmp_path):
     """VERDICT r2 item 7: the ANN probe-side broadcast must be gated on
     Catalyst's size estimate — a small parquet probe set keeps the

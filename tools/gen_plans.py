@@ -69,9 +69,11 @@ def main() -> None:
         )),
     ))
     sections.append((
-        "query_intersections — packed self-join",
-        "Single input scan feeding both sides of the union; one exchange; "
-        "pairs emitted once via the reference-point cell rule.",
+        "query_intersections — packed self-join (shard-pair salted)",
+        "One exchange on (cell, ka, kb); hot cells shard into S(S+1)/2 "
+        "pack/probe key pairs so a skewed cell's quadratic candidate work "
+        "spreads over tasks; pairs emitted once via role filtering + the "
+        "reference-point cell rule. Cold cells carry the single (0,0) key.",
         fmt(query_intersections(pb, e.CFG.with_(strategy="packed"))),
     ))
     sections.append((
@@ -116,6 +118,37 @@ def main() -> None:
         "pairs from each pair's first colliding band — no pair-level "
         "distinct anywhere, no per-bucket Arrow batches.",
         fmt(minhash_lsh_pairs(docs, threshold=0.7)),
+    ))
+    from python_prtree_spark.operators.dedup import (
+        embedding_near_dup_pairs, hamming_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    sections.append((
+        "dedup: hamming_pairs (streaming pigeonhole kernel)",
+        "Identical codes collapse (distinct) before pairing; distinct "
+        "codes take ONE exchange on (chunk, cbits) + in-partition sort "
+        "into a streaming mapInPandas kernel (SWAR popcount verify, "
+        "first-colliding-chunk dedup, fixed slab memory); code pairs "
+        "expand back to id pairs via two spillable equi-joins, and "
+        "identical-code groups pair through a plain self equi-join — no "
+        "collect_list of bucket members, no pair-level distinct.",
+        fmt(hamming_pairs(
+            docs.select(
+                "doc_id",
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+                .cast("long").alias("code")),
+            max_hamming=3, bits_col="code")),
+    ))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sections.append((
+        "dedup: embedding_near_dup_pairs (streaming cosine kernel)",
+        "Sketch rows carry their vectors into ONE exchange on "
+        "(band, bbits); the sorted-partition kernel pre-verifies cosine "
+        "in BLAS slabs (threshold - 1e-6, first-colliding-band dedup) so "
+        "only answer-sized candidates leave the worker; the JVM "
+        "higher-order cosine join re-filters authoritatively.",
+        fmt(embedding_near_dup_pairs(emb, threshold=0.95)),
     ))
 
     lines = [
