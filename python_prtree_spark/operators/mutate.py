@@ -279,6 +279,45 @@ class PRTreeTable:
                 json.dump(meta, f)
         self.dirty_cells = None
 
+    # -- precision controls (reference prtree.h:960-1015, bound at
+    #    python_bindings.cc:66-92). These tune INGEST behavior only —
+    #    validation thresholds and the insert-placement epsilon family —
+    #    never query results (queries compare raw coordinates,
+    #    bounding_box.h:104-123), exactly as in the reference. Setters
+    #    mutate the snapshot's config in place, matching the reference's
+    #    tree-instance ergonomics; error messages mirror prtree.h. ---------
+    def set_relative_epsilon(self, epsilon: float) -> None:
+        import math as _math
+
+        if epsilon <= 0.0 or not _math.isfinite(epsilon):
+            raise RuntimeError("Relative epsilon must be positive and finite")
+        self.cfg = self.cfg.with_(rel_epsilon=float(epsilon))
+
+    def set_absolute_epsilon(self, epsilon: float) -> None:
+        import math as _math
+
+        if epsilon <= 0.0 or not _math.isfinite(epsilon):
+            raise RuntimeError("Absolute epsilon must be positive and finite")
+        self.cfg = self.cfg.with_(abs_epsilon=float(epsilon))
+
+    def set_adaptive_epsilon(self, enabled: bool) -> None:
+        self.cfg = self.cfg.with_(adaptive_epsilon=bool(enabled))
+
+    def set_subnormal_detection(self, enabled: bool) -> None:
+        self.cfg = self.cfg.with_(detect_subnormal=bool(enabled))
+
+    def get_relative_epsilon(self) -> float:
+        return self.cfg.rel_epsilon
+
+    def get_absolute_epsilon(self) -> float:
+        return self.cfg.abs_epsilon
+
+    def get_adaptive_epsilon(self) -> bool:
+        return self.cfg.adaptive_epsilon
+
+    def get_subnormal_detection(self) -> bool:
+        return self.cfg.detect_subnormal
+
     # -- payloads (reference set_obj/get_obj, core.py:263-376;
     #    return_obj=True at core.py:601-605) ------------------------------------
     @property

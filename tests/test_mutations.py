@@ -89,6 +89,37 @@ def test_rebuild_threshold(spark):
     assert t3.n_at_build == 70 and not t3.needs_rebuild()  # 1.25*70 < 100 fired
 
 
+def test_precision_controls_runtime(spark):
+    """Runtime precision getters/setters (reference prtree.h:960-1015,
+    SURVEY §2 row 12): tune ingest validation on a live table, never
+    query results. Error messages mirror the reference."""
+    t = PRTreeTable(boxes_df(spark, rand_boxes(20, 52)), CFG)
+    assert t.get_relative_epsilon() == 1e-6
+    assert t.get_absolute_epsilon() == 1e-8
+    assert t.get_adaptive_epsilon() is True
+    assert t.get_subnormal_detection() is True
+    t.set_relative_epsilon(1e-5)
+    t.set_absolute_epsilon(1e-7)
+    t.set_adaptive_epsilon(False)
+    assert t.get_relative_epsilon() == 1e-5
+    assert t.get_absolute_epsilon() == 1e-7
+    assert t.get_adaptive_epsilon() is False
+    for bad in (0.0, -1.0, float("inf"), float("nan")):
+        with pytest.raises(RuntimeError, match="must be positive and finite"):
+            t.set_relative_epsilon(bad)
+        with pytest.raises(RuntimeError, match="must be positive and finite"):
+            t.set_absolute_epsilon(bad)
+    # subnormal toggle steers ingest validation on THIS instance
+    sub = np.nextafter(0.0, 1.0)  # smallest positive subnormal
+    sub_box = boxes_df(spark, np.array([[sub, 1.0, 2.0, 3.0]]),
+                       ids=np.array([900]))
+    with pytest.raises(ValueError):
+        t.insert(sub_box)
+    t.set_subnormal_detection(False)
+    t2 = t.insert(sub_box)
+    assert t2.size() == 21
+
+
 def test_validation_rejects_bad_boxes(spark):
     """NaN/Inf/min>max raise at build (prtree.h:151-185)."""
     bad_nan = np.array([[0.0, 0.0, np.nan, 1.0]])
