@@ -402,11 +402,13 @@ def _q_persist_mutation(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
+    """Uses the degenerate-scale form (with_ids=False): representative +
+    exact count, no group id-array materialization."""
     docs = _read(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select(
+    return exact_duplicates(docs, with_ids=False).select(
         "content_hash",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.element_at("doc_ids", 1).alias("min_doc_id"),
+        "min_doc_id",
     )
 
 

@@ -172,16 +172,30 @@ def _make_hamming_stream(max_hamming: int, n_chunks: int, width: int):
 # exact
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical texts: (content_hash, n_docs, doc_ids sorted).
-    Hash-groupBy — one shuffle on the md5 key; map-side partial agg free."""
-    return (
-        df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_ids: bool = True,
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs[, doc_ids
+    sorted]). Hash-groupBy — one shuffle on the md5 key; map-side partial
+    agg free.
+
+    with_ids=False is the degenerate-scale form: a corpus with one text
+    repeated 10^8 times would otherwise materialize one 10^8-element
+    doc_ids array row; the id-free form keeps (hash, n_docs, min_doc_id)
+    — a representative + exact count — and downstream keep/drop decisions
+    join back on content_hash instead of reading the array."""
+    keyed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+    if with_ids:
+        return keyed.groupBy("content_hash").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
+    return keyed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("min_doc_id"),
     )
 
 
@@ -631,6 +645,14 @@ def hamming_pairs(
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     src = df.select(F.col(id_col).alias("_id"), F.col(bits_col).alias("_bits"))
+    if max_hamming == 0:
+        # distance 0 = identical codes only; no pigeonhole stage needed
+        return (
+            src.select(F.col("_id").alias("id_a"), "_bits")
+            .join(src.select(F.col("_id").alias("id_b"), "_bits"), on="_bits")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+        )
 
     # 1. collapse identical codes: only DISTINCT codes enter the pairwise
     #    kernel. A degenerate key distribution (10^6 black images sharing
@@ -821,7 +843,10 @@ def embedding_near_dup_pairs(
     P[bit agree] = 1 - angle/pi.
 
     Physical plan (VERDICT r2 item 1): sketch rows carry their vector into
-    ONE shuffle on (band, bbits); a streaming sorted-partition kernel
+    ONE shuffle on (band, bbits) — 4x the vector column's bytes (one copy
+    per band; with 2^(n_planes/4) distinct keys per band nearly every row
+    lands in a multi-member bucket, so a singleton-prefilter join would
+    save nothing); a streaming sorted-partition kernel
     walks bucket runs and PRE-VERIFIES candidates in-kernel with a
     BLAS gram slab (fixed memory budget, first-colliding-band dedup — the
     minhash kernel's pattern), emitting each near-qualifying pair exactly
