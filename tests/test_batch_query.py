@@ -94,6 +94,24 @@ def test_huge_query_returns_all(spark):
         assert got == {(0, i) for i in range(300)}
 
 
+def test_negative_ids(spark):
+    """Negative ids are legal (reference
+    tests/unit/test_construction.py test_construction_with_negative_indices;
+    the empty-insert dummy workaround relies on them, core.py:478-494)."""
+    boxes = rand_boxes(300, 151, ext_max=6.0)
+    ids = np.arange(300) - 150  # ids in [-150, 150)
+    d = boxes_df(spark, boxes, ids=ids)
+    qboxes = rand_boxes(40, 152, ext_max=6.0)
+    for strat in ("sql", "packed"):
+        got = {
+            (r["qid"], r["id"])
+            for r in batch_query(d, boxes_df(spark, qboxes, "qid"),
+                                 CFG.with_(strategy=strat)).collect()
+        }
+        exp = {(q, int(ids[di])) for (q, di) in oracle_pairs(qboxes, boxes)}
+        assert got == exp, strat
+
+
 def test_negative_coords(spark):
     dboxes = rand_boxes(200, 17) - 50.0
     qboxes = rand_boxes(30, 18) - 50.0
