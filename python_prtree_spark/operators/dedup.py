@@ -743,7 +743,14 @@ def _make_cosine_stream(threshold: float, width: int):
     each pair exactly once globally (first-colliding-band rule, band
     values recomputed locally from the sketches). The caller's JVM cosine
     re-filter is authoritative; the 1e-6 slack covers any fold-order
-    difference between BLAS and sequential aggregation."""
+    difference between BLAS and sequential aggregation.
+
+    Memory: the SLAB bound applies to the quadratic term (the gram
+    block); bucket base storage is O(m·d) — the bucket's own vectors —
+    matching the minhash kernel's O(m·tokens) contract. A bucket whose
+    vectors alone exceed worker memory means n_planes is mis-tuned for
+    the corpus (bucket count is bands · 2^(n_planes/bands); raise
+    n_planes to shrink buckets)."""
     thr = float(threshold) - 1e-6
     w = int(width)
 
