@@ -200,7 +200,8 @@ def main() -> None:
         "| r2 (2026-08-16, clean) | **0.86** (3.43x) | 0.90 |",
         "| r3 session A | 0.65 | 0.77 |",
         "| r3 session B | 0.77 | 0.77 |",
-        "| r3 session C (this file) | 0.73 | 0.77 |",
+        "| r3 session C | 0.73 | 0.77 |",
+        "| r3 session D | 0.67 (equal-topology headline: 0.75, join stage 0.80) | 0.81 |",
         "",
         "The r2 session's 0.86 >= 0.8 meets the north-rule bar and remains",
         "the engine's demonstrated capability (its raw JSON is preserved in",
