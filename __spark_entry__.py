@@ -199,6 +199,9 @@ _ND_DATA_MULS = [(2654435761, 3266489917), (2246822519, 668265263),
                  (785685301, 591725237), (715225739, 104395303)]
 _ND_PROBE_MULS = [(377424577, 198491329), (285995483, 954979807),
                   (433494437, 287649373), (982451653, 540705589)]
+_ND_INS_MULS = [(48271, 69621), (10007, 40692), (65537, 22695),
+                (75901, 47989)]
+_ND_INS_ID_OFFSET = 1_000_000  # inserted ids never clash with part keys
 
 
 def _nd_args(dims: int, sf_dir_tag: str):
@@ -226,6 +229,44 @@ SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {_nd_join_sql(dims)}
 
 TOKENS_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 RAW_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _gram_sql(corpus_sql: str) -> str:
+    """WITH-prefix computing the engine's k=8 rolling-gram hash of a
+    (doc_id, text) corpus in DuckDB, bit-for-bit with the numpy kernels
+    (clean 2^44-modulus arithmetic; ASCII corpora only — kernels hash
+    UTF-8 bytes, SQL uses codepoints). Exposes CTE ``g``:
+    (doc_id, n, p, text, gh) with p = 1-based gram position, n = gram
+    count. Callers append further CTEs starting with a comma."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+d AS (
+  SELECT doc_id, text, length(text) - 7 AS n
+  FROM corpus WHERE length(text) >= 8),
+pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p, text FROM d),
+g AS (
+  SELECT doc_id, n, p, text,
+    (CAST(ascii(substring(text, p + 0, 1)) AS BIGINT) * 13093627074328
+   + CAST(ascii(substring(text, p + 1, 1)) AS BIGINT) * 1259574651310
+   + CAST(ascii(substring(text, p + 2, 1)) AS BIGINT) * 14454419230023
+   + CAST(ascii(substring(text, p + 3, 1)) AS BIGINT) * 16867844411465
+   + CAST(ascii(substring(text, p + 4, 1)) AS BIGINT) * 16368705227670
+   + CAST(ascii(substring(text, p + 5, 1)) AS BIGINT) * 1000006000009
+   + CAST(ascii(substring(text, p + 6, 1)) AS BIGINT) * 1000003
+   + CAST(ascii(substring(text, p + 7, 1)) AS BIGINT)) % 17592186044399 AS gh
+  FROM pos)"""
+
+
+def _winnow_sql(corpus_sql: str) -> str:
+    """Extends ``_gram_sql`` with winnowing selection (window=4).
+    Exposes CTE ``fps``: DISTINCT (doc_id, fp)."""
+    return _gram_sql(corpus_sql) + """,
+w AS (
+  SELECT doc_id, n, p,
+    min(gh) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g),
+fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE p <= greatest(1, n - 3))"""
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +348,65 @@ def _q_intersections_3d(spark, sf_dir):
     (dt, dk, di, dm, db, de), _ = _nd_args(3, sf_dir)
     data = _nd_boxes(spark, sf_dir, 3, dt, dk, di, dm, db, de)
     return query_intersections_nd(data, 3, CFG, "id")
+
+
+def _q_mutation_3d(spark, sf_dir):
+    """3D mutation surface (VERDICT r3 item 4): build a 3D PRTreeTable from
+    part boxes, erase every 7th id, bulk-insert supplier-derived 3D boxes
+    with offset ids, then batch_query — mirrors the reference legacy
+    suite's insert_erase runs across dims (tests/legacy/test_PRTree.py:
+    75-112; PRTree3D/4D mutations core.py:774,826)."""
+    from python_prtree_spark.operators.mutate import PRTreeTable
+
+    (dt, dk, di, dm, db, de), (pt, pk, pi, pm, pb, pe) = _nd_args(3, sf_dir)
+    data = _nd_boxes(spark, sf_dir, 3, dt, dk, di, dm, db, de)
+    probes = _nd_boxes(spark, sf_dir, 3, pt, pk, pi, pm, pb, pe)
+    ins = _nd_boxes(
+        spark, sf_dir, 3, "supplier", "s_suppkey", "id", _ND_INS_MULS[:3], 1.0, 3000
+    ).withColumn("id", F.col("id") + _ND_INS_ID_OFFSET)
+    t = PRTreeTable(data, CFG, dims=3)
+    t = t.erase(data.where(F.col("id") % 7 == 0).select("id"))
+    t = t.insert(ins)
+    return t.batch_query(probes)
+
+
+def _md5_boxes_4d(spark, sf_dir):
+    """4D self-join corpus with md5-mixed coordinates. The deterministic
+    multiplier scheme used by batch_query_3d/4d traces a 1-D lattice in
+    D-space; at D=4 lattice points never collide in all four dims at once
+    (measured: 0 self-intersection pairs at any reasonable extent), so the
+    4D intersections corpus derives each dimension from an independent md5
+    hex chunk of the key instead — bit-identical doubles in Spark and
+    DuckDB (integer hex parse, then exact /1000 resp. /100 division).
+    Reference parity: python_bindings.cc:330-408 (PRTree4D),
+    tests/legacy/test_PRTree.py:388-421 (intersections at 2/3/4D)."""
+    t = _read(spark, sf_dir, "part")
+    h = F.md5(F.col("p_partkey").cast("string"))
+    cols = [F.col("p_partkey").alias("id")]
+    for d in range(4):
+        lo = F.conv(F.substring(h, 1 + 4 * d, 4), 16, 10).cast("long") / F.lit(1000.0)
+        ext = F.lit(2.0) + F.conv(F.substring(h, 17 + 2 * d, 2), 16, 10).cast("long") / F.lit(100.0)
+        cols.append(lo.alias(f"min{d}"))
+        cols.append((lo + ext).alias(f"max{d}"))
+    return t.select(*cols)
+
+
+def _md5_boxes_4d_sql() -> str:
+    sel = ["p_partkey AS id"]
+    for d in range(4):
+        lo = (f"CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), "
+              f"{1 + 4 * d}, 4)) AS BIGINT)/1000.0")
+        ext = (f"2.0 + CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), "
+               f"{17 + 2 * d}, 2)) AS BIGINT)/100.0")
+        sel.append(f"{lo} AS min{d}")
+        sel.append(f"({lo}) + ({ext}) AS max{d}")
+    return "SELECT " + ", ".join(sel) + " FROM part"
+
+
+def _q_intersections_4d(spark, sf_dir):
+    from python_prtree_spark.operators.nd import query_intersections_nd
+
+    return query_intersections_nd(_md5_boxes_4d(spark, sf_dir), 4, CFG, "id")
 
 
 def _q_knn(spark, sf_dir):
@@ -473,6 +573,45 @@ def _q_fingerprints_exact(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return rolling_fingerprints(docs).select(
         "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
+def _q_fingerprint_overlap(spark, sf_dir):
+    """Fingerprint-overlap copy-pair join (VERDICT r3 item 7) over planted
+    near-copies: every 7th document gets a prefix-mutated twin (id +
+    10^6); pairs sharing >= 8 distinct winnowing fingerprints are the
+    copy pairs. Hash-gated: overlap counts are exact integers over the
+    engine-replicable 2^44-modulus gram hash. max_fp_df=None (fully exact
+    single-phase) because this synthetic corpus is template-heavy: its
+    fingerprint-df p99 (83) sits BELOW the max (441), so the auto cap
+    would be lossy here — the exact plan is the oracle-matched gate, the
+    capped plan is the web-scale default."""
+    from python_prtree_spark.operators.dedup import fingerprint_overlap_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    return fingerprint_overlap_pairs(
+        docs.unionByName(copies), min_overlap=8, max_fp_df=None
+    )
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Anchored exact-substring dedup (VERDICT r3 item 8, the Lee et al.
+    training-data op) over planted verbatim copies: groups of documents
+    sharing a 64-byte anchored passage. Hash-gated — anchors and
+    substring md5s are engine-replicable."""
+    from python_prtree_spark.operators.dedup import substring_dup_groups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    return substring_dup_groups(docs.unionByName(copies)).select(
+        "sub_hash", "n_docs", "min_doc_id"
     )
 
 
@@ -811,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_query_3d": _make_q_batch_nd(3),
         "batch_query_4d": _make_q_batch_nd(4),
         "intersections_3d": _q_intersections_3d,
+        "intersections_4d": _q_intersections_4d,
+        "mutation_3d": _q_mutation_3d,
         "knn": _q_knn,
         "pip_convex": _q_pip,
         "raster_vector": _q_raster_vector,
@@ -840,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming": _q_phash_hamming,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "doc_fingerprints_exact": _q_fingerprints_exact,
+        "fingerprint_overlap": _q_fingerprint_overlap,
+        "substring_dedup": _q_substring_dedup,
         "dedup_components": _q_dedup_components,
         "mm_tile_caption": _q_mm_tile_caption,
         # rows-only (approximate / image-decode — no ANSI-SQL twin)
@@ -988,6 +1131,24 @@ ON a.id < c.id
 AND a.min0 <= c.max0 AND c.min0 <= a.max0
 AND a.min1 <= c.max1 AND c.min1 <= a.max1
 AND a.min2 <= c.max2 AND c.min2 <= a.max2
+""",
+        "intersections_4d": f"""
+WITH b AS ({_md5_boxes_4d_sql()})
+SELECT a.id AS id_a, c.id AS id_b FROM b a JOIN b c
+ON a.id < c.id
+AND a.min0 <= c.max0 AND c.min0 <= a.max0
+AND a.min1 <= c.max1 AND c.min1 <= a.max1
+AND a.min2 <= c.max2 AND c.min2 <= a.max2
+AND a.min3 <= c.max3 AND c.min3 <= a.max3
+""",
+        "mutation_3d": f"""
+WITH base AS ({_nd_boxes_sql(3, *_nd_args(3, "")[0])}),
+ins0 AS ({_nd_boxes_sql(3, "supplier", "s_suppkey", "id", _ND_INS_MULS[:3], 1.0, 3000)}),
+ins AS (SELECT id + {_ND_INS_ID_OFFSET} AS id,
+               min0, max0, min1, max1, min2, max2 FROM ins0),
+b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
+q AS ({_nd_boxes_sql(3, *_nd_args(3, "")[1])})
+SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {_nd_join_sql(3)}
 """,
         "knn": f"""
 WITH b AS ({PART_BOXES_SQL}),
@@ -1185,28 +1346,37 @@ r(n, l) AS (
 )
 SELECT n AS node, min(l) AS component FROM r GROUP BY n
 """,
-        "doc_fingerprints_exact": """
-WITH d AS (
-  SELECT doc_id, text, length(text) - 7 AS n
-  FROM documents WHERE length(text) >= 8),
-pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p, text FROM d),
-g AS (
-  SELECT doc_id, n, p,
-    (CAST(ascii(substring(text, p + 0, 1)) AS BIGINT) * 13093627074328
-   + CAST(ascii(substring(text, p + 1, 1)) AS BIGINT) * 1259574651310
-   + CAST(ascii(substring(text, p + 2, 1)) AS BIGINT) * 14454419230023
-   + CAST(ascii(substring(text, p + 3, 1)) AS BIGINT) * 16867844411465
-   + CAST(ascii(substring(text, p + 4, 1)) AS BIGINT) * 16368705227670
-   + CAST(ascii(substring(text, p + 5, 1)) AS BIGINT) * 1000006000009
-   + CAST(ascii(substring(text, p + 6, 1)) AS BIGINT) * 1000003
-   + CAST(ascii(substring(text, p + 7, 1)) AS BIGINT)) % 17592186044399 AS gh
-  FROM pos),
-w AS (
-  SELECT doc_id, n, p,
-    min(gh) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-  FROM g)
-SELECT DISTINCT doc_id, fp FROM w WHERE p <= greatest(1, n - 3)
+        "doc_fingerprints_exact": _winnow_sql("SELECT doc_id, text FROM documents")
+        + "\nSELECT doc_id, fp FROM fps\n",
+        "fingerprint_overlap": _winnow_sql("""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'zz ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0""") + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_overlap
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 8)
+SELECT ov.id_a AS id_a, ov.id_b AS id_b, ov.n_overlap AS n_overlap,
+       CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b
+FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
+        JOIN sz sb ON sb.doc_id = ov.id_b
+""",
+        "substring_dedup": _gram_sql("""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'zz ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0""") + """,
+anchors AS (
+  SELECT doc_id, p, text FROM g
+  WHERE gh % 32 = 0 AND p + 63 <= n + 7),
+subs AS (SELECT DISTINCT doc_id, md5(substring(text, p, 64)) AS sub_hash
+         FROM anchors)
+SELECT sub_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM subs GROUP BY sub_hash HAVING count(*) >= 2
 """,
         "ann_ivf_exhaustive": """
 WITH qv AS (

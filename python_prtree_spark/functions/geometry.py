@@ -75,26 +75,38 @@ def validate_boxes_np(boxes: np.ndarray, cfg: EngineConfig) -> None:
             raise ValueError("Subnormal coordinates detected")
 
 
-def validate_boxes_df(df: DataFrame, cfg: EngineConfig) -> None:
+def box_col_names(dims: int) -> tuple[list[str], list[str]]:
+    """(min cols, max cols) for a D-dim box table: the 2D engine names
+    (xmin, ymin / xmax, ymax) or the nd convention (min0.. / max0..)."""
+    if dims == 2:
+        return ["xmin", "ymin"], ["xmax", "ymax"]
+    return ([f"min{d}" for d in range(dims)], [f"max{d}" for d in range(dims)])
+
+
+def validate_boxes_df(df: DataFrame, cfg: EngineConfig, dims: int = 2) -> None:
     """Distributed validation: one aggregate pass; raises like the
     reference's ctor. Used by build_index before any shuffle."""
+    mins, maxs = box_col_names(dims)
+    cols = mins + maxs
     checks = []
-    for c in BOX_COLS:
+    for c in cols:
         checks.append(F.sum(F.when(~F.col(c).isNotNull() | F.isnan(c) |
                                    (F.abs(F.col(c)) == float("inf")), 1).otherwise(0)))
-    bad_order = F.sum(
-        F.when((F.col("xmin") > F.col("xmax")) | (F.col("ymin") > F.col("ymax")), 1).otherwise(0)
-    )
+    order_pred = None
+    for lo, hi in zip(mins, maxs):
+        t = F.col(lo) > F.col(hi)
+        order_pred = t if order_pred is None else (order_pred | t)
+    bad_order = F.sum(F.when(order_pred, 1).otherwise(0))
     agg = [c.alias(f"bad_{i}") for i, c in enumerate(checks)] + [bad_order.alias("bad_order")]
     if cfg.detect_subnormal:
         sub = None
-        for c in BOX_COLS:
+        for c in cols:
             t = (F.col(c) != 0.0) & (F.abs(F.col(c)) < F.lit(float(_MIN_NORMAL)))
             sub = t if sub is None else (sub | t)
         agg.append(F.sum(F.when(sub, 1).otherwise(0)).alias("bad_subnormal"))
     row = df.agg(*agg).collect()[0]
     d = row.asDict()
-    if any(d[f"bad_{i}"] for i in range(4)):
+    if any(d[f"bad_{i}"] for i in range(len(cols))):
         raise ValueError("Box coordinates must be finite (no NaN/Inf)")
     if d["bad_order"]:
         raise ValueError("Box min must be <= max in every dimension")

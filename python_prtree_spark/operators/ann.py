@@ -44,13 +44,10 @@ _BCAST_PROBE_BYTES = 8 << 20
 
 def _gated_probe(p: "DataFrame") -> tuple["DataFrame", bool]:
     """(probe side possibly wrapped in F.broadcast, was_hinted)."""
-    try:
-        est = int(str(
-            p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        ))
-    except Exception:
-        est = None
-    if est is not None and 0 < est <= _BCAST_PROBE_BYTES:
+    from python_prtree_spark.plans.explain import plan_size_estimate
+
+    est = plan_size_estimate(p)
+    if est is not None and est <= _BCAST_PROBE_BYTES:
         return F.broadcast(p), True
     return p, False
 
@@ -142,9 +139,18 @@ def ivf_topk(
     With n_probe = n_centroids every probe visits every list, making the
     result provably the EXACT top-k (recall 1.0 independent of the
     centroid float math) — the oracle-gated configuration."""
+    # deterministic hash-ordered sample, NOT limit(): limit takes whatever
+    # partitions answer first, so a clustered corpus (one shard per tenant,
+    # say) would train centroids on a few partitions' vectors and tank
+    # approximate-mode recall. orderBy(xxhash64)+limit compiles to
+    # TakeOrderedAndProject — per-partition top-n, driver merge, no full
+    # sort shuffle — giving a seed-stable pseudo-random sample drawn from
+    # EVERY partition.
     samp = np.stack(
-        [r["v"] for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-         .limit(sample_size).collect()]
+        [r["v"] for r in corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        ).orderBy("_h").limit(sample_size).collect()]
     )
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]

@@ -22,12 +22,15 @@ partitioned, broadcast-able, AQE-friendly. No cross joins anywhere.
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "exact_duplicates",
@@ -37,6 +40,8 @@ __all__ = [
     "hamming_pairs",
     "embedding_near_dup_pairs",
     "rolling_fingerprints",
+    "fingerprint_overlap_pairs",
+    "substring_dup_groups",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -252,6 +257,18 @@ def ngram_jaccard_pairs(
             F.expr("approx_percentile(tdf, 0.99, 10000)").alias("p")
         ).collect()[0]["p"]
         max_token_df = max(64, int(4 * (p99 or 0)))
+        # make the recall trade-off observable (ADVICE r3): how many
+        # distinct tokens the cap excludes from candidate generation — a
+        # pair is missed only if EVERY shared token is in this set
+        n_excl, n_tok = tdf.agg(
+            F.count(F.when(F.col("tdf") > max_token_df, 1)).alias("ex"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        _LOG.info(
+            "ngram_jaccard_pairs auto cap: max_token_df=%d (4 x p99=%s); "
+            "%d of %d distinct tokens excluded from blocking",
+            max_token_df, p99, n_excl, n_tok,
+        )
     if max_token_df is None:
         a = toks.select(F.col("_id").alias("id_a"), "tok")
         b = toks.select(F.col("_id").alias("id_b"), "tok")
@@ -641,7 +658,15 @@ def hamming_pairs(
     minhash kernel's pattern), and code-level pairs are expanded back to
     id pairs by distributed joins. No ``collect_list`` of bucket members,
     no pair-level ``distinct``, no m²/2 candidate explosion on a single
-    worker for degenerate key distributions."""
+    worker for degenerate key distributions.
+
+    Input contract: one row per (id, code) — a physically duplicated row
+    (same id AND same code twice) would duplicate its output pairs (the
+    expansion joins fan out per input row; there is deliberately no
+    pair-level ``distinct`` to hide it, since that is the exact
+    scale-killer this plan removed). Dedupe upstream if the source can
+    repeat rows; duplicate ids with DIFFERENT codes are tolerated
+    (guarded by the id_a != id_b / id_a < id_b filters)."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     src = df.select(F.col(id_col).alias("_id"), F.col(bits_col).alias("_bits"))
@@ -747,10 +772,12 @@ def _make_cosine_stream(threshold: float, width: int):
 
     Memory: the SLAB bound applies to the quadratic term (the gram
     block); bucket base storage is O(m·d) — the bucket's own vectors —
-    matching the minhash kernel's O(m·tokens) contract. A bucket whose
-    vectors alone exceed worker memory means n_planes is mis-tuned for
-    the corpus (bucket count is bands · 2^(n_planes/bands); raise
-    n_planes to shrink buckets)."""
+    matching the minhash kernel's O(m·tokens) contract, where m counts
+    DISTINCT vectors only (the caller collapses identical vectors before
+    banding, so a degenerate all-equal corpus is one row here). A bucket
+    whose distinct vectors alone exceed worker memory means n_planes is
+    mis-tuned for the corpus (bucket count is bands · 2^(n_planes/bands);
+    raise n_planes to shrink buckets)."""
     thr = float(threshold) - 1e-6
     w = int(width)
 
@@ -849,24 +876,56 @@ def embedding_near_dup_pairs(
     verify. For threshold t the collision analysis follows SimHash:
     P[bit agree] = 1 - angle/pi.
 
-    Physical plan (VERDICT r2 item 1): sketch rows carry their vector into
-    ONE shuffle on (band, bbits) — 4x the vector column's bytes (one copy
-    per band; with 2^(n_planes/4) distinct keys per band nearly every row
-    lands in a multi-member bucket, so a singleton-prefilter join would
-    save nothing); a streaming sorted-partition kernel
-    walks bucket runs and PRE-VERIFIES candidates in-kernel with a
-    BLAS gram slab (fixed memory budget, first-colliding-band dedup — the
-    minhash kernel's pattern), emitting each near-qualifying pair exactly
-    once. A final JVM join + higher-order-function cosine is the
-    AUTHORITATIVE filter (the kernel uses threshold - 1e-6, so float fold
-    order can never drop a qualifying pair), keeping the output float math
+    Physical plan (VERDICT r2 item 1 + ADVICE r3): IDENTICAL vectors are
+    collapsed first — one window shuffle on the exact vector value tags
+    every row with its group's min-id representative, and only distinct
+    vectors enter sketching — so a degenerate corpus of N equal embeddings
+    contributes ONE kernel row (same collapse-then-expand shape as
+    ``hamming_pairs``), not an O(m·d) single-bucket carry. Distinct
+    vectors then carry into ONE shuffle on (band, bbits) — 4x the vector
+    column's bytes (one copy per band; with 2^(n_planes/4) distinct keys
+    per band nearly every row lands in a multi-member bucket, so a
+    singleton-prefilter join would save nothing); a streaming
+    sorted-partition kernel walks bucket runs and PRE-VERIFIES candidates
+    in-kernel with a BLAS gram slab (fixed memory budget,
+    first-colliding-band dedup — the minhash kernel's pattern), emitting
+    each near-qualifying distinct-vector pair exactly once.
+    Representative pairs expand back to id pairs through spillable
+    equi-joins on the representative id, identical-vector groups add
+    their (id_a < id_b) pairs via a plain self-join, and a final JVM
+    join + higher-order-function cosine is the AUTHORITATIVE filter for
+    ALL of them (the kernel uses threshold - 1e-6, so float fold order
+    can never drop a qualifying pair), keeping the output float math
     bit-identical to the SQL oracle. No bucket collect_list, no pair
-    ``distinct``, no m²/2 candidate rows out of a degenerate bucket —
-    only near-verified pairs leave the kernel."""
+    ``distinct``, no m²/2 candidate rows out of a degenerate bucket.
+
+    Input contract: one row per (id, vector) — a physically duplicated
+    row (same id AND same vector twice) would duplicate its output pairs;
+    dedupe upstream if the source can repeat rows. Duplicate ids with
+    DIFFERENT vectors are tolerated (guarded by the != filters)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_planes, dim))
+
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(id_col).alias("_oid"),
+        F.col(vec_col).cast("array<double>").alias("_vv"),
+    )
+    # collapse: tag each row with its exact-vector group's min id. Exact
+    # array equality (not a 64-bit hash, whose birthday collisions at
+    # corpus scale would silently merge DIFFERENT vectors); map-side cost
+    # is one extra vector shuffle, repaid whenever duplicates exist
+    # because sketching/banding then runs on distinct vectors only.
+    tagged = src.withColumn(
+        "_rid", F.min("_oid").over(Window.partitionBy("_vv"))
+    )
+    reps = tagged.where(F.col("_oid") == F.col("_rid")).select(
+        F.col("_rid").alias(id_col), F.col("_vv").alias(vec_col)
+    )
+    memb = tagged.select("_rid", "_oid")
 
     def gen(batches):
         for pdf in batches:
@@ -881,7 +940,7 @@ def embedding_near_dup_pairs(
             })
 
     out_t = df.schema[id_col].dataType.simpleString()
-    sk = _spread(df.select(id_col, vec_col)).mapInPandas(
+    sk = _spread(reps).mapInPandas(
         gen, schema=f"{id_col} {out_t}, sketch long, _v array<double>"
     )
     # band the sketch into 4 sub-keys (pigeonhole: tolerate up to 3 differing planes)
@@ -900,7 +959,7 @@ def embedding_near_dup_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "sketch", "_v", "bk.band", "bk.bbits")
-    cand = (
+    rep_pairs = (
         banded.repartition("band", "bbits")
         .sortWithinPartitions("band", "bbits", "_id")
         .mapInPandas(
@@ -908,6 +967,31 @@ def embedding_near_dup_pairs(
             schema=f"id_a {out_t}, id_b {out_t}",
         )
     )
+    # expand representative pairs to id pairs with spillable equi-joins
+    # (a quadratic group-x-group answer is produced across the cluster,
+    # never on one worker), and add within-group (identical-vector) pairs
+    cross = (
+        rep_pairs.join(
+            memb.select(F.col("_rid").alias("id_a"), F.col("_oid").alias("_ia")),
+            on="id_a",
+        )
+        .join(
+            memb.select(F.col("_rid").alias("id_b"), F.col("_oid").alias("_ib")),
+            on="id_b",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    same = (
+        memb.select("_rid", F.col("_oid").alias("id_a"))
+        .join(memb.select("_rid", F.col("_oid").alias("id_b")), on="_rid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(same)
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -985,4 +1069,177 @@ def rolling_fingerprints(
     out_t = df.schema[id_col].dataType.simpleString()
     return _spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {out_t}, fingerprints array<long>"
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    min_overlap: int = 2,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_df: "int | None | str" = "auto",
+) -> DataFrame:
+    """Copy-pair detection from winnowing fingerprints (VERDICT r3 item
+    7): all pairs sharing >= min_overlap DISTINCT fingerprints →
+    (id_a, id_b, n_overlap, n_a, n_b). The classic MOSS-style use of
+    winnowing (Schleimer et al. §4): fingerprints are the inverted-index
+    keys, shared-fingerprint count is the copy score.
+
+    Same blocked shape as ``ngram_jaccard_pairs``: explode per-doc
+    fingerprint arrays → equi-join on fingerprint → per-pair counts, all
+    integers (exact, engine-reproducible). ``max_fp_df`` is the identical
+    scale guard — only fingerprints with document frequency <= cap
+    generate candidates (bounding join cost by cap x total fingerprints),
+    each candidate's overlap then recounted EXACTLY over all its
+    fingerprints; 'auto' = max(64, 4 x approx-p99 of the fp-df
+    distribution), None = fully exact single phase. Winnowing min-
+    sampling keeps fp dfs low by construction, so the auto cap is
+    normally far above the maximum and recall is 1.0."""
+    fps = rolling_fingerprints(df, k, window, id_col, text_col)
+    ex = fps.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    fdf = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
+    if isinstance(max_fp_df, str):
+        if max_fp_df != "auto":
+            raise ValueError(f"max_fp_df must be an int, None or 'auto', got {max_fp_df!r}")
+        p99 = fdf.agg(
+            F.expr("approx_percentile(fdf, 0.99, 10000)").alias("p")
+        ).collect()[0]["p"]
+        max_fp_df = max(64, int(4 * (p99 or 0)))
+        n_excl, n_fp = fdf.agg(
+            F.count(F.when(F.col("fdf") > max_fp_df, 1)).alias("ex"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        _LOG.info(
+            "fingerprint_overlap_pairs auto cap: max_fp_df=%d (4 x p99=%s); "
+            "%d of %d distinct fingerprints excluded from blocking",
+            max_fp_df, p99, n_excl, n_fp,
+        )
+    if max_fp_df is None:
+        inter = (
+            ex.select(F.col("_id").alias("id_a"), "fp")
+            .join(ex.select(F.col("_id").alias("id_b"), "fp"), on="fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+    else:
+        rare = fdf.where(F.col("fdf") <= int(max_fp_df)).select("fp")
+        bl = ex.join(rare, on="fp", how="left_semi")
+        cand = (
+            bl.select(F.col("_id").alias("id_a"), "fp")
+            .join(bl.select(F.col("_id").alias("id_b"), "fp"), on="fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # phase 2: exact overlap over ALL fingerprints of each candidate
+        inter = (
+            cand.join(ex.select(F.col("_id").alias("id_a"), "fp"), on="id_a")
+            .join(ex.select(F.col("_id").alias("id_b"), "fp"), on=["id_b", "fp"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+    # sizes has one row PER DOCUMENT — no broadcast hint (AQE decides)
+    return (
+        inter.where(F.col("n_overlap") >= int(min_overlap))
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("n_b")), on="id_b")
+        .select("id_a", "id_b", "n_overlap", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (anchored n-gram blocks)
+# ---------------------------------------------------------------------------
+
+def substring_dup_groups(
+    df: DataFrame,
+    min_len: int = 64,
+    anchor_mod: int = 32,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup (the Lee et al. 2022 training-data operator:
+    verbatim passages repeated across documents) as a bounded
+    anchored-n-gram block operator → (sub_hash, n_docs, min_doc_id, a
+    sample substring) for every length-``min_len`` anchored substring
+    present in >= min_docs distinct documents.
+
+    A suffix array is inherently sequential; the distributed form uses
+    CONTENT-DEFINED anchors instead: position p is an anchor iff the
+    k-gram rolling hash at p satisfies ``gh % anchor_mod == 0``. Anchors
+    depend only on local bytes, so two documents sharing a passage place
+    anchors at the SAME offsets inside it regardless of alignment — the
+    anchored length-min_len substrings then collide by simple equality.
+    Detection: a shared passage of length M >= min_len contains an anchor
+    (and is detected) with probability ~1 - (1 - 1/anchor_mod)^(M -
+    min_len + 1) — e.g. > 99.9% at M = min_len + 7·anchor_mod; lower
+    anchor_mod for harder guarantees at ~len/anchor_mod emitted rows per
+    document. Exactness: every reported group IS a verbatim shared
+    substring (equality on the bytes, via their md5 — no rolling-hash
+    collisions can create a false group beyond md5's 2^-128).
+
+    Physical plan: one Arrow pass computes gram hashes vectorized across
+    the batch's concatenated bytes (k multiply-adds total), per-doc
+    anchor masks, doc-local dedup of extracted substrings; then ONE
+    shuffle on the JVM-computed md5 for the group count. Group form (not
+    pairs): a passage shared by 10^6 docs is one row, never a 10^12-pair
+    explosion; expand via an equi-join on sub_hash when pairs are needed.
+
+    ASCII corpora hash byte-identically to SQL oracles (the kernel works
+    on UTF-8 bytes; non-ASCII text is still deduped correctly but byte
+    offsets differ from codepoint offsets)."""
+    B = np.uint64(1_000_003)
+    MOD = np.uint64((1 << 44) - 17)
+    L, q, kk = int(min_len), np.uint64(anchor_mod), int(k)
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            per_doc = [t.encode("utf-8") for t in texts]
+            lens = np.fromiter((len(c) for c in per_doc), np.int64, count=len(per_doc))
+            starts = np.zeros(len(per_doc), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            blob = (np.frombuffer(b"".join(per_doc), dtype=np.uint8)
+                    if per_doc else np.empty(0, np.uint8)).astype(np.uint64)
+            n_all = max(len(blob) - kk + 1, 0)
+            grams = np.zeros(n_all, dtype=np.uint64)
+            for i in range(kk):  # k is small: vectorized over positions
+                grams = (grams * B + blob[i: i + n_all]) % MOD
+            is_anchor = (grams % q) == 0
+            out_ids, out_subs = [], []
+            for did, raw, s, ln in zip(pdf[id_col], per_doc, starts, lens):
+                n_ok = ln - L + 1  # anchored substring must fit in the doc
+                if n_ok <= 0:
+                    continue
+                pos = np.flatnonzero(is_anchor[s: s + n_ok])
+                if not len(pos):
+                    continue
+                # doc-local dedup: a passage repeated within one document
+                # counts once toward n_docs
+                subs = {raw[p: p + L] for p in pos.tolist()}
+                out_ids.extend([did] * len(subs))
+                # latin-1 = lossless byte→str; re-encoding to UTF-8 in the
+                # JVM is identity for ASCII (the oracle-matched case)
+                out_subs.extend(b.decode("latin-1") for b in subs)
+            yield pd.DataFrame({id_col: out_ids, "sub": out_subs})
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    subs = _spread(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, sub string"
+    )
+    return (
+        subs.select(id_col, F.md5(F.col("sub")).alias("sub_hash"), "sub")
+        .groupBy("sub_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+            F.min("sub").alias("sample"),
+        )
+        .where(F.col("n_docs") >= int(min_docs))
     )

@@ -44,6 +44,61 @@ _BCAST_PROBE_BYTES = 1 << 20
 _BCAST_PROBE_ROWS = 100_000
 
 
+def _broadcast_probe_pts(points_df: DataFrame, query_id: str, x: str, y: str):
+    """Materialize + broadcast a gated-tiny probe set as numpy arrays, or
+    None when the row cap trips. LIMIT cap+1 BEFORE toPandas: driver
+    memory stays bounded even when Catalyst's sizeInBytes estimate
+    grossly undercounts (the cap would otherwise trip only after the full
+    probe set already materialized)."""
+    import numpy as np
+
+    pts = points_df.select(query_id, x, y).limit(_BCAST_PROBE_ROWS + 1).toPandas()
+    if len(pts) > _BCAST_PROBE_ROWS:
+        return None  # estimate lied — caller falls back to the radius path
+    return points_df.sparkSession.sparkContext.broadcast((
+        pts[query_id].to_numpy(),
+        pts[x].to_numpy(np.float64),
+        pts[y].to_numpy(np.float64),
+    ))
+
+
+def _local_topk_chunks(qids, px, py, ids, cx, cy, kk, out_q, out_i, out_d):
+    """Chunked map-side kNN combine: append every candidate with dist <=
+    the k-th smallest per probe (np.partition, O(m*c), no sort) — a
+    SUPERSET of the chunk's true top-k including all boundary ties, so no
+    exact (dist, id) ordering is needed Python-side; the final window is
+    the only arbiter of ranks. Emitted rows ~= k + ties per
+    (probe, chunk). Shared by the live centroid scan and the
+    LoadedIndex pack scan."""
+    import numpy as np
+
+    m = len(qids)
+    c = max(256, (1 << 23) // max(m, 1))  # m x c doubles <= ~64 MB
+    for lo in range(0, len(ids), c):
+        hi = min(lo + c, len(ids))
+        d = ((cx[None, lo:hi] - px[:, None]) ** 2
+             + (cy[None, lo:hi] - py[:, None]) ** 2)
+        if hi - lo > kk:
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1:kk]
+            qi, ci = np.nonzero(d <= kth)
+        else:
+            qi, ci = np.nonzero(np.isfinite(d))
+        out_q.append(qids[qi])
+        out_i.append(ids[lo:hi][ci])
+        out_d.append(d[qi, ci])
+
+
+def _global_topk(local: DataFrame, k: int, data_id: str, query_id: str) -> DataFrame:
+    """(qid, id, dist2) candidate rows → global top-k with the engine-wide
+    tie-break: ascending (dist2, id)."""
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(query_id, data_id, "rank")
+    )
+
+
 def _knn_broadcast(
     cent_xy: DataFrame, points_df: DataFrame, k: int,
     data_id: str, query_id: str, x: str, y: str,
@@ -56,15 +111,9 @@ def _knn_broadcast(
     the expanding-radius path: ascending (dist2, id)."""
     import numpy as np
 
-    spark = points_df.sparkSession
-    pts = points_df.select(query_id, x, y).toPandas()  # gated tiny
-    if len(pts) > _BCAST_PROBE_ROWS:
-        return None  # estimate lied — caller falls back to the radius path
-    bc = spark.sparkContext.broadcast((
-        pts[query_id].to_numpy(),
-        pts[x].to_numpy(np.float64),
-        pts[y].to_numpy(np.float64),
-    ))
+    bc = _broadcast_probe_pts(points_df, query_id, x, y)
+    if bc is None:
+        return None
     kk = int(k)
     qt = points_df.schema[query_id].dataType.simpleString()
     dt = cent_xy.schema[data_id].dataType.simpleString()
@@ -73,32 +122,17 @@ def _knn_broadcast(
         import pandas as pd
 
         qids, px, py = bc.value
-        m = len(qids)
-        if m == 0:
+        if len(qids) == 0:
             return
-        # per chunk: keep every candidate with dist <= the k-th smallest
-        # (np.partition, O(m*c), no sort) — a SUPERSET of the chunk's true
-        # top-k including all boundary ties, so no exact (dist, id)
-        # ordering is needed Python-side; the final window is the only
-        # arbiter of ranks. Emitted rows ~= k + ties per (probe, chunk).
         out_q, out_i, out_d = [], [], []
         for pdf in batches:
-            ids = pdf[data_id].to_numpy()
-            cx = pdf["_cx"].to_numpy(np.float64)
-            cy = pdf["_cy"].to_numpy(np.float64)
-            c = max(256, (1 << 23) // max(m, 1))  # m x c doubles <= ~64 MB
-            for lo in range(0, len(ids), c):
-                hi = min(lo + c, len(ids))
-                d = ((cx[None, lo:hi] - px[:, None]) ** 2
-                     + (cy[None, lo:hi] - py[:, None]) ** 2)
-                if hi - lo > kk:
-                    kth = np.partition(d, kk - 1, axis=1)[:, kk - 1:kk]
-                    qi, ci = np.nonzero(d <= kth)
-                else:
-                    qi, ci = np.nonzero(np.isfinite(d))
-                out_q.append(qids[qi])
-                out_i.append(ids[lo:hi][ci])
-                out_d.append(d[qi, ci])
+            _local_topk_chunks(
+                qids, px, py,
+                pdf[data_id].to_numpy(),
+                pdf["_cx"].to_numpy(np.float64),
+                pdf["_cy"].to_numpy(np.float64),
+                kk, out_q, out_i, out_d,
+            )
         if out_q:
             yield pd.DataFrame({
                 query_id: np.concatenate(out_q),
@@ -109,57 +143,29 @@ def _knn_broadcast(
     local = cent_xy.select(data_id, "_cx", "_cy").mapInPandas(
         gen, schema=f"{query_id} {qt}, {data_id} {dt}, dist2 double"
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kk)
-        .select(query_id, data_id, "rank")
-    )
+    return _global_topk(local, kk, data_id, query_id)
 
 
-def knn_join(
-    data_df: DataFrame,
+def _knn_radius_rounds(
     points_df: DataFrame,
     k: int,
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    data_id: str = "id",
-    query_id: str = "qid",
-    x: str = "x",
-    y: str = "y",
-    r0: float | None = None,
-    max_rounds: int = 8,
+    cfg: EngineConfig,
+    n_data: int,
+    cand_fn,
+    data_id: str,
+    query_id: str,
+    x: str,
+    y: str,
+    r0: float | None,
+    max_rounds: int,
 ) -> DataFrame:
-    """k nearest data-box centroids per probe point → (qid, id, rank)."""
-    # centroids once; reused by both routes / across rounds
-    cent = data_df.select(
-        data_id,
-        ((F.col("xmin") + F.col("xmax")) / 2).alias("_cx"),
-        ((F.col("ymin") + F.col("ymax")) / 2).alias("_cy"),
-        "xmin", "ymin", "xmax", "ymax",
-    )
-    cent_xy = cent.select(data_id, "_cx", "_cy")
-
-    # tiny probe batch + numeric ids → single-scan broadcast kNN (decided
-    # from Catalyst's own size estimate, like probe._pick_strategy; no job
-    # is scheduled — not even resolve_geometry's count, which only the
-    # radius loop needs). The expanding-radius loop below costs one
-    # data-side pass per round — strictly worse whenever the probes fit
-    # in memory.
-    if cent_xy.schema[data_id].dataType.simpleString() in ("bigint", "int"):
-        try:
-            est = int(str(
-                points_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            ))
-        except Exception:
-            est = None
-        if est is not None and 0 < est <= _BCAST_PROBE_BYTES:
-            out = _knn_broadcast(cent_xy, points_df, k, data_id, query_id, x, y)
-            if out is not None:  # None = row-cap tripped after materializing
-                return out
-
-    cfg, n_data = _probe.resolve_geometry(
-        data_df.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg
-    )
+    """The expanding-radius kNN loop, parameterized over candidate
+    generation so the live path (cell-join over centroid boxes) and the
+    LoadedIndex path (bucket-pruned pack probe) share the identical
+    certificate logic. ``cand_fn(probe_boxes)`` must return a DataFrame
+    (query_id, data_id, _cx, _cy) containing AT LEAST every data row whose
+    centroid lies inside the probe box (supersets are fine — scoring and
+    the window discard extras), each (query_id, data_id) at most once."""
     ext = cfg.extent
     diag = math.hypot(ext.width(), ext.height())
     if r0 is None:
@@ -169,38 +175,31 @@ def knn_join(
             diag, 1.5 * math.sqrt(max(k, 1) * area / max(n_data, 1))
         )
 
-    cent_boxes = cent.select(
-        data_id,
-        F.col("_cx").alias("xmin"), F.col("_cy").alias("ymin"),
-        F.col("_cx").alias("xmax"), F.col("_cy").alias("ymax"),
-    )
-
     pending = points_df.select(query_id, F.col(x).alias("_px"), F.col(y).alias("_py"))
     results: list[DataFrame] = []
     r = r0
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(data_id).asc())
 
-    for rnd in range(max_rounds):
-        probes = pending.select(
-            query_id, "_px", "_py",
-            (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
-            (F.col("_px") + r).alias("xmax"), (F.col("_py") + r).alias("ymax"),
-        )
-        cand = _probe.batch_query(
-            cent_boxes, probes.select(query_id, "xmin", "ymin", "xmax", "ymax"),
-            cfg, data_id, query_id, n_data_hint=n_data,
-        )
-        scored = (
-            cand.join(cent_xy, on=data_id)
-            .join(probes.select(query_id, "_px", "_py"), on=query_id)
+    def score(probes):
+        cand = cand_fn(probes.select(query_id, "xmin", "ymin", "xmax", "ymax"))
+        return (
+            cand.join(probes.select(query_id, "_px", "_py"), on=query_id)
             .withColumn(
                 "dist2",
                 (F.col("_cx") - F.col("_px")) ** 2 + (F.col("_cy") - F.col("_py")) ** 2,
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-        ).localCheckpoint(eager=True)  # materialize once: reused by the
-        # certificate, the result slice, AND the final union
+        )
+
+    for _rnd in range(max_rounds):
+        probes = pending.select(
+            query_id, "_px", "_py",
+            (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
+            (F.col("_px") + r).alias("xmax"), (F.col("_py") + r).alias("ymax"),
+        )
+        scored = score(probes).localCheckpoint(eager=True)  # materialize
+        # once: reused by the certificate, the result slice, AND the union
         exact = r >= diag  # the box now contains every centroid
         if exact:
             results.append(scored.select(query_id, data_id, "rank"))
@@ -237,23 +236,65 @@ def knn_join(
             F.lit(float("-1e308")).alias("xmin"), F.lit(float("-1e308")).alias("ymin"),
             F.lit(float("1e308")).alias("xmax"), F.lit(float("1e308")).alias("ymax"),
         )
-        cand = _probe.batch_query(
-            cent_boxes, probes.select(query_id, "xmin", "ymin", "xmax", "ymax"),
-            cfg, data_id, query_id, n_data_hint=n_data,
-        )
-        scored = (
-            cand.join(cent_xy, on=data_id)
-            .join(probes.select(query_id, "_px", "_py"), on=query_id)
-            .withColumn(
-                "dist2",
-                (F.col("_cx") - F.col("_px")) ** 2 + (F.col("_cy") - F.col("_py")) ** 2,
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-        )
-        results.append(scored.select(query_id, data_id, "rank"))
+        results.append(score(probes).select(query_id, data_id, "rank"))
 
     out = results[0]
     for nxt in results[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def knn_join(
+    data_df: DataFrame,
+    points_df: DataFrame,
+    k: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    r0: float | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k nearest data-box centroids per probe point → (qid, id, rank)."""
+    # centroids once; reused by both routes / across rounds
+    cent = data_df.select(
+        data_id,
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("_cx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("_cy"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    cent_xy = cent.select(data_id, "_cx", "_cy")
+
+    # tiny probe batch + numeric ids → single-scan broadcast kNN (decided
+    # from Catalyst's own size estimate, like probe._pick_strategy; no job
+    # is scheduled — not even resolve_geometry's count, which only the
+    # radius loop needs). The expanding-radius loop below costs one
+    # data-side pass per round — strictly worse whenever the probes fit
+    # in memory.
+    if cent_xy.schema[data_id].dataType.simpleString() in ("bigint", "int"):
+        from python_prtree_spark.plans.explain import plan_size_estimate
+
+        est = plan_size_estimate(points_df)
+        if est is not None and est <= _BCAST_PROBE_BYTES:
+            out = _knn_broadcast(cent_xy, points_df, k, data_id, query_id, x, y)
+            if out is not None:  # None = row-cap tripped after materializing
+                return out
+
+    cfg, n_data = _probe.resolve_geometry(
+        data_df.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg
+    )
+    cent_boxes = cent.select(
+        data_id,
+        F.col("_cx").alias("xmin"), F.col("_cy").alias("ymin"),
+        F.col("_cx").alias("xmax"), F.col("_cy").alias("ymax"),
+    )
+
+    def cand_fn(probe_boxes):
+        return _probe.batch_query(
+            cent_boxes, probe_boxes, cfg, data_id, query_id, n_data_hint=n_data,
+        ).join(cent_xy, on=data_id)
+
+    return _knn_radius_rounds(
+        points_df, k, cfg, n_data, cand_fn, data_id, query_id, x, y, r0, max_rounds
+    )

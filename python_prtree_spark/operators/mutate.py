@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
-from python_prtree_spark.functions.geometry import validate_boxes_df
+from python_prtree_spark.functions.geometry import box_col_names, validate_boxes_df
 from python_prtree_spark.functions.tiling import explode_cells
 from python_prtree_spark.operators import probe as _probe
 from python_prtree_spark.operators.pairs import query_intersections as _qi
@@ -46,22 +46,39 @@ BOX = ["xmin", "ymin", "xmax", "ymax"]
 class PRTreeTable:
     """Immutable-snapshot spatial table; every mutation returns a new
     snapshot (Spark-idiomatic MVCC) while tracking dirty cells for
-    incremental index refresh."""
+    incremental index refresh.
+
+    ``dims`` extends the full mutation surface to the reference's 3D/4D
+    families (PRTree3D/4D insert/erase, core.py:774,826; the legacy suite
+    runs insert_erase at 2/3/4D, tests/legacy/test_PRTree.py:75-112).
+    Column convention for dims > 2 is the nd one (min0..min{D-1},
+    max0..max{D-1}); spatial routing uses the first two dims (cells
+    route, the full-D predicate decides — operators/nd.py), so dirty-cell
+    tracking and incremental refresh semantics are dimension-independent."""
 
     def __init__(
         self,
         df: DataFrame,
         cfg: EngineConfig = DEFAULT_CONFIG,
         data_id: str = "id",
+        dims: int = 2,
         _n_at_build: int | None = None,
         _dirty_cells: DataFrame | None = None,
         _validate: bool = True,
         _n_hint: int | None = None,
     ):
+        if not 2 <= dims <= 4:
+            raise ValueError("dims must be 2, 3, or 4 (reference parity)")
         self.data_id = data_id
-        slim = df.select(data_id, *BOX, *[c for c in df.columns if c not in ([data_id] + BOX)])
+        self.dims = dims
+        mins, maxs = box_col_names(dims)
+        self.box = mins + maxs
+        slim = df.select(
+            data_id, *self.box,
+            *[c for c in df.columns if c not in ([data_id] + self.box)],
+        )
         if _validate:
-            validate_boxes_df(slim.select(*BOX), cfg)
+            validate_boxes_df(slim.select(*self.box), cfg, dims)
             dup = slim.groupBy(data_id).count().where("count > 1").limit(1).count()
             if dup:
                 raise ValueError("Duplicate ids in input")
@@ -69,12 +86,25 @@ class PRTreeTable:
         # with a resolved cfg and an exact n hint this schedules NO job —
         # mutations thread row-count deltas instead of recounting the table
         self.cfg, self._n = _probe.resolve_geometry(
-            slim.select(data_id, *BOX), cfg, _n_hint
+            self._xy(slim), cfg, _n_hint
         )
         self.n_at_build = _n_at_build if _n_at_build is not None else self._n
         #: DataFrame['cell'] of cells touched since the last refresh (None =
         #: clean). Kept distributed: anti-joined/semi-joined, never collected.
         self.dirty_cells = _dirty_cells
+
+    def _xy(self, df: DataFrame) -> DataFrame:
+        """Project the routing plane (first two dims) onto the 2D names."""
+        if self.dims == 2:
+            return df.select(self.data_id, *BOX)
+        return df.select(
+            self.data_id,
+            F.col("min0").alias("xmin"), F.col("min1").alias("ymin"),
+            F.col("max0").alias("xmax"), F.col("max1").alias("ymax"),
+        )
+
+    def _snap_kw(self) -> dict:
+        return {"dims": self.dims}
 
     # -- size (reference prtree.h:816-824) -----------------------------------
     def size(self) -> int:
@@ -119,7 +149,7 @@ class PRTreeTable:
         if not snap.needs_rebuild():
             return snap
         all_cells = explode_cells(
-            snap.df.select(*BOX), snap.cfg.extent, snap.cfg.level
+            snap._xy(snap.df).drop(snap.data_id), snap.cfg.extent, snap.cfg.level
         ).select("cell").distinct()
         # union the pending dirty set: cells the mutations VACATED are not
         # covered by the (possibly smaller, possibly empty) live table but
@@ -129,14 +159,21 @@ class PRTreeTable:
                 snap.dirty_cells.select(F.col(snap.dirty_cells.columns[0]).alias("cell"))
             ).distinct()
         return PRTreeTable(
-            snap.df, snap.cfg, snap.data_id,
+            snap.df, snap.cfg, snap.data_id, dims=snap.dims,
             _n_at_build=snap._n, _dirty_cells=all_cells,
             _validate=False, _n_hint=snap._n,
         )
 
     def _touched_cells(self, rows_df: DataFrame) -> DataFrame:
+        if self.dims == 2:
+            xy = rows_df.select(*BOX)
+        else:
+            xy = rows_df.select(
+                F.col("min0").alias("xmin"), F.col("min1").alias("ymin"),
+                F.col("max0").alias("xmax"), F.col("max1").alias("ymax"),
+            )
         return explode_cells(
-            rows_df.select(*BOX), self.cfg.extent, self.cfg.level
+            xy, self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
 
     def _with_dirty(self, extra: DataFrame) -> DataFrame:
@@ -169,21 +206,26 @@ class PRTreeTable:
             if idx is None:
                 idx = self._n + 1  # reference auto-id (core.py:456-457)
             vals = [float(v) for v in bb]
-            if len(vals) == 2:  # point insert = degenerate box
-                vals = [vals[0], vals[1], vals[0], vals[1]]
-            if len(vals) != 4:
-                raise ValueError("2D bb must be [xmin, ymin, xmax, ymax]")
-            row = {self.data_id: int(idx),
-                   "xmin": vals[0], "ymin": vals[1], "xmax": vals[2], "ymax": vals[3]}
+            if len(vals) == self.dims:  # point insert = degenerate box
+                vals = vals + vals
+            if len(vals) != 2 * self.dims:
+                raise ValueError(
+                    f"{self.dims}D bb must have {2 * self.dims} values "
+                    "[min..., max...]"
+                )
+            row = {self.data_id: int(idx)}
+            mins, maxs = box_col_names(self.dims)
+            for i, c in enumerate(mins + maxs):
+                row[c] = vals[i]
             if obj is not None:
                 row.update(obj if isinstance(obj, dict) else {"obj": obj})
             spark = self.df.sparkSession
             spark_rows = spark.createDataFrame([row])
         rows = spark_rows.select(
-            self.data_id, *BOX,
-            *[c for c in spark_rows.columns if c not in [self.data_id, *BOX]],
+            self.data_id, *self.box,
+            *[c for c in spark_rows.columns if c not in [self.data_id, *self.box]],
         )
-        validate_boxes_df(rows.select(*BOX), self.cfg)
+        validate_boxes_df(rows.select(*self.box), self.cfg, self.dims)
         clash = (
             self.df.select(self.data_id)
             .join(rows.select(self.data_id), on=self.data_id)
@@ -194,7 +236,7 @@ class PRTreeTable:
         n_new = rows.count()  # counts only the (small) mutation batch
         new_df = self.df.unionByName(rows, allowMissingColumns=True)
         return self._maybe_auto_rebuild(PRTreeTable(
-            new_df, self.cfg, self.data_id,
+            new_df, self.cfg, self.data_id, dims=self.dims,
             _n_at_build=self.n_at_build,
             _dirty_cells=self._with_dirty(self._touched_cells(rows)),
             _validate=False,
@@ -221,7 +263,7 @@ class PRTreeTable:
         dirty = self._touched_cells(hit)
         new_df = self.df.join(ids_df, on=self.data_id, how="left_anti")
         return self._maybe_auto_rebuild(PRTreeTable(
-            new_df, self.cfg, self.data_id,
+            new_df, self.cfg, self.data_id, dims=self.dims,
             _n_at_build=self.n_at_build,
             _dirty_cells=self._with_dirty(dirty),
             _validate=False,
@@ -239,14 +281,15 @@ class PRTreeTable:
         so a following ``refresh_index`` rewrites the whole persisted
         index (never silently drops pending dirty cells)."""
         all_cells = explode_cells(
-            self.df.select(*BOX), self.cfg.extent, self.cfg.level
+            self._xy(self.df).drop(self.data_id), self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
         if self.dirty_cells is not None:  # vacated cells still need clearing
             all_cells = all_cells.unionByName(
                 self.dirty_cells.select(F.col(self.dirty_cells.columns[0]).alias("cell"))
             ).distinct()
-        return PRTreeTable(self.df, self.cfg, self.data_id, _validate=False,
-                           _dirty_cells=all_cells, _n_hint=self._n)
+        return PRTreeTable(self.df, self.cfg, self.data_id, dims=self.dims,
+                           _validate=False, _dirty_cells=all_cells,
+                           _n_hint=self._n)
 
     def refresh_index(self, path: str) -> None:
         """Incremental index refresh: re-pack ONLY dirty cells and overwrite
@@ -260,6 +303,12 @@ class PRTreeTable:
         from python_prtree_spark.operators.build import build_index
         from python_prtree_spark.sources.store import _with_bucket, merge_refresh
 
+        if self.dims != 2:
+            raise NotImplementedError(
+                "persisted index tables are 2D; 3D/4D tables are "
+                "in-session mutation surfaces (queries run via the nd "
+                "operators, which pack per-batch)"
+            )
         if self.dirty_cells is None:
             return
         dirty = self.dirty_cells.distinct()
@@ -322,7 +371,7 @@ class PRTreeTable:
     #    return_obj=True at core.py:601-605) ------------------------------------
     @property
     def payload_cols(self) -> list[str]:
-        return [c for c in self.df.columns if c not in [self.data_id, *BOX]]
+        return [c for c in self.df.columns if c not in [self.data_id, *self.box]]
 
     def set_obj(self, updates_df: DataFrame) -> "PRTreeTable":
         """Attach/replace payload columns for the given ids (updates_df:
@@ -340,7 +389,7 @@ class PRTreeTable:
                 out = out.withColumn(c, F.col(f"_new_{c}"))
             out = out.drop(f"_new_{c}")
         return PRTreeTable(
-            out, self.cfg, self.data_id,
+            out, self.cfg, self.data_id, dims=self.dims,
             _n_at_build=self.n_at_build, _dirty_cells=self.dirty_cells,
             _validate=False, _n_hint=self._n,
         )
@@ -359,9 +408,18 @@ class PRTreeTable:
     def batch_query(
         self, query_df: DataFrame, query_id: str = "qid", return_obj: bool = False
     ) -> DataFrame:
-        pairs = _probe.batch_query(
-            self.df, query_df, self.cfg, self.data_id, query_id, n_data_hint=self._n
-        )
+        if self.dims == 2:
+            pairs = _probe.batch_query(
+                self.df, query_df, self.cfg, self.data_id, query_id,
+                n_data_hint=self._n,
+            )
+        else:
+            from python_prtree_spark.operators.nd import batch_query_nd
+
+            pairs = batch_query_nd(
+                self.df, query_df, self.dims, self.cfg, self.data_id, query_id,
+                n_data_hint=self._n,
+            )
         if not return_obj:
             return pairs
         # return_obj=True: join payload columns back onto the result ids
@@ -377,6 +435,10 @@ class PRTreeTable:
         ``return_obj=True`` returns payloads instead of ids, ordered by id
         (core.py:601-605) — the bare value for a single payload column,
         else a dict of payload columns."""
+        if self.dims != 2:
+            raise NotImplementedError(
+                "scalar query() is 2D; use batch_query with nd columns"
+            )
         if xmax is None:  # point probe: query(x, y)
             xmax, ymax = xmin, ymin
         spark = self.df.sparkSession
@@ -397,10 +459,27 @@ class PRTreeTable:
         return [{c: r[c] for c in pcols} for r in rows]
 
     def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
+        if self.dims != 2:
+            raise NotImplementedError("batch_query_array is 2D; use batch_query")
         return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)
 
     def point_query(self, points_df: DataFrame, query_id: str = "qid") -> DataFrame:
-        return _probe.point_query(self.df, points_df, self.cfg, self.data_id, query_id)
+        """Point probes. For dims > 2 pass columns p0..p{D-1}; points are
+        degenerate boxes (reference prtree.h:596-615)."""
+        if self.dims == 2:
+            return _probe.point_query(self.df, points_df, self.cfg, self.data_id, query_id)
+        q = points_df.select(
+            query_id,
+            *[F.col(f"p{d}").alias(f"min{d}") for d in range(self.dims)],
+            *[F.col(f"p{d}").alias(f"max{d}") for d in range(self.dims)],
+        )
+        return self.batch_query(q, query_id)
 
     def query_intersections(self) -> DataFrame:
-        return _qi(self.df, self.cfg, self.data_id, n_data_hint=self._n)
+        if self.dims == 2:
+            return _qi(self.df, self.cfg, self.data_id, n_data_hint=self._n)
+        from python_prtree_spark.operators.nd import query_intersections_nd
+
+        return query_intersections_nd(
+            self.df, self.dims, self.cfg, self.data_id, n_data_hint=self._n
+        )

@@ -75,6 +75,7 @@ def batch_query_nd(
     cfg: EngineConfig = DEFAULT_CONFIG,
     data_id: str = "id",
     query_id: str = "qid",
+    n_data_hint: int | None = None,
 ) -> DataFrame:
     """D-dimensional batch box-overlap probe → (query_id, data_id) pairs.
     Exact for any D; closed intervals in every dimension."""
@@ -82,7 +83,9 @@ def batch_query_nd(
         raise ValueError("dims must be 2, 3, or 4 (reference parity)")
     d2 = _as2d(data_df, data_id, dims, keep_extra=True)
     q2 = _as2d(query_df, query_id, dims, keep_extra=True)
-    cfg, _n = resolve_geometry(d2.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg)
+    cfg, _n = resolve_geometry(
+        d2.select(data_id, "xmin", "ymin", "xmax", "ymax"), cfg, n_data_hint
+    )
     dc = explode_cells(d2, cfg.extent, cfg.level)
     qc = explode_cells(q2, cfg.extent, cfg.level)
 
@@ -130,10 +133,12 @@ def query_intersections_nd(
     dims: int,
     cfg: EngineConfig = DEFAULT_CONFIG,
     data_id: str = "id",
+    n_data_hint: int | None = None,
 ) -> DataFrame:
     """D-dimensional self-join: all pairs (id_a < id_b), each once."""
     qdf = data_df.select(F.col(data_id).alias("_qid_self"), *box_cols(dims))
-    pairs = batch_query_nd(data_df, qdf, dims, cfg, data_id=data_id, query_id="_qid_self")
+    pairs = batch_query_nd(data_df, qdf, dims, cfg, data_id=data_id,
+                           query_id="_qid_self", n_data_hint=n_data_hint)
     return (
         pairs.where(F.col("_qid_self") < F.col(data_id))
         .select(F.col("_qid_self").alias("id_a"), F.col(data_id).alias("id_b"))

@@ -100,14 +100,12 @@ def _pick_strategy(cfg: EngineConfig, n_data: int,
     # small probe batch). Decided from Catalyst's own size estimate of the
     # probe plan — no job is scheduled.
     if query_df is not None:
-        try:
-            est = int(str(
-                query_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            ))
-            if 0 < est <= _TINY_PROBE_BYTES:
-                return "sql"
-        except Exception:
-            pass  # estimation unavailable → keep the scale default
+        from python_prtree_spark.plans.explain import plan_size_estimate
+
+        est = plan_size_estimate(query_df)
+        if est is not None and est <= _TINY_PROBE_BYTES:
+            return "sql"
+        # estimation unavailable / large → keep the scale default
     return "packed"
 
 

@@ -18,3 +18,21 @@ def assert_no_cartesian(df: DataFrame) -> None:
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         if bad in plan:
             raise AssertionError(f"plan contains {bad}:\n{plan}")
+
+
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for df's optimized plan, or None
+    when unavailable. THE single home for this private-API touch
+    (`_jdf.queryExecution()...stats()`): every broadcast/strategy gate in
+    the engine (probe._pick_strategy, ann._gated_probe, knn_join) routes
+    through here, so a PySpark major bump that moves the API breaks ONE
+    function guarded by ONE canary test (tests/test_plans.py
+    test_plan_size_estimate_canary) instead of silently disabling every
+    gate. Estimation only — callers must treat the value as a hint and
+    keep a hard post-materialization bound where driver memory is at
+    stake (knn does)."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return est if est > 0 else None
+    except Exception:
+        return None

@@ -279,3 +279,109 @@ def test_hamming_pairs_generic_bits_column(spark):
             if d <= 4:
                 exp[(i, j)] = d
     assert got == exp and (3, 10) in got and (3, 25) in got and (7, 30) in got
+
+
+def test_fingerprint_overlap_pairs_oracle(spark):
+    """fingerprint_overlap_pairs vs a numpy winnowing oracle on a corpus
+    with planted near-copies (VERDICT r3 item 7): exact overlap counts,
+    capped ('auto'/int) and uncapped plans both equal the oracle when the
+    cap clears the max fp df."""
+    from python_prtree_spark.operators.dedup import fingerprint_overlap_pairs
+
+    rng = np.random.default_rng(61)
+    words = [f"w{i:03d}" for i in range(80)]
+    base = [" ".join(rng.choice(words, size=40)) for _ in range(30)]
+    # planted near-copies: prefix mutation keeps most grams
+    texts = base + ["zz " + base[i] for i in range(0, 30, 4)]
+    ids = list(range(len(texts)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": texts}),
+        schema="doc_id long, text string",
+    )
+
+    # numpy oracle: same winnowing params as the operator (k=8, window=4)
+    def fps_of(t):
+        k, w = 8, 4
+        B, MOD = 1_000_003, (1 << 44) - 17
+        b = t.encode("utf-8")
+        n = len(b) - k + 1
+        if n <= 0:
+            return set()
+        g = []
+        for i in range(n):
+            h = 0
+            for c in b[i:i + k]:
+                h = (h * B + c) % MOD
+            g.append(h)
+        if n <= w:
+            return {min(g)}
+        return {min(g[i:i + w]) for i in range(n - w + 1)}
+
+    fsets = [fps_of(t) for t in texts]
+    exp = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ov = len(fsets[a] & fsets[b])
+            if ov >= 2:
+                exp[(a, b)] = (ov, len(fsets[a]), len(fsets[b]))
+    assert any(b - a >= 30 for a, b in exp)  # the plant shows up
+
+    for cap in (None, "auto", 10**9):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_overlap"], r["n_a"], r["n_b"])
+            for r in fingerprint_overlap_pairs(
+                df, min_overlap=2, max_fp_df=cap
+            ).collect()
+        }
+        assert got == exp, f"cap={cap}"
+
+
+def test_substring_dup_groups_oracle(spark):
+    """substring_dup_groups vs a python oracle on planted verbatim
+    passages (VERDICT r3 item 8): every reported group is a real shared
+    64-byte substring; planted copy-pairs are detected; counts exact."""
+    from python_prtree_spark.operators.dedup import substring_dup_groups
+
+    rng = np.random.default_rng(71)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    mk = lambda n: "".join(rng.choice(list(letters), size=n))  # noqa: E731
+    passage = mk(200)  # shared verbatim passage, length >> min_len
+    texts = [mk(150) + passage + mk(100),      # passage at offset 150
+             mk(37) + passage + mk(60),        # same passage, other offset
+             mk(400),                          # unrelated
+             passage,                          # the passage alone
+             mk(50)]                           # short unrelated
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+
+    # python oracle: same anchors (k=8 rolling hash % 32 == 0), same
+    # 64-byte substrings, groups = distinct docs per substring
+    B, MOD, L, q, k = 1_000_003, (1 << 44) - 17, 64, 32, 8
+
+    def doc_subs(t):
+        b = t.encode()
+        out = set()
+        for p in range(len(b) - L + 1):
+            h = 0
+            for c in b[p:p + k]:
+                h = (h * B + c) % MOD
+            if h % q == 0:
+                out.add(b[p:p + L])
+        return out
+
+    subs = [doc_subs(t) for t in texts]
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for i, ss in enumerate(subs):
+        for s in ss:
+            groups[s].add(i)
+    exp = {s: (len(ds), min(ds)) for s, ds in groups.items() if len(ds) >= 2}
+    assert exp, "oracle found no shared anchored substrings — bad fixture"
+    # docs 0, 1, 3 share the passage: at least one group spans all three
+    assert any(ds == {0, 1, 3} for ds in groups.values() if len(ds) >= 2)
+
+    got = {r["sample"].encode("latin-1"): (r["n_docs"], r["min_doc_id"])
+           for r in substring_dup_groups(df).collect()}
+    assert got == exp

@@ -158,3 +158,56 @@ def test_embedding_degenerate_band_bucket_exact(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_embedding_identical_vector_collapse_exact_count(spark):
+    """ADVICE r3: a corpus of N IDENTICAL embeddings must go through the
+    collapse-then-expand path — ONE distinct vector reaches the banding
+    kernel (so no O(m·d) single-bucket carry), and the n(n-1)/2 answer
+    comes from the distributed within-group self-join."""
+    n, d = 5_000, 32
+    v = np.linspace(0.1, 1.0, d).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": [v] * n}),
+        schema="vec_id long, embedding array<double>",
+    )
+    out = embedding_near_dup_pairs(df, threshold=0.9, dim=d)
+    assert out.count() == n * (n - 1) // 2
+    assert out.where("cosine < 0.9999").count() == 0
+
+
+def test_embedding_mixed_identical_and_near(spark):
+    """Identical-vector groups AND cross-group near-dups in one corpus:
+    the union of the within-group self-join and the kernel's
+    representative pairs (expanded group x group) must equal brute force,
+    each pair exactly once."""
+    rng = np.random.default_rng(41)
+    d, thr, seed, n_planes = 24, 0.9, 7, 16
+    base = rng.standard_normal((150, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 3 exact copies of each vector + a near-dup partner for every 5th
+    # 0.02-scale noise → cosine ~0.995, ~5.6 deg: per-plane disagree prob
+    # ~0.03, so P[all 4 bands miss] ~2e-4 per pair — recall 1.0 expected
+    near = base[::5] + 0.02 * rng.standard_normal((len(base[::5]), d))
+    allV = np.concatenate([base, base, base, near])
+    ids = np.arange(len(allV))
+
+    Vn = allV / np.linalg.norm(allV, axis=1, keepdims=True)
+    G = Vn @ Vn.T
+    ii, jj = np.nonzero(np.triu(G >= thr, 1))
+    expected = set(zip(ii.tolist(), jj.tolist()))
+    assert len(expected) > 3 * len(base)  # copies + planted partners
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in allV]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    rows = embedding_near_dup_pairs(
+        df, threshold=thr, n_planes=n_planes, seed=seed, dim=d
+    ).collect()
+    got = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(got) == len(set(got))  # exactly-once per pair
+    # LSH recall over planted structure: identical copies always collide;
+    # all expected pairs here share >= 13/16 plane signs by construction,
+    # so the pigeonhole bands catch them — exact equality expected
+    assert set(got) == expected
