@@ -54,6 +54,20 @@ def _log(msg: str) -> None:
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def _sleep(total: float) -> None:
+    """Chunked sleep with a heartbeat: one observed r4 runner instance
+    parked in a single clock_nanosleep for 15+ minutes on a 120 s sleep
+    (virtualized-timer artifact on the shared host). 15 s chunks bound
+    the damage and the heartbeat makes a recurrence visible in the log."""
+    end = time.time() + total
+    while True:
+        left = end - time.time()
+        if left <= 0:
+            return
+        time.sleep(min(15.0, left))
+        print(".", end="", flush=True)
+
+
 def _append_attempt(rec: dict) -> None:
     with open(ATTEMPTS, "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -155,7 +169,7 @@ def main() -> None:
 
     while time.time() < t_end:
         if os.path.exists(DEV_LOCK):
-            time.sleep(45)
+            _sleep(45)
             continue
         ceil = probe_ceiling()
         eff_gate = gate if dirty_streak < 8 else gate - 0.03
@@ -165,7 +179,7 @@ def main() -> None:
             dirty_streak += 1
             _append_attempt({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                              "ceil_pre": round(ceil, 3), "skipped": True})
-            time.sleep(120)
+            _sleep(120)
             continue
         dirty_streak = 0
         open(RUN_LOCK, "w").close()
@@ -185,7 +199,7 @@ def main() -> None:
             return
         # cooldown: let the hypervisor's sustained-load throttle reset
         # before probing for the next clean window
-        time.sleep(300)
+        _sleep(300)
     _log(f"deadline reached; best composite={best and best['eff_composite']}")
 
 
