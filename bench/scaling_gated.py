@@ -198,8 +198,9 @@ def main() -> None:
             _log("TARGET MET — stopping")
             return
         # cooldown: let the hypervisor's sustained-load throttle reset
-        # before probing for the next clean window
-        _sleep(300)
+        # before probing for the next clean window; a round-1 abort
+        # burned little budget, so retry sooner
+        _sleep(150 if rec["rounds"] == 1 else 300)
     _log(f"deadline reached; best composite={best and best['eff_composite']}")
 
 

@@ -62,7 +62,7 @@ def gen_boxes(spark, n: int, id_col: str, c1: int, c2: int, c3: int, c4: int,
 def main():
     n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "4"))
     cores_per = int(os.environ.get("SPARK_GRAFT_CORES_PER", "8"))
-    spark = (
+    b = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per},8192]")
         .appName(f"scaling-{n_exec}x{cores_per}")
         .config("spark.sql.shuffle.partitions", str(PARTS))
@@ -72,8 +72,14 @@ def main():
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", "8g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # extra tuning knobs (same value applied to EVERY cluster size — a
+    # fairness requirement): "k=v;k=v" via SPARK_GRAFT_EXTRA_CONF
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # ship the package to executors exactly like spark-submit --py-files
     import shutil

@@ -342,3 +342,42 @@ def test_ivf_centroid_sample_unbiased_on_clustered_corpus(spark):
     ).collect()
     ok = sum(1 for r in out if r["vec_id"] // per == r["qid"])
     assert ok >= 6, f"only {ok}/8 probes found their own cluster: {out}"
+
+
+def test_fingerprint_overlap_plan(spark):
+    """fingerprint_overlap_pairs: equi-join blocked shape — no cartesian,
+    no mandatory broadcast of the per-document sizes relation."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import fingerprint_overlap_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6),
+                      "text": [f"some text body number {i} " * 8 for i in range(6)]}),
+        schema="doc_id long, text string",
+    )
+    for cap in (None, 1000):
+        df = fingerprint_overlap_pairs(docs, max_fp_df=cap)
+        assert_no_cartesian(df)
+        lp = df._jdf.queryExecution().logical().toString()
+        assert "UnresolvedHint" not in lp and "ResolvedHint" not in lp, lp
+
+
+def test_substring_dedup_plan(spark):
+    """substring_dup_groups: ONE Arrow kernel pass + ONE aggregate
+    exchange on the substring hash; no joins at all (group form)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import substring_dup_groups
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4),
+                      "text": ["x" * 100, "y" * 100, "x" * 100, "z" * 30]}),
+        schema="doc_id long, text string",
+    )
+    df = substring_dup_groups(docs)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
