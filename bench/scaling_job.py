@@ -37,10 +37,10 @@ from pyspark.sql import functions as F
 from python_prtree_spark import EngineConfig, Extent, batch_query
 from python_prtree_spark.operators.build import build_index
 
-N_DATA = 16_000_000   # big enough that the one-off driver plan compile
-N_PROBE = 4_000_000   # (~0.6 s) amortizes — scaling must measure the
-PARTS = 256           # per-row engine, not per-job fixed cost
-ITERS = 4
+N_DATA = int(os.environ.get("SPARK_GRAFT_NDATA", 16_000_000))
+N_PROBE = N_DATA // 4  # big enough that the one-off driver plan compile
+PARTS = 256            # (~0.6 s) amortizes — scaling must measure the
+ITERS = 4              # per-row engine, not per-job fixed cost
 
 
 def gen_boxes(spark, n: int, id_col: str, c1: int, c2: int, c3: int, c4: int,

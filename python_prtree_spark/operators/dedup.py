@@ -259,16 +259,19 @@ def ngram_jaccard_pairs(
         max_token_df = max(64, int(4 * (p99 or 0)))
         # make the recall trade-off observable (ADVICE r3): how many
         # distinct tokens the cap excludes from candidate generation — a
-        # pair is missed only if EVERY shared token is in this set
-        n_excl, n_tok = tdf.agg(
-            F.count(F.when(F.col("tdf") > max_token_df, 1)).alias("ex"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        _LOG.info(
-            "ngram_jaccard_pairs auto cap: max_token_df=%d (4 x p99=%s); "
-            "%d of %d distinct tokens excluded from blocking",
-            max_token_df, p99, n_excl, n_tok,
-        )
+        # pair is missed only if EVERY shared token is in this set. The
+        # count is a second corpus-wide aggregation, so only pay for it
+        # when INFO logging is actually on.
+        if _LOG.isEnabledFor(logging.INFO):
+            n_excl, n_tok = tdf.agg(
+                F.count(F.when(F.col("tdf") > max_token_df, 1)).alias("ex"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            _LOG.info(
+                "ngram_jaccard_pairs auto cap: max_token_df=%d (4 x p99=%s); "
+                "%d of %d distinct tokens excluded from blocking",
+                max_token_df, p99, n_excl, n_tok,
+            )
     if max_token_df is None:
         a = toks.select(F.col("_id").alias("id_a"), "tok")
         b = toks.select(F.col("_id").alias("id_b"), "tok")
@@ -1108,15 +1111,16 @@ def fingerprint_overlap_pairs(
             F.expr("approx_percentile(fdf, 0.99, 10000)").alias("p")
         ).collect()[0]["p"]
         max_fp_df = max(64, int(4 * (p99 or 0)))
-        n_excl, n_fp = fdf.agg(
-            F.count(F.when(F.col("fdf") > max_fp_df, 1)).alias("ex"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        _LOG.info(
-            "fingerprint_overlap_pairs auto cap: max_fp_df=%d (4 x p99=%s); "
-            "%d of %d distinct fingerprints excluded from blocking",
-            max_fp_df, p99, n_excl, n_fp,
-        )
+        if _LOG.isEnabledFor(logging.INFO):
+            n_excl, n_fp = fdf.agg(
+                F.count(F.when(F.col("fdf") > max_fp_df, 1)).alias("ex"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            _LOG.info(
+                "fingerprint_overlap_pairs auto cap: max_fp_df=%d (4 x p99=%s); "
+                "%d of %d distinct fingerprints excluded from blocking",
+                max_fp_df, p99, n_excl, n_fp,
+            )
     if max_fp_df is None:
         inter = (
             ex.select(F.col("_id").alias("id_a"), "fp")

@@ -103,9 +103,6 @@ class PRTreeTable:
             F.col("max0").alias("xmax"), F.col("max1").alias("ymax"),
         )
 
-    def _snap_kw(self) -> dict:
-        return {"dims": self.dims}
-
     # -- size (reference prtree.h:816-824) -----------------------------------
     def size(self) -> int:
         return self._n
@@ -165,15 +162,8 @@ class PRTreeTable:
         )
 
     def _touched_cells(self, rows_df: DataFrame) -> DataFrame:
-        if self.dims == 2:
-            xy = rows_df.select(*BOX)
-        else:
-            xy = rows_df.select(
-                F.col("min0").alias("xmin"), F.col("min1").alias("ymin"),
-                F.col("max0").alias("xmax"), F.col("max1").alias("ymax"),
-            )
         return explode_cells(
-            xy, self.cfg.extent, self.cfg.level
+            self._xy(rows_df).drop(self.data_id), self.cfg.extent, self.cfg.level
         ).select("cell").distinct()
 
     def _with_dirty(self, extra: DataFrame) -> DataFrame:
