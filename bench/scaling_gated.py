@@ -132,8 +132,15 @@ def attempt(ceil_pre: float) -> dict:
     rounds = 0
     round_comps = []
     for r in range(6):
-        j_4n = _merge(j_4n, run_job(8, 2))
-        j_n = _merge(j_n, run_job(2, 2))
+        # alternate which arm gets the post-idle (cooler-host) slot: the
+        # hypervisor's adaptive cap ramps under sustained load, so a fixed
+        # order systematically flatters whichever arm runs first
+        if r % 2 == 0:
+            j_4n = _merge(j_4n, run_job(8, 2))
+            j_n = _merge(j_n, run_job(2, 2))
+        else:
+            j_n = _merge(j_n, run_job(2, 2))
+            j_4n = _merge(j_4n, run_job(8, 2))
         rounds = r + 1
         e = _eff(j_n, j_4n)
         round_comps.append(e["eff_composite"])
