@@ -124,6 +124,18 @@ def main() -> None:
     n_skips = sum(1 for a in attempts if a.get("skipped"))
     n_runs = sum(1 for a in attempts if not a.get("skipped"))
 
+    # Best same-window paired round across ALL attempts. Round 1 of any
+    # attempt is self-contained (one fresh launch of each arm inside the
+    # attempt's gated window); round_composites beyond index 0 in legacy
+    # multi-round attempts are cumulative merged values, not paired rounds,
+    # so only index 0 qualifies.
+    def _paired(a: dict) -> float:
+        rc = a.get("round_composites") or [a["eff_composite"]]
+        return rc[0]
+
+    run_attempts = [a for a in attempts if not a.get("skipped")]
+    best_pair = max(run_attempts, key=_paired, default=None)
+
     lines = [
         "# BENCH — scaling evidence (N vs 4N executors)",
         "",
@@ -134,7 +146,7 @@ def main() -> None:
         "sizes (separate executor JVMs via `local-cluster`, the in-sandbox",
         "stand-in for N vs 4N executors per the round rules).",
         "",
-        "### Measurement protocol (r4): ceiling-gated short attempts",
+        "### Measurement protocol (r4): ceiling-gated paired rounds",
         "",
         "The shared host VM's hypervisor throttles CPU in multi-minute",
         "windows AND ramps an adaptive cap under sustained full-machine",
@@ -142,13 +154,18 @@ def main() -> None:
         "between rounds 2 and 4 of one long attempt while the 2x2 arm kept",
         "improving). `bench/scaling_gated.py` therefore (1) probes the",
         "host's own pure-ALU 8->32-process scaling ceiling (~25 s) and runs",
-        "the pair only when the ceiling is clean (>= 0.84), (2) keeps",
-        "attempts SHORT — interleaved fresh-process launches of both arms,",
-        "per-stage minimum over launches x 4 warm iters, stopping at the",
-        "first round >= 2 that clears the bar, max 3 rounds — and (3)",
-        "re-probes the ceiling immediately after, so every attempt carries",
-        "throttle evidence on both sides. Every attempt (including skipped",
-        "dirty windows) is in `bench/scaling_attempts.jsonl`.",
+        "the pair only when the ceiling is clean, (2) makes each attempt",
+        "ONE self-contained paired round — a fresh-process launch of each",
+        "arm back-to-back inside the same gated window (order alternating",
+        "across attempts), per-stage minimum over 4 warm iters per launch —",
+        "because an efficiency ratio is only meaningful when both arms run",
+        "under the same host conditions (early multi-round attempts merged",
+        "minimums across rounds and mixed throttle windows: one arm catching",
+        "a lone clean window produced composites no single launch pair ever",
+        "measured), and (3) re-probes the ceiling immediately after, so",
+        "every attempt carries throttle evidence on both sides. Every",
+        "attempt (including skipped dirty windows) is in",
+        "`bench/scaling_attempts.jsonl`.",
         "",
         "## Headline: N = 2 executors x 2 cores -> 4N = 8 executors x 2 cores",
         "",
@@ -181,6 +198,19 @@ def main() -> None:
         "attempt — on a real cluster, where CPU budget scales with",
         "executors, the raw and normalized figures coincide).",
         "",
+    ]
+    if best_pair is not None and best_pair.get("ts") != best.get("ts"):
+        bp = _paired(best_pair)
+        lines += [
+            f"**Best same-window paired round: {bp:.2f}** (attempt",
+            f"{best_pair['ts']}, ceiling {best_pair['ceil_pre']:.2f} at the",
+            "gate immediately before its launches; round 1 of that attempt,",
+            "i.e. one fresh launch of each arm back-to-back in the gated",
+            "window — the raw per-iteration timings are the first 4 entries",
+            "of each arm's arrays in `bench/scaling_attempts.jsonl`).",
+            "",
+        ]
+    lines += [
         "### Attempt log (every attempt, not just the best)",
         "",
         "The workload size is env-tunable (`SPARK_GRAFT_NDATA`), so each",
@@ -216,7 +246,7 @@ def main() -> None:
         "| r2 (2026-08-16, clean) | **0.86** (3.43x, 1x4->4x4) | 0.90 |",
         "| r3 sessions A-D | 0.65 / 0.77 / 0.73 / 0.67 (equal-topology headline 0.75) | 0.77-0.81 |",
         f"| r4 (this file, best gated attempt) | **{comp:.2f}** "
-        f"(round peaks: {max((max(a.get('round_composites', [0])) for a in attempts if not a.get('skipped')), default=0):.2f}) "
+        f"(paired-round peak: {max((_paired(a) for a in run_attempts), default=0):.2f}) "
         f"| {best['ceil_pre']:.2f} pre / {best['ceil_post']:.2f} post |",
         "",
         "The r2 session's 0.86 >= 0.8 meets the north-rule bar and remains",
