@@ -100,13 +100,54 @@ distributed design exists to fix exactly that.
 """
 
 
+def _round1(a: dict) -> dict:
+    """Reconstruct an attempt's self-contained ROUND-1 paired measurement
+    from its raw per-iteration arrays. In every protocol version, round 1
+    is one fresh-process launch of each arm back-to-back inside the
+    attempt's gated window (4 warm iterations per launch, appended to the
+    arrays in launch order), so the first 4 entries of each arm's arrays
+    are the same-window pair. Legacy multi-round attempts additionally
+    merged per-stage minimums ACROSS later rounds — those merged values
+    mix throttle windows and are not measurements of any single pair, so
+    round 1 is the only paired measurement an attempt contains (for
+    current single-round attempts this is the whole attempt verbatim)."""
+    out = {
+        "ts": a["ts"],
+        "ceil_pre": a["ceil_pre"],
+        "ceil_post": a["ceil_post"],
+        "rounds_in_attempt": a.get("rounds", 1),
+    }
+    for arm in ("j_n", "j_4n"):
+        j = dict(a[arm])
+        j["t_builds"] = j["t_builds"][:4]
+        j["t_joins"] = j["t_joins"][:4]
+        j["t_build"] = min(j["t_builds"])
+        j["t_join"] = min(j["t_joins"])
+        j["build_boxes_per_sec"] = round(j["n_data"] / j["t_build"], 1)
+        j["join_rows_per_sec"] = round(
+            (j["n_data"] + j["n_probe"]) / j["t_join"], 1
+        )
+        j["run_totals"] = j["run_totals"][:1]
+        out[arm] = j
+    t_n = out["j_n"]["t_build"] + out["j_n"]["t_join"]
+    t_4n = out["j_4n"]["t_build"] + out["j_4n"]["t_join"]
+    out["eff_composite"] = round(t_n / t_4n / 4, 3)
+    out["eff_build"] = round(out["j_n"]["t_build"] / out["j_4n"]["t_build"] / 4, 3)
+    out["eff_join"] = round(out["j_n"]["t_join"] / out["j_4n"]["t_join"] / 4, 3)
+    return out
+
+
 def main() -> None:
     with open(BEST) as f:
-        best = json.load(f)
+        merged_best = json.load(f)
     attempts = []
     if os.path.exists(ATTEMPTS):
         with open(ATTEMPTS) as f:
             attempts = [json.loads(line) for line in f if line.strip()]
+
+    run_attempts = [a for a in attempts if not a.get("skipped")]
+    paired = [_round1(a) for a in run_attempts]
+    best = max(paired, key=lambda p: p["eff_composite"])
 
     j_n, j_4n = best["j_n"], best["j_4n"]
     sp_b = j_n["t_build"] / j_4n["t_build"]
@@ -122,19 +163,7 @@ def main() -> None:
     ceil = max(best["ceil_pre"], best["ceil_post"])
     norm = comp / ceil if ceil else float("nan")
     n_skips = sum(1 for a in attempts if a.get("skipped"))
-    n_runs = sum(1 for a in attempts if not a.get("skipped"))
-
-    # Best same-window paired round across ALL attempts. Round 1 of any
-    # attempt is self-contained (one fresh launch of each arm inside the
-    # attempt's gated window); round_composites beyond index 0 in legacy
-    # multi-round attempts are cumulative merged values, not paired rounds,
-    # so only index 0 qualifies.
-    def _paired(a: dict) -> float:
-        rc = a.get("round_composites") or [a["eff_composite"]]
-        return rc[0]
-
-    run_attempts = [a for a in attempts if not a.get("skipped")]
-    best_pair = max(run_attempts, key=_paired, default=None)
+    n_runs = len(run_attempts)
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N executors)",
@@ -175,9 +204,11 @@ def main() -> None:
         "shuffle block process-locally, which structurally flatters N and",
         "understates the engine's true executor scaling.",
         "",
-        f"Best attempt: {best['ts']}, {best['rounds']} round(s), host ALU",
-        f"ceiling {best['ceil_pre']:.2f} before / {best['ceil_post']:.2f}",
-        f"after ({n_runs} attempts run, {n_skips} dirty windows skipped).",
+        f"Best paired round: attempt {best['ts']}, host ALU ceiling",
+        f"{best['ceil_pre']:.2f} at the gate immediately before its two",
+        f"launches / {best['ceil_post']:.2f} at attempt end ({n_runs}",
+        f"attempts run, {n_skips} dirty windows skipped; every attempt is",
+        "in the log below).",
         "",
         "| stage | N (2x2) | 4N (8x2) | speedup | efficiency vs 4x |",
         "|---|---|---|---|---|",
@@ -199,15 +230,15 @@ def main() -> None:
         "executors, the raw and normalized figures coincide).",
         "",
     ]
-    if best_pair is not None and best_pair.get("ts") != best.get("ts"):
-        bp = _paired(best_pair)
+    if merged_best.get("ts") != best.get("ts") or merged_best.get(
+        "eff_composite"
+    ) != best["eff_composite"]:
         lines += [
-            f"**Best same-window paired round: {bp:.2f}** (attempt",
-            f"{best_pair['ts']}, ceiling {best_pair['ceil_pre']:.2f} at the",
-            "gate immediately before its launches; round 1 of that attempt,",
-            "i.e. one fresh launch of each arm back-to-back in the gated",
-            "window — the raw per-iteration timings are the first 4 entries",
-            "of each arm's arrays in `bench/scaling_attempts.jsonl`).",
+            "For comparison, the best LEGACY merged-across-rounds aggregate",
+            f"on file is {merged_best['eff_composite']:.2f} (attempt",
+            f"{merged_best['ts']}; `bench/scaling_best.json`) — quoted for",
+            "transparency only, since cross-round merged minimums mix",
+            "throttle windows and are not measurements of any single pair.",
             "",
         ]
     lines += [
@@ -218,20 +249,25 @@ def main() -> None:
         "always run the identical job; across attempts compare composites",
         "only at the same scale.",
         "",
-        "| when | boxes | ceiling pre | ceiling post | rounds | composite |",
-        "|---|---|---|---|---|---|",
+        "| when | boxes | ceiling pre | ceiling post | rounds | round-1 paired | merged (legacy) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for a in attempts:
         if a.get("skipped"):
             lines.append(
-                f"| {a['ts']} | — | {a['ceil_pre']:.2f} | — | — | skipped (dirty window) |"
+                f"| {a['ts']} | — | {a['ceil_pre']:.2f} | — | — | skipped (dirty window) | — |"
             )
         else:
             rc = "/".join(f"{c:.2f}" for c in a.get("round_composites", []))
+            merged = (
+                f"{a['eff_composite']:.2f}" + (f" (cumulative: {rc})" if rc else "")
+                if a.get("rounds", 1) > 1
+                else "—"
+            )
             lines.append(
                 f"| {a['ts']} | {a['j_n']['n_data']/1e6:.0f}M | {a['ceil_pre']:.2f} "
                 f"| {a['ceil_post']:.2f} "
-                f"| {a['rounds']} | {a['eff_composite']:.2f} (rounds: {rc}) |"
+                f"| {a['rounds']} | {_round1(a)['eff_composite']:.2f} | {merged} |"
             )
     lines += [
         "",
@@ -245,8 +281,7 @@ def main() -> None:
         "|---|---|---|",
         "| r2 (2026-08-16, clean) | **0.86** (3.43x, 1x4->4x4) | 0.90 |",
         "| r3 sessions A-D | 0.65 / 0.77 / 0.73 / 0.67 (equal-topology headline 0.75) | 0.77-0.81 |",
-        f"| r4 (this file, best gated attempt) | **{comp:.2f}** "
-        f"(paired-round peak: {max((_paired(a) for a in run_attempts), default=0):.2f}) "
+        f"| r4 (this file, best gated paired round) | **{comp:.2f}** "
         f"| {best['ceil_pre']:.2f} pre / {best['ceil_post']:.2f} post |",
         "",
         "The r2 session's 0.86 >= 0.8 meets the north-rule bar and remains",
@@ -257,7 +292,10 @@ def main() -> None:
         "stage, AQE off, fixed partitioning).",
         "",
         R3_QUOTED,
-        "Raw JSON of the best gated attempt:",
+        "Raw JSON of the best paired round (the round-1 slice of its",
+        "attempt; the attempt's complete record, including any later",
+        "rounds, is the matching `ts` line in",
+        "`bench/scaling_attempts.jsonl`):",
         "```json",
         json.dumps({k: v for k, v in best.items() if k != "j_n" and k != "j_4n"}),
         json.dumps(j_n),
