@@ -883,7 +883,7 @@ def _q_mm_tile_caption(spark, sf_dir):
     outputs only engine-recomputable columns:
 
       * (w, h, fmt) — the stored typed metadata, recomputed by the oracle
-        from the generation recipe (datagen._WS/_HS, lossy every 10th);
+        from the generation recipe (datagen._WS/_HS, lossy every 10th, real PNG every (10k+4)th);
       * tile — min-corner cell of a deterministic id-derived footprint
         (modular arithmetic, same family as part_boxes) through the
         engine's axis_index_col — gates the tiling arithmetic;
@@ -1211,7 +1211,7 @@ SELECT
   printf('img%010d', id) AS image_id,
   CAST([16,32,64][CAST(id % 3 AS INT) + 1] AS INT) AS w,
   CAST([16,24,48][CAST(id % 3 AS INT) + 1] AS INT) AS h,
-  CASE WHEN id % 10 = 9 THEN 'lossy' ELSE 'raw' END AS fmt,
+  CASE WHEN id % 10 = 9 THEN 'lossy' WHEN id % 10 = 4 THEN 'png' ELSE 'raw' END AS fmt,
   CAST(greatest(0, least(15, CAST(floor((sx - 0.0)/105.0*16) AS BIGINT))) * 16
      + greatest(0, least(15, CAST(floor((sy - 0.0)/105.0*16) AS BIGINT))) AS BIGINT) AS tile,
   printf('caption of img%010d: %s %s at (%.3f,%.3f)', id,

@@ -2,11 +2,14 @@
 
 Images are opaque ``binary`` columns with typed metadata (w, h, fmt) — the
 BASELINE.json input_hint shape. All heavy work runs in ``mapInPandas``
-(Arrow batches, numpy kernels); the container has no image/audio libraries,
-so decode for external formats is an explicit stub (NotImplementedError)
-while the repo's own raw/lossy codec (functions/codec.py) exercises the
-full plumbing: schema, batch shape, partitioning, per-row invariants
-(decoded-pixel PSNR >= 40 dB for lossy + caption equality).
+(Arrow batches, numpy kernels). Three real codecs dispatch by magic bytes
+(functions/codec.py): raw (exact), lossy (PSNR-bounded quantization), and
+spec-compliant PNG (pure stdlib-zlib + numpy — lossless, interchangeable
+with external tools). JPEG/audio/video decode remain explicit stubs
+(their entropy coders need libraries this container lacks) with the full
+Spark plumbing — schema, batch shape, partitioning, per-row invariants
+(decoded-pixel PSNR >= 40 dB for lossy + caption equality) — real and
+tested across all formats.
 """
 
 from __future__ import annotations
@@ -116,8 +119,9 @@ def verify_roundtrip(
     min_psnr: float = 40.0,
 ) -> DataFrame:
     """Per-row invariant from BASELINE.json input_hint: decoded pixels of a
-    re-encode round-trip must be exact for 'raw' and PSNR >= 40 dB for
-    'lossy'. → (id, fmt, psnr double, ok boolean)."""
+    re-encode round-trip must be exact for the lossless formats ('raw',
+    'png') and PSNR >= 40 dB for 'lossy'. → (id, fmt, psnr double,
+    ok boolean)."""
 
     def gen(batches):
         for pdf in batches:
@@ -126,7 +130,11 @@ def verify_roundtrip(
                 px = decode_image(bytes(d))
                 rt = decode_image(encode_image(px, f))
                 p = psnr(px, rt)
-                ok = bool(np.array_equal(px, rt)) if f == "raw" else bool(p >= min_psnr)
+                ok = (
+                    bool(np.array_equal(px, rt))
+                    if f in ("raw", "png")
+                    else bool(p >= min_psnr)
+                )
                 rows.append((i, f, float(min(p, 1e9)), ok))
             yield pd.DataFrame(rows, columns=[id_col, "fmt", "psnr", "ok"])
 

@@ -58,7 +58,9 @@ def _rows_for_range(lo: int, hi: int, seed: int, extent_scale: float) -> pd.Data
     rows = []
     for j, i in enumerate(range(lo, hi)):
         w, h = _WS[i % 3], _HS[i % 3]
-        fmt = "lossy" if i % 10 == 9 else "raw"
+        # every 10th lossy (PSNR-bounded), every (10k+4)th real PNG
+        # (lossless, spec-compliant zlib codec), rest raw
+        fmt = "lossy" if i % 10 == 9 else "png" if i % 10 == 4 else "raw"
         px = gen_pixels(i, w, h, seed)
         data = encode_image(px, fmt)
         color, noun = _COLORS[i % 8], _NOUNS[(i // 8) % 8]
