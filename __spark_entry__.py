@@ -504,6 +504,33 @@ def _q_persist_mutation(spark, sf_dir):
     return idx.batch_query(supplier_probes(spark, sf_dir))
 
 
+def _q_persist_timetravel(spark, sf_dir):
+    """Snapshot time travel on the persisted index (sources/store.py makes
+    the Iceberg snapshot semantics REAL: immutable data files + versioned
+    manifests + atomic CURRENT pointer). The build commits snapshot v1;
+    the mutation refresh appends new files and commits v2 — old files are
+    never touched. Reading version=1 must return the ORIGINAL join
+    results while CURRENT returns the mutated ones; both halves are
+    hash-gated against the same DuckDB oracle. rollback_index /
+    expire_index_snapshots (vacuum) are pytest-covered in
+    tests/test_snapshots.py."""
+    path = tempfile.mkdtemp(prefix="prtree_idx_")
+    save_index(part_boxes(spark, sf_dir), f"{path}/idx", CFG)
+    t = PRTreeTable.from_index(spark, f"{path}/idx")
+    t = t.erase(part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id"))
+    t = t.insert(supplier_new_boxes(spark, sf_dir))
+    t.refresh_index(f"{path}/idx")
+    probes = supplier_probes(spark, sf_dir)
+    v1 = load_index(spark, f"{path}/idx", version=1)
+    cur = load_index(spark, f"{path}/idx")
+    return (
+        v1.batch_query(probes).withColumn("snap", F.lit("v1"))
+        .unionByName(
+            cur.batch_query(probes).withColumn("snap", F.lit("current"))
+        )
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Uses the degenerate-scale form (with_ids=False): representative +
     exact count, no group id-array materialization."""
@@ -963,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_roundtrip": _q_persist_roundtrip,
         "persist_intersections": _q_persist_intersections,
         "persist_mutation": _q_persist_mutation,
+        "persist_timetravel": _q_persist_timetravel,
         "payload_return_obj": _q_payload_return_obj,
         "table_size": _q_table_size,
         "dedup_exact": _q_dedup_exact,
@@ -1227,6 +1255,15 @@ ins AS ({SUPPLIER_NEW_BOXES_SQL}),
 b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
 q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+""",
+        "persist_timetravel": f"""
+WITH base AS ({PART_BOXES_SQL}),
+ins AS ({SUPPLIER_NEW_BOXES_SQL}),
+cur AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
+q AS ({SUPPLIER_PROBES_SQL})
+SELECT q.qid AS qid, b.id AS id, 'v1' AS snap FROM q JOIN base b ON {AABB_JOIN}
+UNION ALL
+SELECT q.qid AS qid, b.id AS id, 'current' AS snap FROM q JOIN cur b ON {AABB_JOIN}
 """,
         "payload_return_obj": f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})

@@ -32,12 +32,21 @@ from python_prtree_spark.operators.components import (
     connected_components,
     duplicate_clusters,
 )
-from python_prtree_spark.sources.store import save_index, load_index
+from python_prtree_spark.sources.store import (
+    expire_index_snapshots,
+    index_snapshots,
+    load_index,
+    rollback_index,
+    save_index,
+)
 
 __all__ = [
     "EngineConfig",
     "Extent",
     "build_index",
+    "index_snapshots",
+    "rollback_index",
+    "expire_index_snapshots",
     "batch_query",
     "batch_query_array",
     "point_query",

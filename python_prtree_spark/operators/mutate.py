@@ -282,10 +282,11 @@ class PRTreeTable:
                            _n_hint=self._n)
 
     def refresh_index(self, path: str) -> None:
-        """Incremental index refresh: re-pack ONLY dirty cells and overwrite
-        ONLY the index-table buckets they live in (dynamic partition
-        overwrite — untouched bucket directories are byte-identical after
-        the refresh), then clear the dirty set. The distributed analogue of
+        """Incremental index refresh: re-pack ONLY dirty cells and commit a
+        new index SNAPSHOT whose dirty buckets point at the re-packed files
+        (untouched bucket directories are byte-identical after the refresh;
+        the pre-refresh version stays readable via ``load_index(...,
+        version=)``), then clear the dirty set. The distributed analogue of
         the reference's amortized rebuild (prtree.h:411-413)."""
         import json
         import os

@@ -20,14 +20,17 @@ every operation below has an exact catalog-table equivalent):
   * ``write.partitionBy("bucket").mode("append").parquet(dir)``
       → ``writeTo("cat.db.index").append()`` on a table
         ``PARTITIONED BY (bucket)``;
-  * ``partitionOverwriteMode=dynamic`` overwrite in ``merge_refresh``
-      → ``writeTo(...).overwritePartitions()`` (same dirty-buckets-only
-        contract, plus Iceberg's snapshot isolation);
+  * ``merge_refresh`` → ``writeTo(...).overwritePartitions()`` — and the
+    snapshot semantics are IMPLEMENTED here, not just mapped: immutable
+    data files + versioned manifests (``_snapshots/v<N>.json``) + an
+    atomically-renamed CURRENT pointer give real snapshot isolation,
+    time travel (``load_index(..., version=)``), ``rollback_index`` and
+    ``expire_index_snapshots`` (vacuum), exactly Iceberg's model;
   * the ``_lineage`` Parquet dir → a plain Iceberg checkpoint table;
   * resume's bucket reconciliation (data present + lineage absent →
     overwrite, never append) → the same logic over the table's partition
-    listing, or Iceberg's own atomic snapshot commit making the crash
-    window moot.
+    listing; post-build the manifest commit IS the atomic "index exists"
+    point, so the crash window is a set of orphan files no reader sees.
 """
 
 from __future__ import annotations
@@ -40,7 +43,10 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators.build import build_index
 
-__all__ = ["save_index", "load_index", "LoadedIndex", "N_BUCKETS", "merge_refresh"]
+__all__ = [
+    "save_index", "load_index", "LoadedIndex", "N_BUCKETS", "merge_refresh",
+    "index_snapshots", "rollback_index", "expire_index_snapshots",
+]
 
 N_BUCKETS = 64
 #: bucket-assignment scheme written to (and required from) index meta.
@@ -100,6 +106,190 @@ def _data_buckets_on_disk(index_dir: str) -> set[int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# snapshots — Iceberg-style versioned manifests over the bucket files
+# ---------------------------------------------------------------------------
+#
+# Data files are IMMUTABLE once written; a snapshot manifest
+# (``<index_dir>/_snapshots/v<N>.json``) maps bucket -> the exact parquet
+# files that compose that version, and ``CURRENT`` names the live one.
+# ``merge_refresh`` appends new files for the dirty buckets and commits a
+# manifest whose dirty-bucket entries point at them — old versions stay
+# readable (time travel), ``rollback_index`` is a CURRENT pointer flip,
+# and ``expire_index_snapshots`` is the vacuum that deletes files no kept
+# manifest references. A kill between the data append and the manifest
+# commit leaves orphan files that no manifest references — invisible to
+# every reader and reclaimed by the next expire, so the commit is atomic
+# at manifest-rename granularity (exactly Iceberg's model; the dirs named
+# ``_snapshots``/``_lineage`` are underscore-prefixed, which Spark's file
+# index treats as hidden, so ``spark.read.parquet(index_dir)`` never sees
+# them). Single-writer per index path, as everywhere in this module.
+
+
+def _snap_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "_snapshots")
+
+
+def _list_bucket_files(index_dir: str) -> dict[int, list[str]]:
+    """bucket -> sorted parquet file names currently on disk (all
+    versions' files; manifests decide membership)."""
+    out: dict[int, list[str]] = {}
+    for b in _data_buckets_on_disk(index_dir):
+        d = os.path.join(index_dir, f"bucket={b}")
+        out[b] = sorted(
+            f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return out
+
+
+def _snapshot_versions(index_dir: str) -> list[int]:
+    d = _snap_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def current_snapshot_version(index_dir: str) -> int | None:
+    cur = os.path.join(_snap_dir(index_dir), "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip())
+
+
+def _read_manifest(index_dir: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(_snap_dir(index_dir), f"v{version}.json")) as f:
+        m = json.load(f)
+    m["files"] = {int(k): v for k, v in m["files"].items()}
+    return m
+
+
+def _commit_snapshot(
+    index_dir: str, files: dict[int, list[str]], op: str, parent: int | None
+) -> int:
+    """Write the next manifest and flip CURRENT — both via tmp+rename so a
+    reader never observes a half-written file."""
+    import json
+
+    d = _snap_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    v = (_snapshot_versions(index_dir) or [0])[-1] + 1
+    body = {
+        "version": v,
+        "parent": parent,
+        "op": op,
+        "files": {str(k): sorted(fs) for k, fs in files.items() if fs},
+        "n_files": sum(len(fs) for fs in files.values()),
+    }
+    tmp = os.path.join(d, f".v{v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    os.replace(tmp, os.path.join(d, f"v{v}.json"))
+    tmp = os.path.join(d, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(d, "CURRENT"))
+    return v
+
+
+def _snapshot_df(
+    spark: SparkSession, index_dir: str, version: int
+) -> DataFrame:
+    files = _read_manifest(index_dir, version)["files"]
+    paths = [
+        os.path.join(index_dir, f"bucket={b}", f)
+        for b, fs in files.items() for f in fs
+    ]
+    if not paths:
+        return _empty_index_df(spark)
+    # basePath keeps bucket=N as a partition column over the explicit
+    # file list, so bucket pruning works exactly as on a raw dir read
+    return spark.read.option("basePath", index_dir).parquet(*paths)
+
+
+def _empty_index_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from python_prtree_spark.operators.build import INDEX_SCHEMA
+
+    schema = StructType(
+        list(INDEX_SCHEMA.fields) + [StructField("bucket", IntegerType())]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def index_snapshots(path: str) -> list[dict]:
+    """History of the persisted index at ``path`` (save_index layout):
+    one dict per snapshot (version, parent, op, n_files, current)."""
+    index_dir = os.path.join(path, "index")
+    cur = current_snapshot_version(index_dir)
+    out = []
+    for v in _snapshot_versions(index_dir):
+        m = _read_manifest(index_dir, v)
+        out.append({
+            "version": v, "parent": m["parent"], "op": m["op"],
+            "n_files": m["n_files"], "current": v == cur,
+        })
+    return out
+
+
+def rollback_index(path: str, version: int) -> None:
+    """Point CURRENT back at an earlier snapshot (Iceberg
+    rollback_to_snapshot). The abandoned versions' manifests stay until
+    expired, so a rollback is itself reversible."""
+    index_dir = os.path.join(path, "index")
+    if version not in _snapshot_versions(index_dir):
+        raise ValueError(f"no snapshot v{version} at {path}")
+    tmp = os.path.join(_snap_dir(index_dir), ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_snap_dir(index_dir), "CURRENT"))
+
+
+def expire_index_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Vacuum: keep the most recent ``keep_last`` snapshots (always
+    including CURRENT), delete older manifests and every data file no
+    kept manifest references — including orphans from a crash between a
+    data append and its manifest commit. Returns counts."""
+    index_dir = os.path.join(path, "index")
+    versions = _snapshot_versions(index_dir)
+    if not versions:
+        return {"kept": 0, "removed_manifests": 0, "removed_files": 0}
+    cur = current_snapshot_version(index_dir)
+    keep = set(versions[-max(1, keep_last):])
+    if cur is not None:
+        keep.add(cur)
+    reachable: set[tuple[int, str]] = set()
+    for v in keep:
+        for b, fs in _read_manifest(index_dir, v)["files"].items():
+            reachable.update((b, f) for f in fs)
+    removed_files = 0
+    for b, fs in _list_bucket_files(index_dir).items():
+        for f in fs:
+            if (b, f) not in reachable:
+                os.remove(os.path.join(index_dir, f"bucket={b}", f))
+                removed_files += 1
+        d = os.path.join(index_dir, f"bucket={b}")
+        if not os.listdir(d):
+            os.rmdir(d)
+    removed_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(_snap_dir(index_dir), f"v{v}.json"))
+            removed_manifests += 1
+    return {
+        "kept": len(keep),
+        "removed_manifests": removed_manifests,
+        "removed_files": removed_files,
+    }
+
+
 def merge_refresh(
     spark: SparkSession,
     index_dir: str,
@@ -109,14 +299,21 @@ def merge_refresh(
 ) -> None:
     """Partition-granular index refresh: replace ONLY the buckets touched
     by ``dirty_cells`` with (old rows of untouched cells in those buckets)
-    ∪ (freshly packed rows), via dynamic partition overwrite. Untouched
-    bucket directories are never rewritten (byte-identical after refresh).
+    ∪ (freshly packed rows). Untouched bucket directories are never
+    rewritten (byte-identical after refresh).
+
+    Snapshot semantics (Iceberg ``overwritePartitions``): the merged rows
+    are APPENDED as new immutable files and a new manifest commits whose
+    dirty-bucket entries point at them — the previous version's files stay
+    in place and remain readable via time travel (``load_index(...,
+    version=)``). A vacated bucket is simply absent from the new manifest
+    (no directory delete, no crash window). A pre-snapshot index is
+    adopted first — its on-disk contents frozen as v1 — so history starts
+    before the first mutation.
 
     This is the distributed analogue of the reference's amortized
     insert+rebuild contract (prtree.h:411-413, types.h:53): cost scales
     with the dirty fraction, not the index size."""
-    import shutil
-
     dirty_cells = dirty_cells.select(
         F.col(dirty_cells.columns[0]).alias("cell")
     ).distinct()
@@ -130,38 +327,38 @@ def merge_refresh(
     )
     if not dirty_buckets:
         return
-    if os.path.isdir(index_dir) and _data_buckets_on_disk(index_dir):
-        old = spark.read.parquet(index_dir)
+    has_data = os.path.isdir(index_dir) and bool(_data_buckets_on_disk(index_dir))
+    cur = current_snapshot_version(index_dir)
+    if has_data and cur is None:
+        # first refresh of a pre-snapshot index: freeze what's on disk as
+        # v1 (op=adopt) so history starts BEFORE this mutation
+        cur = _commit_snapshot(
+            index_dir, _list_bucket_files(index_dir), "adopt", None
+        )
+    if has_data:
+        old = _snapshot_df(spark, index_dir, cur)
         kept = old.where(F.col("bucket").isin(dirty_buckets)).join(
             dirty_cells, on="cell", how="left_anti"
         )
         merged = kept.select(*fresh.columns).unionByName(fresh.select(*fresh.columns))
+        base_files = _read_manifest(index_dir, cur)["files"]
     else:
         merged = fresh
-    merged = merged.persist()
-    try:
-        present = {
-            r["bucket"] for r in merged.select("bucket").distinct().collect()
-        }
-        # a dirty bucket with no merged rows ends up EMPTY: dynamic overwrite
-        # would leave its old directory untouched → delete it first (deleting
-        # first is crash-safe here: its correct final content is "nothing")
-        for b in dirty_buckets:
-            if b not in present:
-                shutil.rmtree(os.path.join(index_dir, f"bucket={b}"),
-                              ignore_errors=True)
-        if present:
-            mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                merged.write.partitionBy("bucket").mode("overwrite").parquet(index_dir)
-            finally:
-                if mode is not None:
-                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-                else:
-                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    finally:
-        merged.unpersist()
+        base_files = {}
+    before = _list_bucket_files(index_dir)
+    # append-only: the files the old snapshot reads are immutable and the
+    # write only ADDS files — membership is decided by the manifest commit
+    merged.write.partitionBy("bucket").mode("append").parquet(index_dir)
+    after = _list_bucket_files(index_dir)
+    files = {
+        b: list(fs) for b, fs in base_files.items() if b not in dirty_buckets
+    }
+    for b, fs in after.items():
+        prior = set(before.get(b, []))
+        added = [f for f in fs if f not in prior]
+        if added:
+            files[b] = added  # merged rows only ever land in dirty buckets
+    _commit_snapshot(index_dir, files, "refresh", cur)
 
 
 def save_index(
@@ -182,6 +379,25 @@ def save_index(
     import shutil
 
     spark = data_df.sparkSession
+    snap_cur = current_snapshot_version(os.path.join(path, "index"))
+    if snap_cur is not None:
+        if not resume or _read_manifest(
+            os.path.join(path, "index"), snap_cur
+        )["op"] != "build":
+            raise ValueError(
+                f"{path} already holds a snapshot-managed index (after a "
+                "refresh its raw directory mixes live and historical "
+                "files); save to a new path, or mutate through "
+                "PRTreeTable.refresh_index"
+            )
+        # resuming over a completed/partial BUILD: the bucket reconcile
+        # below may delete files the old manifest references, so prior
+        # build manifests are invalidated and history restarts at the
+        # completion commit (every file on disk is live in a build-only
+        # history — nothing has ever been superseded)
+        import shutil as _sh
+
+        _sh.rmtree(_snap_dir(os.path.join(path, "index")), ignore_errors=True)
     n_live = data_df.count()
     if n_live == 0:
         # reference parity: saving an empty tree raises (core.py:173-178)
@@ -231,6 +447,17 @@ def save_index(
         )
         lineage.write.mode("append").parquet(_lineage_path(path))
 
+    # the build is complete — freeze it as snapshot v1 (op=build). During
+    # a partial/killed build no manifest exists yet, so resume restarts
+    # see the raw directory exactly as before; the manifest commit is the
+    # atomic "this index now exists" point.
+    _commit_snapshot(
+        os.path.join(path, "index"),
+        _list_bucket_files(os.path.join(path, "index")),
+        "build",
+        None,
+    )
+
     meta = {
         "extent": [cfg.extent.xmin, cfg.extent.ymin, cfg.extent.xmax, cfg.extent.ymax],
         "level": cfg.level,
@@ -250,7 +477,7 @@ class LoadedIndex:
     probe cells against index rows on (cell[, salt]) and runs the same
     vectorized STRPack probe, reconstructed zero-copy from Arrow arrays."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, version: int | None = None):
         import json
 
         with open(_meta_path(path)) as f:
@@ -260,19 +487,29 @@ class LoadedIndex:
             extent=Extent(*e), level=meta["level"], leaf_size=meta["leaf_size"]
         )
         idx_dir = os.path.join(path, "index")
-        if _data_buckets_on_disk(idx_dir):
+        cur = current_snapshot_version(idx_dir)
+        if version is not None:
+            have = _snapshot_versions(idx_dir)
+            if version not in have:
+                raise ValueError(
+                    f"no snapshot v{version} at {path} (have: {have})"
+                )
+        self.version = version if version is not None else cur
+        if self.version is not None:
+            # snapshot-managed: read exactly the manifest's files (time
+            # travel when version= was passed, CURRENT otherwise)
+            self.df = _snapshot_df(spark, idx_dir, self.version)
+        elif _data_buckets_on_disk(idx_dir):
             self.df = spark.read.parquet(idx_dir)
         else:
             # fully emptied index (every bucket refreshed away) — still loadable
-            from python_prtree_spark.operators.build import INDEX_SCHEMA
-            from pyspark.sql.types import IntegerType, StructField, StructType
-
-            schema = StructType(
-                list(INDEX_SCHEMA.fields) + [StructField("bucket", IntegerType())]
-            )
-            self.df = spark.createDataFrame([], schema)
+            self.df = _empty_index_df(spark)
         self.path = path
-        self._n_live = meta.get("n_live_rows")
+        # meta's live count describes CURRENT only — a historical version
+        # recomputes from its own packs
+        self._n_live = (
+            meta.get("n_live_rows") if self.version == cur else None
+        )
         # scheme gate (see BUCKET_SCHEME): mismatching/legacy meta → read
         # every bucket rather than prune with the wrong formula
         self._prune_buckets = meta.get("bucket_scheme") == BUCKET_SCHEME
@@ -640,5 +877,11 @@ class LoadedIndex:
         )
 
 
-def load_index(spark: SparkSession, path: str) -> LoadedIndex:
-    return LoadedIndex(spark, path)
+def load_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> LoadedIndex:
+    """Open a persisted index. ``version=None`` reads the CURRENT snapshot
+    (or the raw directory for a never-refreshed pre-snapshot index);
+    ``version=`` time-travels to any snapshot still on file
+    (``index_snapshots(path)`` lists them)."""
+    return LoadedIndex(spark, path, version=version)

@@ -111,7 +111,11 @@ class IngestSink:
         import json
 
         from python_prtree_spark.operators.build import build_index
-        from python_prtree_spark.sources.store import _with_bucket, merge_refresh
+        from python_prtree_spark.sources.store import (
+            BUCKET_SCHEME,
+            _with_bucket,
+            merge_refresh,
+        )
 
         base = spark.read.parquet(self.base_path)
         filtered = self._dirty_region_filter(base, dirty)
@@ -130,7 +134,10 @@ class IngestSink:
             "level": self.cfg.level,
             "leaf_size": self.cfg.leaf_size,
             "n_live_rows": n_live,
-            "version": 1,
+            "version": 2,
+            # fresh packs are bucketed with the current scheme, so loaded
+            # probes may bucket-prune (LoadedIndex._prune_buckets gate)
+            "bucket_scheme": BUCKET_SCHEME,
         }
         with open(os.path.join(self.index_path, "_engine_meta.json"), "w") as f:
             json.dump(meta, f)
