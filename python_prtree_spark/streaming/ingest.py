@@ -38,12 +38,23 @@ BOX = ["xmin", "ymin", "xmax", "ymax"]
 class IngestSink:
     """foreachBatch sink: append + dirty-cell incremental index refresh."""
 
-    def __init__(self, index_path: str, cfg: EngineConfig, data_id: str = "id"):
+    def __init__(
+        self,
+        index_path: str,
+        cfg: EngineConfig,
+        data_id: str = "id",
+        snapshot_retention: int | None = 8,
+    ):
         if cfg.extent is None or cfg.level is None:
             raise ValueError("streaming ingest needs a pinned extent+level")
         self.index_path = index_path
         self.cfg = cfg
         self.data_id = data_id
+        #: every micro-batch refresh commits an index snapshot; an unbounded
+        #: stream must not accumulate manifests + superseded files forever,
+        #: so the sink expires down to the newest ``snapshot_retention``
+        #: after each refresh (None = keep all, for debugging/time travel)
+        self.snapshot_retention = snapshot_retention
 
     @property
     def base_path(self) -> str:
@@ -124,6 +135,11 @@ class IngestSink:
         fresh = _with_bucket(index, self.cfg.level)
         idx_dir = os.path.join(self.index_path, "index")
         merge_refresh(spark, idx_dir, fresh, dirty, self.cfg.level)
+        if self.snapshot_retention is not None:
+            from python_prtree_spark.sources.store import expire_index_snapshots
+
+            expire_index_snapshots(self.index_path,
+                                   keep_last=self.snapshot_retention)
         # meta for LoadedIndex — count(*) over parquet is footer-metadata
         # only (no data scan), and is exact even across batch REPLAYS
         # (replayed batch_ids overwrite their own partition)

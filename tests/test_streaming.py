@@ -101,3 +101,34 @@ def test_ingest_batch_replay_idempotent(spark, tmp_path):
     all_ids = np.concatenate([np.arange(300), np.arange(1000, 1200)])
     exp = {(q, int(all_ids[d])) for (q, d) in oracle_pairs(qboxes, all_boxes)}
     assert set(pairs) == exp
+
+
+def test_ingest_snapshot_retention_bounds_history(spark, tmp_path):
+    """An unbounded stream must not accumulate manifests + superseded
+    files forever: with snapshot_retention=2 the sink expires after each
+    refresh, keeping history bounded while queries stay exact."""
+    import numpy as np
+
+    from python_prtree_spark import index_snapshots, load_index
+    from python_prtree_spark.streaming.ingest import IngestSink
+    from tests.conftest import boxes_df, oracle_pairs, rand_boxes
+
+    cfg = EngineConfig(extent=Extent(0, 0, 100, 100), level=3)
+    path = str(tmp_path / "idx")
+    sink = IngestSink(path, cfg, snapshot_retention=2)
+    chunks = [rand_boxes(150, 31 + i, ext_max=4.0) for i in range(4)]
+    for i, ch in enumerate(chunks):
+        sink(boxes_df(spark, ch, ids=np.arange(i * 1000, i * 1000 + 150)), i)
+    snaps = index_snapshots(path)
+    assert len(snaps) <= 2  # retention enforced every batch
+    assert snaps[-1]["current"]
+    idx = load_index(spark, path)
+    assert idx.size() == 600
+    all_boxes = np.vstack(chunks)
+    ids = np.concatenate([np.arange(i * 1000, i * 1000 + 150) for i in range(4)])
+    qboxes = rand_boxes(40, 44, ext_max=4.0)
+    got = {
+        (r["qid"], r["id"])
+        for r in idx.batch_query(boxes_df(spark, qboxes, "qid")).collect()
+    }
+    assert got == {(q, ids[i]) for (q, i) in oracle_pairs(qboxes, all_boxes)}
