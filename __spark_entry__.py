@@ -443,6 +443,36 @@ def _q_raster_vector(spark, sf_dir):
     )
 
 
+def _q_zonal_stats(spark, sf_dir):
+    """Pixel-level zonal statistics over REAL encoded tiles, hash-gated:
+    tile bytes are generated by the closed-form recipe in
+    datagen.formula_tiles (pixel = (id*31 + r*7 + c*13 + ch*101) % 256,
+    formats cycling raw/png/lossy), so the DuckDB oracle replicates the
+    DECODED pixel values symbolically — a wrong codec stride, channel
+    order, or georeferencing convention breaks the hash. Zones are the
+    nation triangles; footprint extents are w*0.125 / h*0.125 (powers of
+    two) so the pixel-center lattice reproduces bit-for-bit in SQL."""
+    from python_prtree_spark.operators.raster import zonal_stats
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return zonal_stats(formula_tiles(ids), nation_triangles(spark, sf_dir), CFG)
+
+
+def _q_zonal_stats_image(spark, sf_dir):
+    """Same operator over the PCG-generated image table (bytes not
+    SQL-reproducible → rows-only here; the exact twin is the formula-tile
+    entry above plus the numpy-oracle pytest)."""
+    from python_prtree_spark.operators.raster import zonal_stats
+
+    imgs = image_table(spark, 500).select(
+        F.col("id").alias("image_id"), "bytes", "xmin", "ymin", "xmax", "ymax"
+    )
+    return zonal_stats(imgs, nation_triangles(spark, sf_dir), CFG)
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -985,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "pip_convex": _q_pip,
         "raster_vector": _q_raster_vector,
+        "zonal_stats": _q_zonal_stats,
+        "zonal_stats_image": _q_zonal_stats_image,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1212,6 +1244,51 @@ FROM b CROSS JOIN t
 WHERE b.xmin <= (t.cx + t.r) AND (t.cx - t.r) <= b.xmax
   AND b.ymin <= (t.cy + t.r) AND (t.cy - t.r) <= b.ymax
   AND NOT ({_tri_sat_sep_sql()})
+""",
+        "zonal_stats": f"""
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 90000 AS DOUBLE)/1000.0 + 2.0 AS xmin,
+    CAST((CAST(c_custkey AS BIGINT) * 2246822519) % 90000 AS DOUBLE)/1000.0 + 2.0 AS ymin,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+t AS (SELECT *, xmin + w * 0.125e0 AS xmax, ymin + h * 0.125e0 AS ymax FROM t0),
+tri AS ({NATION_TRI_SQL}),
+cand AS (
+  SELECT t.*, tri.poly_id, tri.cx, tri.cy, tri.r
+  FROM t JOIN tri
+    ON t.xmin <= tri.cx + tri.r AND tri.cx - tri.r <= t.xmax
+   AND t.ymin <= tri.cy + tri.r AND tri.cy - tri.r <= t.ymax),
+pr AS (SELECT *, unnest(range(h)) AS r2 FROM cand),
+pc AS (SELECT *, unnest(range(w)) AS c2 FROM pr),
+px AS (
+  SELECT poly_id, cx, cy, r, lossy,
+    xmin + (c2 + 0.5e0) * ((xmax - xmin) / w) AS pxc,
+    ymin + (r2 + 0.5e0) * ((ymax - ymin) / h) AS pyc,
+    (id*31 + r2*7 + c2*13) % 256 AS w0,
+    (id*31 + r2*7 + c2*13 + 101) % 256 AS w1,
+    (id*31 + r2*7 + c2*13 + 202) % 256 AS w2
+  FROM pc),
+inside AS (
+  SELECT poly_id,
+    CASE WHEN lossy THEN w0 - w0 % 2 ELSE w0 END AS v0,
+    CASE WHEN lossy THEN w1 - w1 % 2 ELSE w1 END AS v1,
+    CASE WHEN lossy THEN w2 - w2 % 2 ELSE w2 END AS v2
+  FROM px
+  WHERE ((cx + r) - (cx - r)) * (pyc - (cy - r)) >= 0
+    AND (cx - (cx + r)) * (pyc - (cy - r))
+        - ((cy + r) - (cy - r)) * (pxc - (cx + r)) >= 0
+    AND ((cx - r) - cx) * (pyc - (cy + r))
+        - ((cy - r) - (cy + r)) * (pxc - cx) >= 0)
+SELECT poly_id,
+  COUNT(*) AS n_px,
+  CAST(SUM(v0 + v1 + v2) AS BIGINT) AS sum_val,
+  CAST(MIN(LEAST(v0, v1, v2)) AS INT) AS min_val,
+  CAST(MAX(GREATEST(v0, v1, v2)) AS INT) AS max_val,
+  CAST(SUM(v0 + v1 + v2) AS DOUBLE) / (3 * COUNT(*)) AS mean_val
+FROM inside GROUP BY poly_id
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),

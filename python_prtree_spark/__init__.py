@@ -26,7 +26,7 @@ from python_prtree_spark.operators.distance import distance_join
 from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.polygon import polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
-from python_prtree_spark.operators.raster import raster_vector_join
+from python_prtree_spark.operators.raster import raster_vector_join, zonal_stats
 from python_prtree_spark.operators.nd import batch_query_nd, query_intersections_nd
 from python_prtree_spark.operators.components import (
     connected_components,
@@ -56,6 +56,7 @@ __all__ = [
     "point_in_polygon_join",
     "polygon_join",
     "raster_vector_join",
+    "zonal_stats",
     "batch_query_nd",
     "query_intersections_nd",
     "PRTreeTable",

@@ -96,6 +96,63 @@ def image_table(
     return ranges.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+FORMULA_TILE_SCHEMA = (
+    "image_id long, bytes binary, w int, h int, fmt string, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+#: closed-form tile recipe (zonal-stats gate): every column below is a pure
+#: function of the integer id, replicated verbatim by the DuckDB oracle in
+#: __spark_entry__ — so the REAL codec path (encode here, decode inside
+#: zonal_stats) is gated bit-for-bit by SQL. Keep the three lists and the
+#: pixel formula in sync with FORMULA_TILE_SQL there.
+_FT_WS = [16, 24, 32]
+_FT_HS = [12, 16, 24]
+_FT_FMTS = ["raw", "png", "lossy"]
+
+
+def _formula_pixels(tid: int, w: int, h: int) -> np.ndarray:
+    """pixel[r, c, ch] = (id*31 + r*7 + c*13 + ch*101) % 256 — exact in
+    int64, trivially expressible in ANSI SQL."""
+    r = np.arange(h, dtype=np.int64)[:, None, None] * 7
+    c = np.arange(w, dtype=np.int64)[None, :, None] * 13
+    ch = np.arange(3, dtype=np.int64)[None, None, :] * 101
+    return ((tid * 31 + r + c + ch) % 256).astype(np.uint8)
+
+
+def formula_tiles(ids_df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic georeferenced raster tiles from an integer id column.
+
+    Geometry is grid-exact by construction: extents are ``w*0.125`` /
+    ``h*0.125`` (0.125 is a power of two, so the per-pixel step
+    ``(xmax-xmin)/w`` reproduces to the same double in numpy and SQL), and
+    the min corner is id-derived modular arithmetic in [2, 92) — the same
+    family as the engine's other SQL-twinned fixtures. Formats cycle
+    raw/png/lossy by ``(id//3) % 3``: raw and PNG decode exactly; lossy
+    drops the value to even (``v - v%2``), which the oracle mirrors.
+    Generation is mapInPandas over the id column — each task renders its
+    slice, no driver loop."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tid in pdf[id_col]:
+                tid = int(tid)
+                w, h = _FT_WS[tid % 3], _FT_HS[tid % 3]
+                fmt = _FT_FMTS[(tid // 3) % 3]
+                x0 = float((tid * 2654435761) % 90000) / 1000.0 + 2.0
+                y0 = float((tid * 2246822519) % 90000) / 1000.0 + 2.0
+                data = encode_image(_formula_pixels(tid, w, h), fmt)
+                rows.append((tid, data, w, h, fmt,
+                             x0, y0, x0 + w * 0.125, y0 + h * 0.125))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt",
+                "xmin", "ymin", "xmax", "ymax",
+            ])
+
+    return ids_df.select(id_col).mapInPandas(gen, schema=FORMULA_TILE_SCHEMA)
+
+
 def boxes_pdf(n: int, seed: int = 42, extent_scale: float = 1.0) -> np.ndarray:
     """Driver-side twin of the footprints (for numpy oracles in tests)."""
     b = _boxes_for_range(0, n, seed)

@@ -381,3 +381,26 @@ def test_substring_dedup_plan(spark):
     assert plan.count("MapInPandas (") == 1, plan
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_zonal_stats_plan(spark, tmp_path):
+    """zonal_stats: keyed joins feeding ONE Arrow kernel — never a
+    cartesian — and the SAT candidate phase must not drag tile bytes
+    through the join: with parquet-backed tiles, the candidate-side scan
+    is column-pruned to the footprint (bytes read only by the final
+    per-tile join that feeds the decode kernel)."""
+    from python_prtree_spark.operators.raster import zonal_stats
+    from python_prtree_spark.sources.datagen import formula_tiles
+    from tests.test_knn_pip import _convex_polys, _polys_df
+
+    path = str(tmp_path / "tiles")
+    formula_tiles(spark.range(0, 50)).write.parquet(path)
+    tiles = spark.read.parquet(path)
+    df = zonal_stats(tiles, _polys_df(spark, _convex_polys(10, 5)), CFG)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" in plan, plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(schemas) >= 2, plan
+    assert any("bytes" not in ln for ln in schemas), schemas
+    assert sum("bytes" in ln for ln in schemas) == 1, schemas
