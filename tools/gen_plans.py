@@ -150,6 +150,23 @@ def main() -> None:
         "higher-order cosine join re-filters authoritatively.",
         fmt(embedding_near_dup_pairs(emb, threshold=0.95)),
     ))
+    from python_prtree_spark.operators.raster import zonal_stats
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    sections.append((
+        "zonal_stats — pixel-level raster↔vector aggregation",
+        "SAT footprint join (bytes column pruned out of the candidate "
+        "phase) → zones collect_list'd per tile → ONE decode per tile in "
+        "the Arrow kernel, which emits tiny (zone, n, sum, min, max) "
+        "partial rows → map-side-combined groupBy(poly_id). Pixels never "
+        "shuffle; a zone covering the whole corpus aggregates partial "
+        "rows, not pixels.",
+        fmt(zonal_stats(
+            formula_tiles(spark.read.parquet(f"{sf}/customer.parquet")
+                          .selectExpr("CAST(c_custkey AS LONG) AS id")),
+            e.nation_triangles(spark, sf), e.CFG,
+        )),
+    ))
 
     lines = [
         "# PLANS — formatted physical plans of the headline operators",
