@@ -473,6 +473,26 @@ def _q_zonal_stats_image(spark, sf_dir):
     return zonal_stats(imgs, nation_triangles(spark, sf_dir), CFG)
 
 
+def _q_rasterize(spark, sf_dir):
+    """Vector→raster (sparse per-pixel coverage counts): supplier probe
+    boxes painted onto the level-4 tile grid at 16×16 px/tile. The DuckDB
+    oracle enumerates the full pixel lattice and counts covering boxes
+    per center — gating the tile routing, the closed pixel-center
+    predicate, and the difference-array paint bit-for-bit."""
+    from python_prtree_spark.operators.raster import rasterize_counts
+
+    return rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+
+
+def _q_rasterize_tiles(spark, sf_dir):
+    """Same paint, emitting REAL PNG heatmap tiles (engine encoder) —
+    binary output has no SQL twin → rows-only; the exact twin is
+    `rasterize` above plus the decode-roundtrip pytest."""
+    from python_prtree_spark.operators.raster import rasterize_tiles
+
+    return rasterize_tiles(supplier_probes(spark, sf_dir), CFG, px=16)
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -1017,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": _q_raster_vector,
         "zonal_stats": _q_zonal_stats,
         "zonal_stats_image": _q_zonal_stats_image,
+        "rasterize": _q_rasterize,
+        "rasterize_tiles": _q_rasterize_tiles,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1289,6 +1311,22 @@ SELECT poly_id,
   CAST(MAX(GREATEST(v0, v1, v2)) AS INT) AS max_val,
   CAST(SUM(v0 + v1 + v2) AS DOUBLE) / (3 * COUNT(*)) AS mean_val
 FROM inside GROUP BY poly_id
+""",
+        "rasterize": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc AS (SELECT tile, r, unnest(range(16)) AS c FROM pr),
+px AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc)
+SELECT px.tile AS tile, CAST(px.r AS INT) AS r, CAST(px.c AS INT) AS c,
+  COUNT(*) AS cnt
+FROM px JOIN b ON b.xmin <= px.pxc AND px.pxc <= b.xmax
+              AND b.ymin <= px.pyc AND px.pyc <= b.ymax
+GROUP BY px.tile, px.r, px.c
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),

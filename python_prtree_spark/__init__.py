@@ -26,7 +26,12 @@ from python_prtree_spark.operators.distance import distance_join
 from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.polygon import polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
-from python_prtree_spark.operators.raster import raster_vector_join, zonal_stats
+from python_prtree_spark.operators.raster import (
+    raster_vector_join,
+    rasterize_counts,
+    rasterize_tiles,
+    zonal_stats,
+)
 from python_prtree_spark.operators.nd import batch_query_nd, query_intersections_nd
 from python_prtree_spark.operators.components import (
     connected_components,
@@ -57,6 +62,8 @@ __all__ = [
     "polygon_join",
     "raster_vector_join",
     "zonal_stats",
+    "rasterize_counts",
+    "rasterize_tiles",
     "batch_query_nd",
     "query_intersections_nd",
     "PRTreeTable",

@@ -1,0 +1,82 @@
+"""rasterize_counts / rasterize_tiles (vector→raster paint) vs numpy
+brute force: per-pixel covering-box counts over the full tile lattice,
+closed pixel-center predicate, PNG tile decode-roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from python_prtree_spark import EngineConfig, Extent
+from python_prtree_spark.functions.codec import decode_png
+from python_prtree_spark.operators.raster import rasterize_counts, rasterize_tiles
+from tests.conftest import boxes_df, rand_boxes
+
+CFG = EngineConfig(extent=Extent(0, 0, 100, 100), level=3)
+PX = 8
+
+
+def _counts_oracle(boxes, cfg, px):
+    """{(tile, r, c): cnt} for every pixel center covered by >= 1 box."""
+    side = 1 << cfg.level
+    cw = cfg.extent.width() / side
+    chh = cfg.extent.height() / side
+    b = np.asarray(boxes, dtype=float)
+    out = {}
+    for t in range(side * side):
+        ix, iy = t // side, t % side
+        xc = cfg.extent.xmin + ix * cw + (np.arange(px) + 0.5) * (cw / px)
+        yc = cfg.extent.ymin + iy * chh + (np.arange(px) + 0.5) * (chh / px)
+        X, Y = xc[None, None, :], yc[None, :, None]
+        m = (
+            (b[:, 0, None, None] <= X) & (X <= b[:, 2, None, None])
+            & (b[:, 1, None, None] <= Y) & (Y <= b[:, 3, None, None])
+        )
+        cnt = m.sum(axis=0)
+        for r, c in zip(*np.nonzero(cnt)):
+            out[(t, int(r), int(c))] = int(cnt[r, c])
+    return out
+
+
+def test_rasterize_counts_oracle(spark):
+    boxes = rand_boxes(200, 17, ext_max=12.0)
+    got = {
+        (row["tile"], row["r"], row["c"]): row["cnt"]
+        for row in rasterize_counts(boxes_df(spark, boxes), CFG, px=PX).collect()
+    }
+    assert got == _counts_oracle(boxes, CFG, PX)
+
+
+def test_rasterize_center_on_box_edge_counts(spark):
+    """A box whose edge passes exactly through a pixel center covers it
+    (closed predicate). Tile 0 pixel (0,0) center is (0.78125, 0.78125)
+    at level 3 / px 8 over [0,100]²: a box with xmin exactly there
+    still counts the pixel."""
+    cx = 0.0 + 0 * (100.0 / 8) + (0 + 0.5) * ((100.0 / 8) / 8)  # 0.78125
+    boxes = np.array([[cx, cx, 5.0, 5.0]])
+    got = {
+        (row["tile"], row["r"], row["c"]): row["cnt"]
+        for row in rasterize_counts(boxes_df(spark, boxes), CFG, px=PX).collect()
+    }
+    assert got[(0, 0, 0)] == 1
+    assert got == _counts_oracle(boxes, CFG, PX)
+
+
+def test_rasterize_tiles_png_roundtrip(spark):
+    """Each emitted tile PNG decodes (engine PNG codec) to exactly
+    min(count, 255) in every channel; tiles agree with rasterize_counts."""
+    boxes = rand_boxes(150, 23, ext_max=10.0)
+    counts = _counts_oracle(boxes, CFG, PX)
+    rows = rasterize_tiles(boxes_df(spark, boxes), CFG, px=PX).collect()
+    seen_nonzero = set()
+    for row in rows:
+        assert (row["w"], row["h"]) == (PX, PX)
+        img = decode_png(bytes(row["png"]))
+        assert img.shape == (PX, PX, 3)
+        assert (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 1] == img[:, :, 2]).all()
+        for r in range(PX):
+            for c in range(PX):
+                exp = min(counts.get((row["tile"], r, c), 0), 255)
+                assert int(img[r, c, 0]) == exp
+        if img.any():
+            seen_nonzero.add(row["tile"])
+    assert seen_nonzero == {t for (t, _, _) in counts}
