@@ -493,6 +493,22 @@ def _q_rasterize_tiles(spark, sf_dir):
     return rasterize_tiles(supplier_probes(spark, sf_dir), CFG, px=16)
 
 
+def _q_pyramid(spark, sf_dir):
+    """Tile-pyramid reduction chained over rasterize_tiles: level-4 PNG
+    heatmap tiles → decode (REAL engine PNG codec) → stitch 2x2 →
+    integer-mean downsample → sparse level-3 pixel rows. The oracle
+    recomputes the whole chain from the coverage counts (child value =
+    least(cnt,255), parent = floor-mean of the 2x2 block), so the PNG
+    encode→decode roundtrip sits inside a hash-checked pipeline."""
+    from python_prtree_spark.operators.raster import (
+        pyramid_level_values,
+        rasterize_tiles,
+    )
+
+    tiles = rasterize_tiles(supplier_probes(spark, sf_dir), CFG, px=16)
+    return pyramid_level_values(tiles, level=CFG.level, px=16)
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_image": _q_zonal_stats_image,
         "rasterize": _q_rasterize,
         "rasterize_tiles": _q_rasterize_tiles,
+        "pyramid": _q_pyramid,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1327,6 +1344,34 @@ SELECT px.tile AS tile, CAST(px.r AS INT) AS r, CAST(px.c AS INT) AS c,
 FROM px JOIN b ON b.xmin <= px.pxc AND px.pxc <= b.xmax
               AND b.ymin <= px.pyc AND px.pyc <= b.ymax
 GROUP BY px.tile, px.r, px.c
+""",
+        "pyramid": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT pxl.tile, pxl.r, pxl.c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxl.pxc AND pxl.pxc <= b.xmax
+                 AND b.ymin <= pxl.pyc AND pxl.pyc <= b.ymax
+  GROUP BY pxl.tile, pxl.r, pxl.c),
+child AS (SELECT tile, r, c, LEAST(cnt, 255) AS u FROM counts),
+par AS (
+  SELECT
+    ((tile // 16) // 2) * 8 + ((tile % 16) // 2) AS ptile,
+    ((tile % 16) % 2) * 8 + r // 2 AS pr,
+    ((tile // 16) % 2) * 8 + c // 2 AS pc,
+    u
+  FROM child)
+SELECT ptile AS tile, CAST(pr AS INT) AS r, CAST(pc AS INT) AS c,
+  CAST(SUM(u) // 4 AS BIGINT) AS v
+FROM par GROUP BY ptile, pr, pc
+HAVING SUM(u) // 4 > 0
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),

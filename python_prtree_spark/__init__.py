@@ -27,6 +27,8 @@ from python_prtree_spark.operators.pip import point_in_polygon_join
 from python_prtree_spark.operators.polygon import polygon_join
 from python_prtree_spark.operators.mutate import PRTreeTable
 from python_prtree_spark.operators.raster import (
+    pyramid_level,
+    pyramid_level_values,
     raster_vector_join,
     rasterize_counts,
     rasterize_tiles,
@@ -63,6 +65,8 @@ __all__ = [
     "raster_vector_join",
     "zonal_stats",
     "rasterize_counts",
+    "pyramid_level",
+    "pyramid_level_values",
     "rasterize_tiles",
     "batch_query_nd",
     "query_intersections_nd",

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["raster_vector_join", "zonal_stats"]
+__all__ = [
+    "raster_vector_join", "zonal_stats", "rasterize_counts",
+    "rasterize_tiles", "pyramid_level", "pyramid_level_values",
+]
 
 
 def raster_vector_join(
@@ -317,3 +320,105 @@ def rasterize_tiles(
     return routed.groupBy("cell").applyInPandas(
         paint, schema="tile long, png binary, w int, h int"
     )
+
+
+def _pyramid_groups(
+    tiles_df: DataFrame,
+    level: int,
+    px: int,
+    tile_col: str,
+    png_col: str,
+):
+    """Route child tiles to their parent (2x2 reduce-by-key) and return
+    the grouped frame plus the per-group stitch kernel input shape.
+    Parent id on the level-1 grid: (ix//2)*(side/2) + iy//2."""
+    side = 1 << level
+    ix = F.floor(F.col(tile_col) / side)
+    iy = F.col(tile_col) % side
+    parent = (F.floor(ix / 2) * (side // 2) + F.floor(iy / 2)).cast("long")
+    return tiles_df.select(
+        parent.alias("_parent"), F.col(tile_col).alias("_child"),
+        F.col(png_col).alias("_png"),
+    ).groupBy("_parent"), side
+
+
+def _stitch_downsample(pdf, side, px, np, decode_png):
+    """Decode the (<=4) child PNGs of one parent, place by quadrant, and
+    2x2-mean-downsample (integer floor — exact, order-independent).
+    Missing quadrants are zero. Returns the px x px uint8 parent plane."""
+    s = np.zeros((2 * px, 2 * px), dtype=np.int64)
+    for child, data in zip(pdf["_child"], pdf["_png"]):
+        cix, ciy = int(child) // side, int(child) % side
+        qx, qy = cix % 2, ciy % 2
+        img = decode_png(bytes(data))
+        s[qy * px:(qy + 1) * px, qx * px:(qx + 1) * px] = img[:, :, 0]
+    return (
+        (s[0::2, 0::2] + s[1::2, 0::2] + s[0::2, 1::2] + s[1::2, 1::2]) // 4
+    ).astype(np.uint8)
+
+
+def pyramid_level(
+    tiles_df: DataFrame,
+    level: int,
+    px: int = 16,
+    tile_col: str = "tile",
+    png_col: str = "png",
+) -> DataFrame:
+    """Tile-pyramid reduction (map-tile mipmapping): merge each 2x2 block
+    of grayscale PNG tiles at ``level`` into one parent PNG tile at
+    ``level - 1`` — decode (the engine's real PNG codec), stitch by
+    quadrant, 2x2 integer-mean downsample, re-encode.
+
+    → (tile, png, w, h) on the level-1 grid; parents appear iff at least
+    one child exists (missing quadrants are zero). One shuffle of
+    compressed child tiles keyed by parent — the standard reduce-by-key
+    pyramid step; apply repeatedly for deeper levels. Composes directly
+    over rasterize_tiles output."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.functions.codec import decode_png, encode_png
+
+    grouped, side = _pyramid_groups(tiles_df, level, px, tile_col, png_col)
+
+    def merge(key, pdf):
+        v = _stitch_downsample(pdf, side, px, np, decode_png)
+        png = encode_png(np.repeat(v[:, :, None], 3, axis=2))
+        return pd.DataFrame({
+            "tile": pd.Series([int(key[0])], dtype="int64"), "png": [png],
+            "w": pd.Series([px], dtype="int32"),
+            "h": pd.Series([px], dtype="int32"),
+        })
+
+    return grouped.applyInPandas(merge, schema="tile long, png binary, w int, h int")
+
+
+def pyramid_level_values(
+    tiles_df: DataFrame,
+    level: int,
+    px: int = 16,
+    tile_col: str = "tile",
+    png_col: str = "png",
+) -> DataFrame:
+    """Row form of pyramid_level for exact gating: the same decode →
+    stitch → 2x2-floor-mean kernel, emitting sparse (tile, r, c, v) rows
+    (v > 0) instead of re-encoding — SQL-replicable from the child pixel
+    values, so the REAL PNG decode of engine-encoded tiles sits inside a
+    hash-checked chain."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.functions.codec import decode_png
+
+    grouped, side = _pyramid_groups(tiles_df, level, px, tile_col, png_col)
+
+    def merge(key, pdf):
+        v = _stitch_downsample(pdf, side, px, np, decode_png)
+        r, c = np.nonzero(v)
+        return pd.DataFrame({
+            "tile": np.full(len(r), int(key[0]), dtype=np.int64),
+            "r": r.astype(np.int32), "c": c.astype(np.int32),
+            "v": v[r, c].astype(np.int64),
+        })
+
+    return grouped.applyInPandas(merge, schema="tile long, r int, c int, v long")

@@ -80,3 +80,51 @@ def test_rasterize_tiles_png_roundtrip(spark):
         if img.any():
             seen_nonzero.add(row["tile"])
     assert seen_nonzero == {t for (t, _, _) in counts}
+
+
+def _pyramid_oracle(boxes, cfg, px):
+    """{(ptile, r, c): v} — child value min(cnt,255), parent = floor-mean
+    of each 2x2 block on the stitched global plane; rows only for v>0."""
+    side = 1 << cfg.level
+    G = np.zeros((side * px, side * px), dtype=np.int64)  # [gy, gx]
+    for (t, r, c), cnt in _counts_oracle(boxes, cfg, px).items():
+        ix, iy = t // side, t % side
+        G[iy * px + r, ix * px + c] = min(cnt, 255)
+    P = (G[0::2, 0::2] + G[1::2, 0::2] + G[0::2, 1::2] + G[1::2, 1::2]) // 4
+    side_p = side // 2
+    out = {}
+    for gy, gx in zip(*np.nonzero(P)):
+        ptile = (gx // px) * side_p + (gy // px)
+        out[(int(ptile), int(gy % px), int(gx % px))] = int(P[gy, gx])
+    return out
+
+
+def test_pyramid_values_oracle(spark):
+    """rasterize_tiles → pyramid_level_values chain: real PNG encode THEN
+    decode inside the pipeline, checked against the counts oracle."""
+    from python_prtree_spark.operators.raster import pyramid_level_values
+
+    boxes = rand_boxes(200, 29, ext_max=15.0)
+    tiles = rasterize_tiles(boxes_df(spark, boxes), CFG, px=PX)
+    got = {
+        (row["tile"], row["r"], row["c"]): row["v"]
+        for row in pyramid_level_values(tiles, level=CFG.level, px=PX).collect()
+    }
+    assert got == _pyramid_oracle(boxes, CFG, PX)
+
+
+def test_pyramid_png_matches_values(spark):
+    """The PNG form decodes to exactly the values form (and zero
+    elsewhere), tile for tile."""
+    from python_prtree_spark.operators.raster import pyramid_level
+
+    boxes = rand_boxes(120, 31, ext_max=15.0)
+    tiles = rasterize_tiles(boxes_df(spark, boxes), CFG, px=PX)
+    vals = _pyramid_oracle(boxes, CFG, PX)
+    rows = pyramid_level(tiles, level=CFG.level, px=PX).collect()
+    for row in rows:
+        img = decode_png(bytes(row["png"]))
+        for r in range(PX):
+            for c in range(PX):
+                assert int(img[r, c, 0]) == vals.get((row["tile"], r, c), 0)
+    assert {t for (t, _, _) in vals} <= {row["tile"] for row in rows}
