@@ -404,3 +404,27 @@ def test_zonal_stats_plan(spark, tmp_path):
     assert len(schemas) >= 2, plan
     assert any("bytes" not in ln for ln in schemas), schemas
     assert sum("bytes" in ln for ln in schemas) == 1, schemas
+
+
+def test_rasterize_pyramid_plans(spark):
+    """rasterize_counts: ONE exchange grouping routed boxes per tile —
+    never a cartesian, no per-pixel rows crossing the shuffle.
+    pyramid_level_values: ONE exchange keyed by the parent tile."""
+    from python_prtree_spark.operators.raster import (
+        pyramid_level_values,
+        rasterize_counts,
+        rasterize_tiles,
+    )
+    from tests.conftest import boxes_df, rand_boxes
+
+    b = boxes_df(spark, rand_boxes(300, 41, ext_max=10.0))
+    df = rasterize_counts(b, CFG, px=8)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning(cell") == 1, plan
+
+    df2 = pyramid_level_values(rasterize_tiles(b, CFG, px=8), level=CFG.level, px=8)
+    assert_no_cartesian(df2)
+    plan2 = explain_str(df2)
+    assert "hashpartitioning(_parent" in plan2, plan2

@@ -128,3 +128,28 @@ def test_pyramid_png_matches_values(spark):
             for c in range(PX):
                 assert int(img[r, c, 0]) == vals.get((row["tile"], r, c), 0)
     assert {t for (t, _, _) in vals} <= {row["tile"] for row in rows}
+
+
+def test_pyramid_two_levels(spark):
+    """pyramid_level composes: level 3 → 2 → 1 tiles agree with
+    downsampling the global plane twice (id remapping at every level)."""
+    from python_prtree_spark.operators.raster import pyramid_level
+
+    boxes = rand_boxes(150, 37, ext_max=18.0)
+    side = 1 << CFG.level
+    G = np.zeros((side * PX, side * PX), dtype=np.int64)
+    for (t, r, c), cnt in _counts_oracle(boxes, CFG, PX).items():
+        G[(t % side) * PX + r, (t // side) * PX + c] = min(cnt, 255)
+    for _ in range(2):
+        G = (G[0::2, 0::2] + G[1::2, 0::2] + G[0::2, 1::2] + G[1::2, 1::2]) // 4
+    lvl1 = pyramid_level(
+        pyramid_level(rasterize_tiles(boxes_df(spark, boxes), CFG, px=PX),
+                      level=CFG.level, px=PX),
+        level=CFG.level - 1, px=PX,
+    ).collect()
+    side1 = 1 << (CFG.level - 2)
+    for row in lvl1:
+        img = decode_png(bytes(row["png"]))
+        ix, iy = row["tile"] // side1, row["tile"] % side1
+        exp = G[iy * PX:(iy + 1) * PX, ix * PX:(ix + 1) * PX]
+        assert (img[:, :, 0] == exp).all()

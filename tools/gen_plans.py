@@ -167,6 +167,30 @@ def main() -> None:
             e.nation_triangles(spark, sf), e.CFG,
         )),
     ))
+    from python_prtree_spark.operators.raster import (
+        pyramid_level_values, rasterize_counts, rasterize_tiles,
+    )
+
+    sections.append((
+        "rasterize_counts — vector→raster difference-array paint",
+        "Boxes explode to covering tiles (bounded duplication, same as "
+        "the spatial join) → ONE exchange on the tile key → per-tile "
+        "Arrow kernel paints with a difference array + 2D cumsum "
+        "(O(boxes + px²) per tile — a huge box is 4 writes, never "
+        "per-pixel rows) → sparse (tile, r, c, cnt) out.",
+        fmt(rasterize_counts(e.supplier_probes(spark, sf), e.CFG)),
+    ))
+    sections.append((
+        "pyramid_level_values — 2×2 tile-pyramid reduce",
+        "Child PNG tiles route to their parent id (pure column expr) → "
+        "ONE exchange on parent → decode/stitch/floor-mean kernel. "
+        "Chained here over rasterize_tiles, exactly as the hash-gated "
+        "driver entry runs it.",
+        fmt(pyramid_level_values(
+            rasterize_tiles(e.supplier_probes(spark, sf), e.CFG),
+            level=e.CFG.level,
+        )),
+    ))
 
     lines = [
         "# PLANS — formatted physical plans of the headline operators",
