@@ -224,6 +224,39 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     extras["build_8m_boxes_per_sec"] = round(n8 / best8, 1)
     big.unpersist()
 
+    # raster pipeline throughput (extras only — the r4 zonal/rasterize/
+    # pyramid family is new, so it is recorded for BASELINE.md without
+    # changing the headline suite tracked across rounds). Tiles are
+    # materialized first so the probe times the operators, not the
+    # fixture generation.
+    from python_prtree_spark.operators.raster import (
+        pyramid_level_values, rasterize_tiles, zonal_stats,
+    )
+    from python_prtree_spark.sources.datagen import formula_tiles
+    from __spark_entry__ import nation_triangles
+
+    tiles = formula_tiles(c.select(ck.cast("long").alias("id"))).localCheckpoint()
+    n_tiles = tiles.count()
+    tris = nation_triangles(spark, sf_dir)
+    best_z = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        zonal_stats(tiles, tris, CFG).count()
+        dt = time.perf_counter() - t0
+        best_z = dt if best_z is None else min(best_z, dt)
+    extras["zonal_tiles"] = int(n_tiles)
+    extras["zonal_sec"] = round(best_z, 3)
+    extras["zonal_tiles_per_sec"] = round(n_tiles / best_z, 1)
+    best_p = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pyramid_level_values(rasterize_tiles(sp, CFG, px=16),
+                             level=CFG.level, px=16).count()
+        dt = time.perf_counter() - t0
+        best_p = dt if best_p is None else min(best_p, dt)
+    extras["rasterize_pyramid_sec"] = round(best_p, 3)
+    tiles.unpersist()
+
     li.unpersist()
     probes.unpersist()
     total = round(sum(timings.values()), 3)
