@@ -331,7 +331,12 @@ def _pyramid_groups(
 ):
     """Route child tiles to their parent (2x2 reduce-by-key) and return
     the grouped frame plus the per-group stitch kernel input shape.
-    Parent id on the level-1 grid: (ix//2)*(side/2) + iy//2."""
+    Parent id on the level-1 grid: (ix//2)*(side/2) + iy//2.
+
+    Input contract: one row per tile id (duplicate ids would race for the
+    same quadrant); level >= 1 (level 0 is a single tile — no parent)."""
+    if level < 1:
+        raise ValueError("pyramid_level needs level >= 1 (level 0 has no parent grid)")
     side = 1 << level
     ix = F.floor(F.col(tile_col) / side)
     iy = F.col(tile_col) % side

@@ -153,3 +153,13 @@ def test_pyramid_two_levels(spark):
         ix, iy = row["tile"] // side1, row["tile"] % side1
         exp = G[iy * PX:(iy + 1) * PX, ix * PX:(ix + 1) * PX]
         assert (img[:, :, 0] == exp).all()
+
+
+def test_pyramid_level_zero_rejected(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.raster import pyramid_level
+
+    tiles = rasterize_tiles(boxes_df(spark, rand_boxes(5, 3)), CFG, px=PX)
+    with _pytest.raises(ValueError, match="level >= 1"):
+        pyramid_level(tiles, level=0, px=PX)
