@@ -945,6 +945,21 @@ def _q_distance_join(spark, sf_dir):
     )
 
 
+def _q_area_weighted(spark, sf_dir):
+    """Area-weighted transfer (areal interpolation): a value carried by
+    part boxes redistributed onto supplier-probe zones by intersection
+    area fraction — one spatial shuffle (cell-routed candidates), exact
+    min/max area arithmetic, per-pair 1e-6 fixed-point quantization so
+    the long SUM is order-independent and bit-identical in DuckDB."""
+    from python_prtree_spark.operators.areal import area_weighted_transfer
+
+    src = part_boxes(spark, sf_dir).withColumn(
+        "value", ((F.col("id") * 97) % 1000).cast("double") / 10.0
+    )
+    zones = supplier_probes(spark, sf_dir).withColumnRenamed("qid", "zone_id")
+    return area_weighted_transfer(src, zones, CFG)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Dup-pair clustering: exact Jaccard pairs → connected components
     (alternating large-star/small-star rounds) → (node, component=min id).
@@ -1076,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
+        "area_weighted": _q_area_weighted,
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
         "dedup_minhash_exact": _q_minhash_exact,
@@ -1712,6 +1728,21 @@ d AS (
 )
 SELECT pid, id, CAST(floor((dx*dx + dy*dy) * 1000000.0) AS BIGINT) AS dist2_q
 FROM d WHERE dx*dx + dy*dy <= 4.0
+""",
+        "area_weighted": f"""
+WITH b AS ({PART_BOXES_SQL}), z AS ({SUPPLIER_PROBES_SQL}),
+pairs AS (
+  SELECT z.qid AS zone_id,
+    floor((CAST((b.id * 97) % 1000 AS DOUBLE)/10.0) *
+      (((least(b.xmax, z.xmax) - greatest(b.xmin, z.xmin))
+        * (least(b.ymax, z.ymax) - greatest(b.ymin, z.ymin)))
+       / ((b.xmax - b.xmin) * (b.ymax - b.ymin))) * 1000000.0) AS cq
+  FROM b JOIN z
+    ON least(b.xmax, z.xmax) - greatest(b.xmin, z.xmin) > 0
+   AND least(b.ymax, z.ymax) - greatest(b.ymin, z.ymin) > 0)
+SELECT zone_id, CAST(count(*) AS BIGINT) AS n_src,
+  CAST(sum(cq) AS BIGINT) AS val_q
+FROM pairs GROUP BY zone_id
 """,
         "tile_assignment": """
 WITH b AS (""" + PART_BOXES_SQL + """),
