@@ -945,6 +945,32 @@ def _q_distance_join(spark, sf_dir):
     )
 
 
+def _q_geo_distance(spark, sf_dir):
+    """Geodesic within-distance join (haversine ST_DWithin): supplier
+    lng/lat probes vs customer lng/lat points within 500 km great-circle
+    distance — adaptive per-latitude longitude windows, antimeridian
+    split, single cell-routed shuffle, exact haversine refine in JVM
+    column arithmetic (bit-identical libm sequence in DuckDB), distance
+    emitted in integer meters."""
+    from python_prtree_spark.operators.distance import geo_distance_join
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    data = c.select(
+        k.alias("id"),
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    s = _read(spark, sf_dir, "supplier")
+    j = F.col("s_suppkey")
+    probes = s.select(
+        j.alias("qid"),
+        (((j * 758888821) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((j * 655326733) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return geo_distance_join(data, probes, 500.0)
+
+
 def _q_area_weighted(spark, sf_dir):
     """Area-weighted transfer (areal interpolation): a value carried by
     part boxes redistributed onto supplier-probe zones by intersection
@@ -1091,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
+        "geo_distance_join": _q_geo_distance,
         "area_weighted": _q_area_weighted,
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
@@ -1728,6 +1755,30 @@ d AS (
 )
 SELECT pid, id, CAST(floor((dx*dx + dy*dy) * 1000000.0) AS BIGINT) AS dist2_q
 FROM d WHERE dx*dx + dy*dy <= 4.0
+""",
+        "geo_distance_join": """
+WITH c AS (
+  SELECT c_custkey AS id,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM customer),
+s AS (
+  SELECT s_suppkey AS qid,
+    CAST((s_suppkey * 758888821) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((s_suppkey * 655326733) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM supplier),
+d AS (
+  SELECT s.qid, c.id,
+    2.0 * 6371.0088 * asin(sqrt(least(1.0,
+      sin((radians(c.lat) - radians(s.lat)) / 2.0)
+        * sin((radians(c.lat) - radians(s.lat)) / 2.0)
+      + cos(radians(s.lat)) * cos(radians(c.lat))
+        * sin((radians(c.lng) - radians(s.lng)) / 2.0)
+        * sin((radians(c.lng) - radians(s.lng)) / 2.0)
+    ))) AS dkm
+  FROM s CROSS JOIN c)
+SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
+FROM d WHERE dkm <= 500.0
 """,
         "area_weighted": f"""
 WITH b AS ({PART_BOXES_SQL}), z AS ({SUPPLIER_PROBES_SQL}),

@@ -27,15 +27,19 @@ float-printing differences (same trick as ann.cosine_topk_quantized).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
+from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["distance_join"]
+__all__ = ["distance_join", "geo_distance_join"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 
 
 def distance_join(
@@ -75,5 +79,138 @@ def distance_join(
         .select(
             query_id, data_id,
             F.floor(dist2 * F.lit(1e6)).cast("long").alias("dist2_q"),
+        )
+    )
+
+
+GEO_CFG = EngineConfig(extent=Extent(-180.0, -90.0, 180.0, 90.0), level=4)
+
+
+def geo_distance_join(
+    data_df: DataFrame,
+    probes_df: DataFrame,
+    radius_km: float,
+    cfg: EngineConfig = GEO_CFG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    lng: str = "lng",
+    lat: str = "lat",
+    n_data_hint: int | None = None,
+) -> DataFrame:
+    """Geodesic within-distance join (ST_DWithin on the sphere): for every
+    (probe point, data point) pair of lng/lat coordinates whose HAVERSINE
+    great-circle distance is <= radius_km, emit (qid, id, dist_m) with the
+    distance in integer meters (floor(d_km * 1000) — fixed point keeps the
+    cross-engine value compare away from float printing, same trick as
+    distance_join's dist2_q).
+
+    Distributed plan — the planar machinery reused on the lng/lat grid,
+    exactly ONE spatial shuffle:
+
+      1. each probe expands to a latitude window of +-degrees(sigma)
+         (|delta_phi| <= central angle sigma = r/R on the sphere) and an
+         ADAPTIVE longitude window: from the haversine identity
+         sin^2(sigma/2) >= cos(phi1) cos(phi2) sin^2(delta_lambda/2) and
+         |phi2| <= |phi1| + sigma,
+
+             delta_lambda <= 2 asin(min(1, sin(sigma/2) / cos(min(|phi1|
+                             + sigma, pi/2))))
+
+         — the window widens toward the poles (degenerating to the full
+         parallel when the cap touches a pole) instead of a global
+         worst-case width. A small multiplicative+absolute margin guards
+         the bound against libm ulp error; the exact refine is the
+         arbiter, so margins only add candidates, never results.
+      2. windows crossing the antimeridian split into (at most) two
+         DISJOINT [-180, 180] intervals — wrap pairs survive with no
+         duplicate candidates — and route through the same
+         cell-partitioned ``batch_query`` (PBSM single shuffle, packed
+         kernel, hot-cell salting) against the data points as degenerate
+         boxes.
+      3. exact JVM refine: the full haversine (radians/sin/cos/asin/sqrt
+         column expressions — whole-stage codegen, bit-identical in
+         DuckDB), closed predicate d <= radius_km. The haversine's
+         sin^2(delta_lambda/2) is 2pi-periodic, so raw longitude
+         differences near 360 degrees refine correctly without
+         normalization.
+
+    Reference contrast: the reference is planar-only (core.py boxes);
+    this is the north-rule geographic twin of distance_join, sharing its
+    join kernel end-to-end.
+    """
+    r = float(radius_km)
+    if not (r >= 0.0):  # also rejects NaN
+        raise ValueError(f"radius_km must be >= 0, got {radius_km!r}")
+    sigma = r / EARTH_RADIUS_KM  # central angle, radians
+    dphi_deg = math.degrees(sigma) * 1.0000001 + 1e-9
+    s_half = math.sin(sigma / 2.0)
+
+    pts = probes_df.select(
+        query_id, F.col(lng).alias("_plng"), F.col(lat).alias("_plat")
+    )
+    cos_min = F.cos(
+        F.least(F.radians(F.abs(F.col("_plat"))) + F.lit(sigma), F.lit(math.pi / 2))
+    )
+    dlam = (
+        F.degrees(F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.lit(s_half) / cos_min)))
+        * F.lit(1.0000001) + F.lit(1e-9)
+    )
+    w = pts.select(
+        query_id, "_plat",
+        (F.col("_plng") - dlam).alias("_a"),
+        (F.col("_plng") + dlam).alias("_b"),
+        (dlam >= 180.0).alias("_full"),
+    )
+    seg1_x0 = F.when(F.col("_full"), F.lit(-180.0)).otherwise(
+        F.greatest(F.col("_a"), F.lit(-180.0))
+    )
+    seg1_x1 = F.when(F.col("_full"), F.lit(180.0)).otherwise(
+        F.least(F.col("_b"), F.lit(180.0))
+    )
+    # wrap leftovers (disjoint from seg1 by construction: _a < -180 and
+    # _b > 180 together imply _full, so at most one side wraps)
+    seg2_x0 = F.when(~F.col("_full") & (F.col("_a") < -180.0), F.col("_a") + 360.0) \
+        .when(~F.col("_full") & (F.col("_b") > 180.0), F.lit(-180.0))
+    seg2_x1 = F.when(~F.col("_full") & (F.col("_a") < -180.0), F.lit(180.0)) \
+        .when(~F.col("_full") & (F.col("_b") > 180.0), F.col("_b") - 360.0)
+    segs = w.select(
+        query_id, "_plat",
+        F.explode(F.array(
+            F.struct(seg1_x0.alias("x0"), seg1_x1.alias("x1")),
+            F.struct(seg2_x0.alias("x0"), seg2_x1.alias("x1")),
+        )).alias("_s"),
+    ).where(F.col("_s.x0").isNotNull())
+    squares = segs.select(
+        query_id,
+        F.col("_s.x0").alias("xmin"),
+        (F.col("_plat") - dphi_deg).alias("ymin"),
+        F.col("_s.x1").alias("xmax"),
+        (F.col("_plat") + dphi_deg).alias("ymax"),
+    )
+    dpts = data_df.select(
+        data_id, F.col(lng).alias("_dlng"), F.col(lat).alias("_dlat")
+    )
+    cand = _probe.batch_query(
+        dpts.select(
+            data_id,
+            F.col("_dlng").alias("xmin"), F.col("_dlat").alias("ymin"),
+            F.col("_dlng").alias("xmax"), F.col("_dlat").alias("ymax"),
+        ),
+        squares, cfg, data_id, query_id, n_data_hint=n_data_hint,
+    )
+    # exact haversine refine — expression order mirrors the SQL oracle
+    sdphi = F.sin((F.radians("_dlat") - F.radians("_plat")) / F.lit(2.0))
+    sdlam = F.sin((F.radians("_dlng") - F.radians("_plng")) / F.lit(2.0))
+    h = sdphi * sdphi \
+        + F.cos(F.radians("_plat")) * F.cos(F.radians("_dlat")) * sdlam * sdlam
+    dkm = F.lit(2.0) * F.lit(EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+    return (
+        cand.join(dpts, on=data_id)
+        .join(pts, on=query_id)
+        .withColumn("_dkm", dkm)
+        .where(F.col("_dkm") <= F.lit(r))
+        .select(
+            query_id, data_id,
+            F.floor(F.col("_dkm") * F.lit(1000.0)).cast("long").alias("dist_m"),
         )
     )

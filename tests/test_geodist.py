@@ -1,0 +1,96 @@
+"""geo_distance_join (haversine ST_DWithin) vs numpy brute force:
+global random points, antimeridian-wrap pairs, high-latitude adaptive
+longitude windows, radius validation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from python_prtree_spark.operators.distance import (
+    EARTH_RADIUS_KM,
+    geo_distance_join,
+)
+
+
+def _hav_km(plng, plat, dlng, dlat):
+    sdphi = math.sin((math.radians(dlat) - math.radians(plat)) / 2.0)
+    sdlam = math.sin((math.radians(dlng) - math.radians(plng)) / 2.0)
+    h = sdphi * sdphi \
+        + math.cos(math.radians(plat)) * math.cos(math.radians(dlat)) * sdlam * sdlam
+    return 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(min(1.0, h)))
+
+
+def _df(spark, rows, id_col):
+    return spark.createDataFrame(
+        [(int(i), float(g), float(t)) for i, g, t in rows],
+        f"{id_col} long, lng double, lat double",
+    )
+
+
+def _oracle(probes, data, r):
+    out = {}
+    for qid, plng, plat in probes:
+        for did, dlng, dlat in data:
+            d = _hav_km(plng, plat, dlng, dlat)
+            if d <= r:
+                out[(qid, did)] = math.floor(d * 1000.0)
+    return out
+
+
+def _run(spark, probes, data, r):
+    got = {
+        (row["qid"], row["id"]): row["dist_m"]
+        for row in geo_distance_join(
+            _df(spark, data, "id"), _df(spark, probes, "qid"), r
+        ).collect()
+    }
+    assert got == _oracle(probes, data, r)
+    return got
+
+
+def test_geo_distance_random_globe(spark):
+    rng = np.random.default_rng(7)
+    data = [(i, rng.uniform(-180, 180), rng.uniform(-85, 85)) for i in range(400)]
+    probes = [(i, rng.uniform(-180, 180), rng.uniform(-85, 85)) for i in range(60)]
+    got = _run(spark, probes, data, 1500.0)
+    assert len(got) > 0
+
+
+def test_geo_distance_antimeridian_wrap(spark):
+    # 0.2 degrees of longitude apart across the +-180 seam (~22 km at
+    # equator): the wrap split must keep the pair as a candidate
+    data = [(1, -179.9, 0.0), (2, 179.0, 50.0)]
+    probes = [(10, 179.9, 0.0)]
+    got = _run(spark, probes, data, 50.0)
+    assert (10, 1) in got
+
+
+def test_geo_distance_high_latitude_window(spark):
+    # at lat 82 a 10-degree longitude gap is ~155 km — inside a 200 km
+    # radius only because the lambda window widens with latitude
+    data = [(1, 10.0, 82.0), (2, 10.0, 0.0)]
+    probes = [(10, 0.0, 82.0), (11, 0.0, 0.0)]
+    got = _run(spark, probes, data, 200.0)
+    assert (10, 1) in got
+    assert (11, 2) not in got  # same gap at the equator is ~1113 km
+
+
+def test_geo_distance_polar_cap_full_parallel(spark):
+    # a probe whose radius cap reaches past the pole must see every
+    # longitude at that latitude
+    data = [(1, 179.0, 89.5), (2, -91.0, 89.3)]
+    probes = [(10, 0.0, 89.9)]
+    got = _run(spark, probes, data, 150.0)
+    assert (10, 1) in got and (10, 2) in got
+
+
+def test_geo_distance_rejects_bad_radius(spark):
+    d = _df(spark, [(1, 0.0, 0.0)], "id")
+    p = _df(spark, [(1, 0.0, 0.0)], "qid")
+    with pytest.raises(ValueError, match="radius_km"):
+        geo_distance_join(d, p, -1.0)
+    with pytest.raises(ValueError, match="radius_km"):
+        geo_distance_join(d, p, float("nan"))
