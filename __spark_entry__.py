@@ -509,6 +509,22 @@ def _q_pyramid(spark, sf_dir):
     return pyramid_level_values(tiles, level=CFG.level, px=16)
 
 
+def _q_polygonize(spark, sf_dir):
+    """Raster→vector extraction chained over rasterize_counts: lit pixels
+    (coverage >= 1) grouped into 4-connected regions across tile seams —
+    per-tile min-propagation labeling, border-only equi-joins, large-star/
+    small-star merge over the region graph. region_id = min global pixel
+    key; oracle = recursive-CTE transitive closure over pixel adjacency
+    on the same SQL-enumerated lattice."""
+    from python_prtree_spark.operators.raster import (
+        polygonize_regions,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return polygonize_regions(pxs, CFG, px=16, threshold=1)
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -1097,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": _q_rasterize,
         "rasterize_tiles": _q_rasterize_tiles,
         "pyramid": _q_pyramid,
+        "polygonize": _q_polygonize,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1415,6 +1432,41 @@ SELECT ptile AS tile, CAST(pr AS INT) AS r, CAST(pc AS INT) AS c,
   CAST(SUM(u) // 4 AS BIGINT) AS v
 FROM par GROUP BY ptile, pr, pc
 HAVING SUM(u) // 4 > 0
+""",
+        "polygonize": f"""
+WITH RECURSIVE b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT pxl.tile, pxl.r, pxl.c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxl.pxc AND pxl.pxc <= b.xmax
+                 AND b.ymin <= pxl.pyc AND pxl.pyc <= b.ymax
+  GROUP BY pxl.tile, pxl.r, pxl.c),
+k AS (
+  SELECT ((tile // 16) * 16 + c) * 256 + ((tile % 16) * 16 + r) AS k,
+    (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+  FROM counts WHERE cnt >= 1),
+e0 AS (
+  SELECT a.k AS ka, b2.k AS kb FROM k a JOIN k b2
+    ON (b2.gx = a.gx + 1 AND b2.gy = a.gy)
+    OR (b2.gx = a.gx AND b2.gy = a.gy + 1)),
+e AS (SELECT ka, kb FROM e0 UNION SELECT kb, ka FROM e0),
+rec(n2, l) AS (
+  SELECT k, k FROM k
+  UNION
+  SELECT e.ka, rec.l FROM e JOIN rec ON e.kb = rec.n2),
+lab AS (SELECT n2 AS k, min(l) AS comp FROM rec GROUP BY n2)
+SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
+  CAST(min(gx) AS INT) AS gx0, CAST(min(gy) AS INT) AS gy0,
+  CAST(max(gx) AS INT) AS gx1, CAST(max(gy) AS INT) AS gy1,
+  CAST(sum(cnt) AS BIGINT) AS v_sum
+FROM k JOIN lab USING (k) GROUP BY comp
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),
