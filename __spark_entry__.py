@@ -525,6 +525,20 @@ def _q_polygonize(spark, sf_dir):
     return polygonize_regions(pxs, CFG, px=16, threshold=1)
 
 
+def _q_raster_algebra(spark, sf_dir):
+    """Map algebra (change detection shape): supplier-probe coverage
+    minus part-box coverage, aligned on the pixel lattice by a single
+    co-partitioned full-outer join — integer-exact, sparse output."""
+    from python_prtree_spark.operators.raster import (
+        raster_algebra,
+        rasterize_counts,
+    )
+
+    a = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    b = rasterize_counts(part_boxes(spark, sf_dir), CFG, px=16)
+    return raster_algebra(a, b, op="subtract")
+
+
 def _q_mutation(spark, sf_dir):
     t = PRTreeTable(part_boxes(spark, sf_dir), CFG)
     erase_ids = part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id")
@@ -1114,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tiles": _q_rasterize_tiles,
         "pyramid": _q_pyramid,
         "polygonize": _q_polygonize,
+        "raster_algebra": _q_raster_algebra,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1467,6 +1482,35 @@ SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
   CAST(max(gx) AS INT) AS gx1, CAST(max(gy) AS INT) AS gy1,
   CAST(sum(cnt) AS BIGINT) AS v_sum
 FROM k JOIN lab USING (k) GROUP BY comp
+""",
+        "raster_algebra": f"""
+WITH b1 AS ({SUPPLIER_PROBES_SQL}), b2 AS ({PART_BOXES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+ca AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b1 ON b1.xmin <= pxc AND pxc <= b1.xmax
+                  AND b1.ymin <= pyc AND pyc <= b1.ymax
+  GROUP BY tile, r, c),
+cb AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b2 ON b2.xmin <= pxc AND pxc <= b2.xmax
+                  AND b2.ymin <= pyc AND pyc <= b2.ymax
+  GROUP BY tile, r, c),
+j AS (
+  SELECT COALESCE(ca.tile, cb.tile) AS tile,
+    COALESCE(ca.r, cb.r) AS r, COALESCE(ca.c, cb.c) AS c,
+    COALESCE(ca.cnt, 0) - COALESCE(cb.cnt, 0) AS v
+  FROM ca FULL OUTER JOIN cb
+    ON ca.tile = cb.tile AND ca.r = cb.r AND ca.c = cb.c)
+SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c, CAST(v AS BIGINT) AS v
+FROM j WHERE v <> 0
 """,
         "mutation_pipeline": f"""
 WITH base AS ({PART_BOXES_SQL}),

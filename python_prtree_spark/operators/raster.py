@@ -29,7 +29,7 @@ from python_prtree_spark.operators import probe as _probe
 __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
-    "polygonize_regions",
+    "polygonize_regions", "raster_algebra",
 ]
 
 
@@ -560,3 +560,51 @@ def polygonize_regions(
             F.sum("v").alias("v_sum"),
         )
     )
+
+
+_ALGEBRA_OPS = ("add", "subtract", "multiply", "min", "max")
+
+
+def raster_algebra(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    op: str = "subtract",
+    value_col: str = "cnt",
+    keep_zero: bool = False,
+) -> DataFrame:
+    """Map algebra over two sparse raster layers (GDAL ``gdal_calc`` /
+    Map Algebra local operation): align two (tile, r, c, value) layers on
+    the pixel lattice and combine per pixel — absent pixels read as 0.
+
+    → (tile, r, c, v) with v = a OP b; zero results are dropped unless
+    ``keep_zero`` (keeps the sparse-raster invariant: rows are lit
+    pixels). All ops are integer-exact (long arithmetic), so the result
+    is oracle-gateable bit-for-bit.
+
+    Scale shape: ONE co-partitioned full-outer shuffle join on the pixel
+    key (tile, r, c) — both sides hash to the same partitioning, no
+    replication, map-side combine nowhere needed since keys are unique
+    per layer. Composes with rasterize_counts / pyramid_level_values /
+    polygonize_regions (e.g. change detection: subtract two epochs, then
+    polygonize the nonzero difference regions).
+    """
+    if op not in _ALGEBRA_OPS:
+        raise ValueError(f"op must be one of {_ALGEBRA_OPS}, got {op!r}")
+    key = ["tile", "r", "c"]
+    a = a_df.select(*key, F.col(value_col).cast("long").alias("_a"))
+    b = b_df.select(*key, F.col(value_col).cast("long").alias("_b"))
+    j = a.join(b, on=key, how="full_outer").select(
+        *key,
+        F.coalesce("_a", F.lit(0)).alias("_a"),
+        F.coalesce("_b", F.lit(0)).alias("_b"),
+    )
+    va, vb = F.col("_a"), F.col("_b")
+    v = {
+        "add": va + vb,
+        "subtract": va - vb,
+        "multiply": va * vb,
+        "min": F.least(va, vb),
+        "max": F.greatest(va, vb),
+    }[op]
+    out = j.select(*key, v.cast("long").alias("v"))
+    return out if keep_zero else out.where(F.col("v") != 0)

@@ -163,3 +163,34 @@ def test_pyramid_level_zero_rejected(spark):
     tiles = rasterize_tiles(boxes_df(spark, rand_boxes(5, 3)), CFG, px=PX)
     with _pytest.raises(ValueError, match="level >= 1"):
         pyramid_level(tiles, level=0, px=PX)
+
+
+def test_raster_algebra_ops_and_missing_as_zero(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.raster import raster_algebra
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(int(t), int(r), int(c), int(v)) for t, r, c, v in rows],
+            "tile long, r int, c int, cnt long",
+        )
+
+    a = df([(0, 0, 0, 5), (0, 0, 1, 2), (1, 3, 3, 7)])
+    b = df([(0, 0, 0, 3), (0, 1, 0, 4), (1, 3, 3, 7)])
+    key = lambda rows: {(r["tile"], r["r"], r["c"]): r["v"] for r in rows}
+    assert key(raster_algebra(a, b, "subtract").collect()) == {
+        (0, 0, 0): 2, (0, 0, 1): 2, (0, 1, 0): -4,
+    }
+    assert key(raster_algebra(a, b, "add").collect()) == {
+        (0, 0, 0): 8, (0, 0, 1): 2, (0, 1, 0): 4, (1, 3, 3): 14,
+    }
+    assert key(raster_algebra(a, b, "multiply").collect()) == {
+        (0, 0, 0): 15, (1, 3, 3): 49,
+    }
+    assert key(raster_algebra(a, b, "min").collect()) == {(0, 0, 0): 3, (1, 3, 3): 7}
+    # keep_zero retains the aligned-but-cancelled pixel
+    full = key(raster_algebra(a, b, "subtract", keep_zero=True).collect())
+    assert full[(1, 3, 3)] == 0 and len(full) == 4
+    with _pytest.raises(ValueError, match="op must be one of"):
+        raster_algebra(a, b, "divide")
