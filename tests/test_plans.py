@@ -428,3 +428,81 @@ def test_rasterize_pyramid_plans(spark):
     assert_no_cartesian(df2)
     plan2 = explain_str(df2)
     assert "hashpartitioning(_parent" in plan2, plan2
+
+
+def test_area_weighted_plan(spark):
+    """area_weighted_transfer: cell-routed candidates (never cartesian),
+    fixed-point refine + aggregate all JVM-side."""
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.operators.areal import area_weighted_transfer
+
+    src = boxes_df(spark, rand_boxes(400, 95)).withColumn(
+        "value", (F.col("id") % 100).cast("double")
+    )
+    zones = boxes_df(spark, rand_boxes(40, 96), "zone_id")
+    df = area_weighted_transfer(src, zones, CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Join" in plan and "cell" in plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_geo_distance_plan(spark):
+    """geo_distance_join: the lng/lat window join stays cell-routed and
+    the haversine refine is JVM column arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.operators.distance import GEO_CFG, geo_distance_join
+
+    rng = np.random.default_rng(97)
+    mk = lambda n, idc: spark.createDataFrame(
+        pd.DataFrame({
+            idc: np.arange(n),
+            "lng": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-85, 85, n),
+        }), schema=f"{idc} long, lng double, lat double",
+    )
+    df = geo_distance_join(mk(400, "id"), mk(40, "qid"), 500.0,
+                           GEO_CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Join" in plan and "cell" in plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_polygonize_plan_border_only_joins(spark):
+    """polygonize_regions: exactly one pixel-granular Arrow stage (the
+    per-tile labeling); everything after operates on region/border rows
+    in JVM joins — never a cartesian."""
+    from python_prtree_spark.operators.raster import (
+        polygonize_regions,
+        rasterize_counts,
+    )
+
+    b = boxes_df(spark, rand_boxes(100, 98, ext_max=6.0))
+    df = polygonize_regions(rasterize_counts(b, CFG, px=8), CFG, px=8)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    # one labeling kernel + the upstream paint kernel — no other Python
+    assert plan.count("FlatMapGroupsInPandas") <= 2, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_raster_algebra_plan_copartitioned(spark):
+    """raster_algebra: ONE full-outer equi-join on the pixel key — both
+    sides hash-partitioned the same way, no cartesian, no Python."""
+    from python_prtree_spark.operators.raster import (
+        raster_algebra,
+        rasterize_counts,
+    )
+
+    a = rasterize_counts(boxes_df(spark, rand_boxes(100, 99)), CFG, px=8)
+    b = rasterize_counts(boxes_df(spark, rand_boxes(100, 100)), CFG, px=8)
+    df = raster_algebra(a, b, "subtract")
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "FullOuter" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -191,6 +191,63 @@ def main() -> None:
             level=e.CFG.level,
         )),
     ))
+    from python_prtree_spark.operators.areal import area_weighted_transfer
+    from python_prtree_spark.operators.distance import geo_distance_join
+    from python_prtree_spark.operators.raster import (
+        polygonize_regions, raster_algebra,
+    )
+
+    sections.append((
+        "area_weighted_transfer — areal interpolation",
+        "Zones route through the cell-partitioned candidate join, then a "
+        "pure-JVM min/max intersection-area refine quantizes each pair's "
+        "contribution to fixed point BEFORE the sum — long addition is "
+        "order-independent, so the aggregate is partitioning-proof. "
+        "Map-side combine on ~24-byte partials.",
+        fmt(area_weighted_transfer(
+            pb.withColumn("value", (F.col("id") % 100).cast("double")),
+            sp.withColumnRenamed("qid", "zone_id"), e.CFG.with_(strategy="sql"),
+        )),
+    ))
+    sections.append((
+        "geo_distance_join — haversine ST_DWithin",
+        "Probes expand to latitude windows + per-latitude adaptive "
+        "longitude windows (antimeridian-splitting into disjoint "
+        "segments), route through the same cell join on the lng/lat "
+        "grid, and refine with the exact haversine in JVM column "
+        "arithmetic — no Python anywhere.",
+        fmt(geo_distance_join(
+            e._read(spark, sf, "customer").selectExpr(
+                "c_custkey AS id",
+                "CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng",
+                "CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat"),
+            e._read(spark, sf, "supplier").selectExpr(
+                "s_suppkey AS qid",
+                "CAST((s_suppkey * 758888821) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng",
+                "CAST((s_suppkey * 655326733) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat"),
+            500.0,
+        )),
+    ))
+    sections.append((
+        "polygonize_regions — raster→vector region extraction",
+        "Per-tile Arrow kernel labels pixels locally (the ONLY pixel-"
+        "granular stage); border pixels equi-join their seam neighbors; "
+        "large-star/small-star merges the region graph; final labels "
+        "aggregate map-side. Pixels shuffle exactly once.",
+        fmt(polygonize_regions(
+            rasterize_counts(e.supplier_probes(spark, sf), e.CFG), e.CFG,
+        )),
+    ))
+    sections.append((
+        "raster_algebra — two-layer map algebra",
+        "ONE co-partitioned full-outer equi-join on the pixel key; "
+        "missing pixels coalesce to 0; integer arithmetic JVM-side; "
+        "sparse output preserved.",
+        fmt(raster_algebra(
+            rasterize_counts(e.supplier_probes(spark, sf), e.CFG),
+            rasterize_counts(pb, e.CFG), "subtract",
+        )),
+    ))
 
     lines = [
         "# PLANS — formatted physical plans of the headline operators",
