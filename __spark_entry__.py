@@ -1001,6 +1001,23 @@ def _q_geo_distance(spark, sf_dir):
     return geo_distance_join(data, probes, 500.0)
 
 
+def _q_trajectory(spark, sf_dir):
+    """Per-user GPS-track summarization over the events stream: pings
+    (event_id-derived lng/lat) ordered by (ts, event_id) per user, each
+    consecutive hop measured with the exact haversine and quantized to
+    integer meters before the order-independent long sum."""
+    from python_prtree_spark.operators.trajectory import trajectory_stats
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pings = ev.select(
+        "user_id", "ts", "event_id",
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return trajectory_stats(pings)
+
+
 def _q_area_weighted(spark, sf_dir):
     """Area-weighted transfer (areal interpolation): a value carried by
     part boxes redistributed onto supplier-probe zones by intersection
@@ -1151,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": _q_distance_join,
         "geo_distance_join": _q_geo_distance,
         "area_weighted": _q_area_weighted,
+        "trajectory_stats": _q_trajectory,
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
         "dedup_minhash_exact": _q_minhash_exact,
@@ -1875,6 +1893,33 @@ d AS (
   FROM s CROSS JOIN c)
 SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 500.0
+""",
+        "trajectory_stats": """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((event_id * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM events),
+l AS (
+  SELECT user_id,
+    lag(lng) OVER w AS plng, lag(lat) OVER w AS plat, lng, lat
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+h AS (
+  SELECT user_id,
+    CASE WHEN plat IS NULL THEN NULL ELSE
+      CAST(floor(2.0 * 6371.0088 * asin(sqrt(least(1.0,
+        sin((radians(lat) - radians(plat)) / 2.0)
+          * sin((radians(lat) - radians(plat)) / 2.0)
+        + cos(radians(plat)) * cos(radians(lat))
+          * sin((radians(lng) - radians(plng)) / 2.0)
+          * sin((radians(lng) - radians(plng)) / 2.0)
+      ))) * 1000.0) AS BIGINT) END AS hop
+  FROM l)
+SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_pings,
+  CAST(count(hop) AS BIGINT) AS n_hops,
+  CAST(COALESCE(sum(hop), 0) AS BIGINT) AS total_m,
+  CAST(COALESCE(max(hop), 0) AS BIGINT) AS max_m
+FROM h GROUP BY user_id
 """,
         "area_weighted": f"""
 WITH b AS ({PART_BOXES_SQL}), z AS ({SUPPLIER_PROBES_SQL}),
