@@ -473,6 +473,24 @@ def _q_zonal_stats_image(spark, sf_dir):
     return zonal_stats(imgs, nation_triangles(spark, sf_dir), CFG)
 
 
+def _q_zonal_histogram(spark, sf_dir):
+    """Zonal histogram over the same REAL encoded formula tiles as
+    zonal_stats: per-zone distribution of decoded channel samples in 8
+    uint8 buckets — decode-once kernel emitting at most n_bins partial
+    rows per (tile, zone), map-side-combined. The DuckDB oracle unnests
+    the three symbolically-recomputed channel values per inside pixel
+    and buckets them with the same integer floor-divide."""
+    from python_prtree_spark.operators.raster import zonal_histogram
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return zonal_histogram(
+        formula_tiles(ids), nation_triangles(spark, sf_dir), CFG, n_bins=8
+    )
+
+
 def _q_rasterize(spark, sf_dir):
     """Vector→raster (sparse per-pixel coverage counts): supplier probe
     boxes painted onto the level-4 tile grid at 16×16 px/tile. The DuckDB
@@ -1141,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": _q_raster_vector,
         "zonal_stats": _q_zonal_stats,
         "zonal_stats_image": _q_zonal_stats_image,
+        "zonal_histogram": _q_zonal_histogram,
         "rasterize": _q_rasterize,
         "rasterize_tiles": _q_rasterize_tiles,
         "pyramid": _q_pyramid,
@@ -1196,6 +1215,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _BATCH_PAIRS_SQL = f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+"""
+
+# shared WITH-body of the zonal oracles (stats + histogram): formula
+# tiles recomputed symbolically, SAT-equivalent bbox candidates, pixel
+# lattice, inclusive half-plane mask, per-channel decoded values
+_ZONAL_INSIDE_SQL = f"""
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 90000 AS DOUBLE)/1000.0 + 2.0 AS xmin,
+    CAST((CAST(c_custkey AS BIGINT) * 2246822519) % 90000 AS DOUBLE)/1000.0 + 2.0 AS ymin,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+t AS (SELECT *, xmin + w * 0.125e0 AS xmax, ymin + h * 0.125e0 AS ymax FROM t0),
+tri AS ({NATION_TRI_SQL}),
+cand AS (
+  SELECT t.*, tri.poly_id, tri.cx, tri.cy, tri.r
+  FROM t JOIN tri
+    ON t.xmin <= tri.cx + tri.r AND tri.cx - tri.r <= t.xmax
+   AND t.ymin <= tri.cy + tri.r AND tri.cy - tri.r <= t.ymax),
+pr AS (SELECT *, unnest(range(h)) AS r2 FROM cand),
+pc AS (SELECT *, unnest(range(w)) AS c2 FROM pr),
+px AS (
+  SELECT poly_id, cx, cy, r, lossy,
+    xmin + (c2 + 0.5e0) * ((xmax - xmin) / w) AS pxc,
+    ymin + (r2 + 0.5e0) * ((ymax - ymin) / h) AS pyc,
+    (id*31 + r2*7 + c2*13) % 256 AS w0,
+    (id*31 + r2*7 + c2*13 + 101) % 256 AS w1,
+    (id*31 + r2*7 + c2*13 + 202) % 256 AS w2
+  FROM pc),
+inside AS (
+  SELECT poly_id,
+    CASE WHEN lossy THEN w0 - w0 % 2 ELSE w0 END AS v0,
+    CASE WHEN lossy THEN w1 - w1 % 2 ELSE w1 END AS v1,
+    CASE WHEN lossy THEN w2 - w2 % 2 ELSE w2 END AS v2
+  FROM px
+  WHERE ((cx + r) - (cx - r)) * (pyc - (cy - r)) >= 0
+    AND (cx - (cx + r)) * (pyc - (cy - r))
+        - ((cy + r) - (cy - r)) * (pxc - (cx + r)) >= 0
+    AND ((cx - r) - cx) * (pyc - (cy + r))
+        - ((cy - r) - (cy + r)) * (pxc - cx) >= 0)
 """
 
 # float32 family: round every coordinate to REAL exactly as Spark's
@@ -1377,43 +1438,13 @@ WHERE b.xmin <= (t.cx + t.r) AND (t.cx - t.r) <= b.xmax
   AND b.ymin <= (t.cy + t.r) AND (t.cy - t.r) <= b.ymax
   AND NOT ({_tri_sat_sep_sql()})
 """,
-        "zonal_stats": f"""
-WITH t0 AS (
-  SELECT CAST(c_custkey AS BIGINT) AS id,
-    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
-    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
-    CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 90000 AS DOUBLE)/1000.0 + 2.0 AS xmin,
-    CAST((CAST(c_custkey AS BIGINT) * 2246822519) % 90000 AS DOUBLE)/1000.0 + 2.0 AS ymin,
-    ((c_custkey // 3) % 3 = 2) AS lossy
-  FROM customer),
-t AS (SELECT *, xmin + w * 0.125e0 AS xmax, ymin + h * 0.125e0 AS ymax FROM t0),
-tri AS ({NATION_TRI_SQL}),
-cand AS (
-  SELECT t.*, tri.poly_id, tri.cx, tri.cy, tri.r
-  FROM t JOIN tri
-    ON t.xmin <= tri.cx + tri.r AND tri.cx - tri.r <= t.xmax
-   AND t.ymin <= tri.cy + tri.r AND tri.cy - tri.r <= t.ymax),
-pr AS (SELECT *, unnest(range(h)) AS r2 FROM cand),
-pc AS (SELECT *, unnest(range(w)) AS c2 FROM pr),
-px AS (
-  SELECT poly_id, cx, cy, r, lossy,
-    xmin + (c2 + 0.5e0) * ((xmax - xmin) / w) AS pxc,
-    ymin + (r2 + 0.5e0) * ((ymax - ymin) / h) AS pyc,
-    (id*31 + r2*7 + c2*13) % 256 AS w0,
-    (id*31 + r2*7 + c2*13 + 101) % 256 AS w1,
-    (id*31 + r2*7 + c2*13 + 202) % 256 AS w2
-  FROM pc),
-inside AS (
-  SELECT poly_id,
-    CASE WHEN lossy THEN w0 - w0 % 2 ELSE w0 END AS v0,
-    CASE WHEN lossy THEN w1 - w1 % 2 ELSE w1 END AS v1,
-    CASE WHEN lossy THEN w2 - w2 % 2 ELSE w2 END AS v2
-  FROM px
-  WHERE ((cx + r) - (cx - r)) * (pyc - (cy - r)) >= 0
-    AND (cx - (cx + r)) * (pyc - (cy - r))
-        - ((cy + r) - (cy - r)) * (pxc - (cx + r)) >= 0
-    AND ((cx - r) - cx) * (pyc - (cy + r))
-        - ((cy - r) - (cy + r)) * (pxc - cx) >= 0)
+        "zonal_histogram": _ZONAL_INSIDE_SQL + """,
+samples AS (SELECT poly_id, unnest([v0, v1, v2]) AS v FROM inside)
+SELECT poly_id, CAST(v * 8 // 256 AS INT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_samples
+FROM samples GROUP BY poly_id, v * 8 // 256
+""",
+        "zonal_stats": _ZONAL_INSIDE_SQL + """
 SELECT poly_id,
   COUNT(*) AS n_px,
   CAST(SUM(v0 + v1 + v2) AS BIGINT) AS sum_val,

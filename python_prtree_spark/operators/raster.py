@@ -29,7 +29,7 @@ from python_prtree_spark.operators import probe as _probe
 __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
-    "polygonize_regions", "raster_algebra",
+    "polygonize_regions", "raster_algebra", "zonal_histogram",
 ]
 
 
@@ -89,6 +89,33 @@ def raster_vector_join(
     )
 
 
+def _zonal_source(
+    tiles_df: DataFrame,
+    polys_df: DataFrame,
+    cfg: EngineConfig,
+    raster_id: str,
+    poly_id: str,
+    bytes_col: str,
+):
+    """Shared zonal prep (stats + histogram): SAT footprint candidates,
+    zones collect_list'd per tile (bounded by one tile's overlaps), tile
+    bytes joined so each tile decodes ONCE. Returns (src, poly_id type)."""
+    cand = raster_vector_join(
+        tiles_df.select(raster_id, "xmin", "ymin", "xmax", "ymax"),
+        polys_df, cfg, raster_id, poly_id,
+    )
+    zones = (
+        cand.join(polys_df.select(poly_id, "ring"), on=poly_id)
+        .groupBy(raster_id)
+        .agg(F.collect_list(F.struct(F.col(poly_id).alias("pid"), "ring")).alias("_zones"))
+    )
+    src = zones.join(
+        tiles_df.select(raster_id, bytes_col, "xmin", "ymin", "xmax", "ymax"),
+        on=raster_id,
+    )
+    return src, polys_df.schema[poly_id].dataType.simpleString()
+
+
 def zonal_stats(
     tiles_df: DataFrame,
     polys_df: DataFrame,
@@ -139,20 +166,9 @@ def zonal_stats(
 
     from python_prtree_spark.functions.codec import decode_image
 
-    cand = raster_vector_join(
-        tiles_df.select(raster_id, "xmin", "ymin", "xmax", "ymax"),
-        polys_df, cfg, raster_id, poly_id,
+    src, ptype = _zonal_source(
+        tiles_df, polys_df, cfg, raster_id, poly_id, bytes_col
     )
-    zones = (
-        cand.join(polys_df.select(poly_id, "ring"), on=poly_id)
-        .groupBy(raster_id)
-        .agg(F.collect_list(F.struct(F.col(poly_id).alias("pid"), "ring")).alias("_zones"))
-    )
-    src = zones.join(
-        tiles_df.select(raster_id, bytes_col, "xmin", "ymin", "xmax", "ymax"),
-        on=raster_id,
-    )
-    ptype = polys_df.schema[poly_id].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
@@ -608,3 +624,80 @@ def raster_algebra(
     }[op]
     out = j.select(*key, v.cast("long").alias("v"))
     return out if keep_zero else out.where(F.col("v") != 0)
+
+
+def zonal_histogram(
+    tiles_df: DataFrame,
+    polys_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_bins: int = 8,
+    raster_id: str = "image_id",
+    poly_id: str = "poly_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Zonal histogram (GRASS ``r.stats`` / QGIS "zonal histogram"): the
+    distribution of decoded pixel values per zone — ``n_bins`` equal
+    uint8 buckets (bin = value * n_bins // 256) counted over all channel
+    samples of the pixels whose CENTER lies in the zone (same inclusive
+    half-plane convention as zonal_stats).
+
+    → (poly_id, bin, n_samples). Same decode-once plan as zonal_stats —
+    the kernel emits at most ``n_bins`` partial rows per (tile, zone)
+    (np.bincount over the masked samples), and the final
+    groupBy(poly_id, bin) combines map-side; integer counts make the
+    result exactly oracle-gateable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.functions.codec import decode_image
+
+    if not 1 <= int(n_bins) <= 256:
+        raise ValueError(f"n_bins must be in [1, 256], got {n_bins}")
+    n_bins = int(n_bins)
+    src, ptype = _zonal_source(
+        tiles_df, polys_df, cfg, raster_id, poly_id, bytes_col
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pids, bins, counts = [], [], []
+            for zs, data, x0, y0, x1, y1 in zip(
+                pdf["_zones"], pdf[bytes_col],
+                pdf["xmin"], pdf["ymin"], pdf["xmax"], pdf["ymax"],
+            ):
+                px = decode_image(bytes(data))
+                h, w = px.shape[:2]
+                xc = x0 + (np.arange(w) + 0.5) * ((x1 - x0) / w)
+                yc = y0 + (np.arange(h) + 0.5) * ((y1 - y0) / h)
+                X, Y = xc[None, :], yc[:, None]
+                for z in zs:
+                    ring = z["ring"]
+                    nv = len(ring)
+                    mask = np.ones((h, w), dtype=bool)
+                    for i in range(nv):
+                        v, u = ring[i], ring[(i + 1) % nv]
+                        crossp = (u["x"] - v["x"]) * (Y - v["y"]) \
+                            - (u["y"] - v["y"]) * (X - v["x"])
+                        mask &= crossp >= 0
+                        if not mask.any():
+                            break
+                    if not mask.any():
+                        continue
+                    vals = px[mask].ravel().astype(np.int64)
+                    hist = np.bincount(vals * n_bins // 256, minlength=n_bins)
+                    nz = np.nonzero(hist)[0]
+                    pids.extend([z["pid"]] * len(nz))
+                    bins.extend(nz.tolist())
+                    counts.extend(hist[nz].tolist())
+            yield pd.DataFrame({
+                "pid": pids,
+                "bin": pd.Series(bins, dtype="int32"),
+                "n": pd.Series(counts, dtype="int64"),
+            })
+
+    partials = src.mapInPandas(gen, schema=f"pid {ptype}, bin int, n long")
+    return (
+        partials.groupBy(F.col("pid").alias(poly_id), "bin")
+        .agg(F.sum("n").alias("n_samples"))
+    )

@@ -121,3 +121,50 @@ def test_zonal_boundary_pixel_inclusive(spark):
     # zone overlapping the footprint but missing every pixel center
     far = np.array([[1.9, 0.9], [2.6, 0.9], [2.2, 1.6]])
     assert zonal_stats(tiles_df, _polys_df(spark, [far]), CFG).count() == 0
+
+
+def test_zonal_histogram_formula_tiles(spark):
+    """zonal_histogram vs brute force on the same formula-tile fixture:
+    per-zone per-bin channel-sample counts, 8 uint8 buckets."""
+    from python_prtree_spark.operators.raster import zonal_histogram
+
+    ids = spark.range(0, 60)
+    polys = _convex_polys(25, 9)
+    got = {
+        (r["poly_id"], r["bin"]): r["n_samples"]
+        for r in zonal_histogram(
+            formula_tiles(ids), _polys_df(spark, polys), CFG, n_bins=8
+        ).collect()
+    }
+    exp = {}
+    for tid in range(60):
+        w, h = _FT_WS[tid % 3], _FT_HS[tid % 3]
+        fmt = _FT_FMTS[(tid // 3) % 3]
+        x0 = float((tid * 2654435761) % 90000) / 1000.0 + 2.0
+        y0 = float((tid * 2246822519) % 90000) / 1000.0 + 2.0
+        px = decode_image(encode_image(_formula_pixels(tid, w, h), fmt))
+        xc = x0 + (np.arange(w) + 0.5) * ((w * 0.125) / w)
+        yc = y0 + (np.arange(h) + 0.5) * ((h * 0.125) / h)
+        X, Y = xc[None, :], yc[:, None]
+        for pj, ring in enumerate(polys):
+            v2 = np.roll(ring, -1, axis=0)
+            mask = np.ones((h, w), dtype=bool)
+            for (vx, vy), (ux, uy) in zip(ring, v2):
+                mask &= (ux - vx) * (Y - vy) - (uy - vy) * (X - vx) >= 0
+            vals = px[mask].ravel().astype(np.int64)
+            for b, n in zip(*np.unique(vals * 8 // 256, return_counts=True)):
+                key = (pj, int(b))
+                exp[key] = exp.get(key, 0) + int(n)
+    assert got == exp
+
+
+def test_zonal_histogram_rejects_bad_bins(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.raster import zonal_histogram
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        zonal_histogram(
+            formula_tiles(spark.range(0, 3)),
+            _polys_df(spark, _convex_polys(2, 3)), CFG, n_bins=0,
+        )
