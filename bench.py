@@ -257,6 +257,26 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     extras["rasterize_pyramid_sec"] = round(best_p, 3)
     tiles.unpersist()
 
+    # r4 additions (extras, same rationale): geodesic join + polygonize
+    from __spark_entry__ import _q_geo_distance, _q_polygonize
+
+    best_g, n_geo = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_geo = _q_geo_distance(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best_g = dt if best_g is None else min(best_g, dt)
+    extras["geo_distance_pairs"] = int(n_geo)
+    extras["geo_distance_sec"] = round(best_g, 3)
+    best_pg, n_reg = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_reg = _q_polygonize(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best_pg = dt if best_pg is None else min(best_pg, dt)
+    extras["polygonize_regions"] = int(n_reg)
+    extras["polygonize_sec"] = round(best_pg, 3)
+
     li.unpersist()
     probes.unpersist()
     total = round(sum(timings.values()), 3)
