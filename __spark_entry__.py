@@ -1019,6 +1019,21 @@ def _q_geo_distance(spark, sf_dir):
     return geo_distance_join(data, probes, 500.0)
 
 
+def _q_idw_grid(spark, sf_dir):
+    """IDW surface interpolation on the tile lattice: customer sample
+    points (pid-derived values) within radius 3.0 of each pixel center,
+    regularized 1/(1+d²) weights quantized to fixed point per term so
+    the int64 sums are order-independent — the DuckDB oracle recomputes
+    the identical lattice × sample join symbolically."""
+    from python_prtree_spark.operators.interpolate import idw_grid
+
+    pts = customer_points(spark, sf_dir).select(
+        "x", "y",
+        (((F.col("pid") * 53) % 1000).cast("double") / 100.0).alias("value"),
+    )
+    return idw_grid(pts, 3.0, CFG, px=16)
+
+
 def _q_trajectory(spark, sf_dir):
     """Per-user GPS-track summarization over the events stream: pings
     (event_id-derived lng/lat) ordered by (ts, event_id) per user, each
@@ -1188,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_join": _q_geo_distance,
         "area_weighted": _q_area_weighted,
         "trajectory_stats": _q_trajectory,
+        "idw_grid": _q_idw_grid,
         "geo_tile_assignment": _q_geo_tiles,
         "polygon_join": _q_polygon_join,
         "dedup_minhash_exact": _q_minhash_exact,
@@ -1924,6 +1940,32 @@ d AS (
   FROM s CROSS JOIN c)
 SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 500.0
+""",
+        "idw_grid": f"""
+WITH p AS ({CUSTOMER_POINTS_SQL}),
+s AS (SELECT x, y, CAST((pid * 53) % 1000 AS DOUBLE)/100.0 AS v FROM p),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+t AS (
+  SELECT pxl.tile, pxl.r, pxl.c,
+    CAST(floor(s.v * 1000000.0 / (1.0 +
+      ((pxl.pxc - s.x) * (pxl.pxc - s.x)
+       + (pxl.pyc - s.y) * (pxl.pyc - s.y)))) AS BIGINT) AS nq,
+    CAST(floor(1000000.0 / (1.0 +
+      ((pxl.pxc - s.x) * (pxl.pxc - s.x)
+       + (pxl.pyc - s.y) * (pxl.pyc - s.y)))) AS BIGINT) AS dq
+  FROM pxl JOIN s
+    ON (pxl.pxc - s.x) * (pxl.pxc - s.x)
+       + (pxl.pyc - s.y) * (pxl.pyc - s.y) <= 9.0)
+SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+  CAST(sum(nq) AS BIGINT) AS num_q, CAST(sum(dq) AS BIGINT) AS den_q
+FROM t GROUP BY tile, r, c
 """,
         "trajectory_stats": """
 WITH p AS (
