@@ -506,3 +506,43 @@ def test_raster_algebra_plan_copartitioned(spark):
     plan = explain_str(df)
     assert "FullOuter" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_idw_grid_plan_single_shuffle(spark):
+    """idw_grid: halo-routed samples take ONE exchange on the cell key
+    into the paint kernel — no cross-tile combine stage, no cartesian."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.operators.interpolate import idw_grid
+
+    rng = np.random.default_rng(101)
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "x": rng.uniform(0, 100, 200), "y": rng.uniform(0, 100, 200),
+            "value": rng.uniform(0, 5, 200),
+        }), schema="x double, y double, value double",
+    )
+    df = idw_grid(pts, 3.0, CFG, px=8)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning(cell") == 1, plan
+
+
+def test_zonal_histogram_plan_decode_once(spark):
+    """zonal_histogram shares the zonal plan: zones collect_list'd per
+    tile (decode-once), histogram partials map-side-combined — no
+    pair-level decode join, no cartesian."""
+    from python_prtree_spark.operators.raster import zonal_histogram
+    from python_prtree_spark.sources.datagen import formula_tiles
+    from tests.test_knn_pip import _convex_polys, _polys_df
+
+    df = zonal_histogram(
+        formula_tiles(spark.range(0, 30)),
+        _polys_df(spark, _convex_polys(10, 5)), CFG,
+    )
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" in plan, plan
+    assert "HashAggregate" in plan, plan

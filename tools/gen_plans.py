@@ -248,6 +248,47 @@ def main() -> None:
             rasterize_counts(pb, e.CFG), "subtract",
         )),
     ))
+    from python_prtree_spark.operators.interpolate import idw_grid
+    from python_prtree_spark.operators.raster import zonal_histogram
+    from python_prtree_spark.operators.trajectory import trajectory_stats
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    sections.append((
+        "idw_grid — IDW surface interpolation",
+        "Samples expand by ±radius and route to covering tiles (halo — "
+        "per-tile groups are complete, so no cross-tile combine exists), "
+        "ONE exchange on the cell key into the chunked paint kernel; "
+        "per-term fixed-point quantization makes the int64 sums "
+        "order-independent.",
+        fmt(idw_grid(
+            e.customer_points(spark, sf).selectExpr(
+                "x", "y", "CAST((pid * 53) % 1000 AS DOUBLE)/100.0 AS value"),
+            3.0, e.CFG,
+        )),
+    ))
+    sections.append((
+        "trajectory_stats — per-entity haversine hops",
+        "ONE shuffle on the entity key; (ts, id)-ordered window lag pairs "
+        "pings, haversine evaluates in JVM columns, hops quantize to "
+        "integer meters before the order-independent long sum.",
+        fmt(trajectory_stats(
+            e._read(spark, sf, "events").selectExpr(
+                "user_id", "ts", "event_id",
+                "CAST((event_id * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng",
+                "CAST((event_id * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat"),
+        )),
+    ))
+    sections.append((
+        "zonal_histogram — per-zone value distribution",
+        "Shares the zonal decode-once plan: SAT candidates, zones "
+        "collect_list'd per tile, kernel emits <= n_bins partial rows per "
+        "(tile, zone), map-side-combined groupBy(poly_id, bin).",
+        fmt(zonal_histogram(
+            formula_tiles(spark.read.parquet(f"{sf}/customer.parquet")
+                          .selectExpr("CAST(c_custkey AS LONG) AS id")),
+            e.nation_triangles(spark, sf), e.CFG,
+        )),
+    ))
 
     lines = [
         "# PLANS — formatted physical plans of the headline operators",
