@@ -1051,6 +1051,22 @@ def _q_trajectory(spark, sf_dir):
     return trajectory_stats(pings)
 
 
+def _q_geo_distance_pairs(spark, sf_dir):
+    """Geodesic self-join: all unordered customer-point pairs within
+    250 km great-circle distance (id_a < id_b), the query_intersections
+    twin of geo_distance_join on the sphere."""
+    from python_prtree_spark.operators.distance import geo_distance_pairs
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        k.alias("id"),
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return geo_distance_pairs(pts, 250.0)
+
+
 def _q_area_weighted(spark, sf_dir):
     """Area-weighted transfer (areal interpolation): a value carried by
     part boxes redistributed onto supplier-probe zones by intersection
@@ -1201,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
         "geo_distance_join": _q_geo_distance,
+        "geo_distance_pairs": _q_geo_distance_pairs,
         "area_weighted": _q_area_weighted,
         "trajectory_stats": _q_trajectory,
         "idw_grid": _q_idw_grid,
@@ -1940,6 +1957,25 @@ d AS (
   FROM s CROSS JOIN c)
 SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 500.0
+""",
+        "geo_distance_pairs": """
+WITH c AS (
+  SELECT c_custkey AS id,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM customer),
+d AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    2.0 * 6371.0088 * asin(sqrt(least(1.0,
+      sin((radians(b.lat) - radians(a.lat)) / 2.0)
+        * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+      + cos(radians(a.lat)) * cos(radians(b.lat))
+        * sin((radians(b.lng) - radians(a.lng)) / 2.0)
+        * sin((radians(b.lng) - radians(a.lng)) / 2.0)
+    ))) AS dkm
+  FROM c a JOIN c b ON a.id < b.id)
+SELECT id_a, id_b, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
+FROM d WHERE dkm <= 250.0
 """,
         "idw_grid": f"""
 WITH p AS ({CUSTOMER_POINTS_SQL}),

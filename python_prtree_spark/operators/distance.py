@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["distance_join", "geo_distance_join"]
+__all__ = ["distance_join", "geo_distance_join", "geo_distance_pairs"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -213,4 +213,34 @@ def geo_distance_join(
             query_id, data_id,
             F.floor(F.col("_dkm") * F.lit(1000.0)).cast("long").alias("dist_m"),
         )
+    )
+
+
+def geo_distance_pairs(
+    points_df: DataFrame,
+    radius_km: float,
+    cfg: EngineConfig = GEO_CFG,
+    id_col: str = "id",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Geodesic self-join (the query_intersections twin of
+    geo_distance_join): every unordered pair of points within ``radius_km``
+    great-circle distance, emitted once as (id_a < id_b, dist_m).
+
+    Plan: the probe side IS the data side — same adaptive windows,
+    antimeridian split and haversine refine; the id ordering both
+    deduplicates the symmetric pair and drops self-matches. Candidate
+    volume is the same as the probe join's (each unordered pair appears
+    at most twice pre-filter), so no extra machinery is needed."""
+    out = geo_distance_join(
+        points_df, points_df.select(
+            F.col(id_col).alias("_qid_self"),
+            F.col(lng).alias(lng), F.col(lat).alias(lat),
+        ),
+        radius_km, cfg, data_id=id_col, query_id="_qid_self",
+        lng=lng, lat=lat,
+    )
+    return out.where(F.col("_qid_self") < F.col(id_col)).select(
+        F.col("_qid_self").alias("id_a"), F.col(id_col).alias("id_b"), "dist_m"
     )

@@ -94,3 +94,22 @@ def test_geo_distance_rejects_bad_radius(spark):
         geo_distance_join(d, p, -1.0)
     with pytest.raises(ValueError, match="radius_km"):
         geo_distance_join(d, p, float("nan"))
+
+
+def test_geo_distance_pairs_self_join(spark):
+    from python_prtree_spark.operators.distance import geo_distance_pairs
+
+    rng = np.random.default_rng(41)
+    pts = [(i, rng.uniform(-180, 180), rng.uniform(-80, 80)) for i in range(150)]
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_m"]
+        for r in geo_distance_pairs(_df(spark, pts, "id"), 2000.0).collect()
+    }
+    exp = {}
+    for i, (ia, ga, ta) in enumerate(pts):
+        for ib, gb, tb in pts[i + 1:]:
+            d = _hav_km(ga, ta, gb, tb)
+            if d <= 2000.0:
+                exp[(min(ia, ib), max(ia, ib))] = math.floor(d * 1000.0)
+    assert got == exp
+    assert got  # non-trivial at this radius
