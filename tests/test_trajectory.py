@@ -90,3 +90,57 @@ def test_trajectory_plan_single_shuffle_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("hashpartitioning(entity") <= 1, plan
     assert "Window" in plan, plan
+
+
+def test_trajectory_stream_equals_batch(spark, tmp_path):
+    """Stream≡batch contract: after an event-time-ordered stream drains,
+    the LAST emitted cumulative row per entity equals the batch
+    trajectory_stats over all pings."""
+    import os
+
+    import pandas as pd
+
+    from python_prtree_spark.streaming.trajectory import trajectory_stream
+
+    rng = np.random.default_rng(17)
+    n = 300
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.cumsum(rng.integers(1, 600, n)), unit="s"),
+        "user_id": rng.integers(0, 7, n),
+        "lng": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-85, 85, n),
+    }).sort_values(["ts", "event_id"]).reset_index(drop=True)
+
+    src = str(tmp_path / "pings_in")
+    os.makedirs(src)
+    for i, lo in enumerate(range(0, n, 100)):
+        spark.createDataFrame(pdf.iloc[lo:lo + 100]).coalesce(1).write.parquet(
+            f"{src}/t={i:02d}"
+        )
+    schema = "event_id long, ts timestamp, user_id long, lng double, lat double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/t=*")
+    )
+    emitted = []
+    q = (
+        trajectory_stream(stream)
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    last = {}
+    for r in emitted:  # foreachBatch order = micro-batch order
+        last[r["user_id"]] = (r["n_pings"], r["n_hops"], r["total_m"], r["max_m"])
+    batch = {
+        r["entity"]: (r["n_pings"], r["n_hops"], r["total_m"], r["max_m"])
+        for r in trajectory_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert last == batch
+    # multiple batches actually touched each user (cumulative rows grew)
+    assert len(emitted) > len(last)
