@@ -1067,6 +1067,39 @@ def _q_geo_distance_pairs(spark, sf_dir):
     return geo_distance_pairs(pts, 250.0)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub over the documents table with deterministically planted
+    PII (emails every 5th doc, phones every 7th, IPv4s every 11th):
+    per-doc match counts + md5 of the fully redacted text — pure JVM
+    regexp in the Java/RE2 common subset, so DuckDB reproduces matches,
+    replacement and hash bit-for-bit."""
+    from python_prtree_spark.functions.text import pii_cols
+
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(k % 5 == 0, F.concat(
+            F.lit(" mail u"), k.cast("string"), F.lit("@ex-corp.com")
+        )).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.concat(
+            F.lit(" call +555-123-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.concat(
+            F.lit(" host 10.0."), (k % 256).cast("string"), F.lit(".7")
+        )).otherwise(F.lit("")),
+    )
+    ne, np_, ni, red = pii_cols(t2)
+    return d.select(
+        "doc_id",
+        ne.cast("long").alias("n_emails"),
+        np_.cast("long").alias("n_phones"),
+        ni.cast("long").alias("n_ips"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
 def _q_area_weighted(spark, sf_dir):
     """Area-weighted transfer (areal interpolation): a value carried by
     part boxes redistributed onto supplier-probe zones by intersection
@@ -1209,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_langid,
         "token_count_bpe": _q_token_count_bpe,
+        "pii_scrub": _q_pii_scrub,
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1688,6 +1722,30 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
     AS n_bpe_tokens
 FROM documents
+""",
+        "pii_scrub": r"""
+WITH t2 AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-corp.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call +555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS red_md5
+FROM t2
 """,
         "ann_cosine_topk": """
 WITH qv AS (

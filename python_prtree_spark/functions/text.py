@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
-    "langid_col", "STOPWORDS", "BPE_SPLIT_RE",
+    "langid_col", "pii_cols", "STOPWORDS", "BPE_SPLIT_RE",
+    "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
 ]
 
 # tiny fixed stoplists — heuristic language ID, not a model
@@ -93,3 +94,34 @@ def langid_col(text: str | Column) -> Column:
         best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
         best_score = F.when(is_better, sc).otherwise(best_score)
     return F.when(best_score > 0, best_code).otherwise(F.lit("und"))
+
+
+# PII patterns — deliberately in the common regex subset Java's engine and
+# RE2 (DuckDB) interpret identically: character classes, bounded repeats,
+# no backrefs/lookarounds.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_cols(text: str | Column) -> list[Column]:
+    """Training-data PII scrub (the filter/redact stage every LLM corpus
+    pipeline runs): per-document counts of email / phone / IPv4-shaped
+    matches plus the fully redacted text — pure JVM regexp (whole-stage
+    codegen), DuckDB-reproducible with the identical patterns.
+
+    Returns [n_emails, n_phones, n_ips, redacted] (unaliased). Redaction
+    order is emails → phones → ips; placeholders are inert tokens the
+    patterns cannot re-match."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    return [n_email, n_phone, n_ip, red]

@@ -145,3 +145,26 @@ def test_tile_caption_invariant(spark):
     side = 1 << e.CFG.level
     rng = df.agg(F.min("tile"), F.max("tile")).collect()[0]
     assert 0 <= rng[0] and rng[1] < side * side
+
+
+def test_pii_cols_counts_and_redaction(spark):
+    from python_prtree_spark.functions.text import pii_cols
+
+    rows = [
+        (1, "write to bob.smith+x@mail-host.org or call +555-123-4567 now"),
+        (2, "two mails a@b.co c.d@e.io and ip 192.168.0.1 plus 555-000-1111"),
+        (3, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    ne, np_, ni, red = pii_cols("text")
+    got = {
+        r["id"]: (r["e"], r["p"], r["i"], r["r"])
+        for r in df.select(
+            "id", ne.alias("e"), np_.alias("p"), ni.alias("i"), red.alias("r")
+        ).collect()
+    }
+    assert got[1][:3] == (1, 1, 0)
+    assert got[1][3] == "write to <EMAIL> or call <PHONE> now"
+    assert got[2][:3] == (2, 1, 1)
+    assert got[2][3] == "two mails <EMAIL> <EMAIL> and ip <IP> plus <PHONE>"
+    assert got[3] == (0, 0, 0, "clean text, no pii at all")
