@@ -1067,6 +1067,19 @@ def _q_geo_distance_pairs(spark, sf_dir):
     return geo_distance_pairs(pts, 250.0)
 
 
+def _q_bm25(spark, sf_dir):
+    """BM25 relevance over the documents table for a fixed 5-term query:
+    exact tf/df/dl/N integers, one scalar avgdl division, identical IEEE
+    literal sequence in both engines, per-term contributions quantized to
+    1e-6 fixed point before the order-independent long sum."""
+    from python_prtree_spark.functions.text import bm25_scores
+
+    return bm25_scores(
+        _read(spark, sf_dir, "documents"),
+        ["spark", "table", "merge", "window", "hash"],
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII scrub over the documents table with deterministically planted
     PII (emails every 5th doc, phones every 7th, IPv4s every 11th):
@@ -1243,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "token_count_bpe": _q_token_count_bpe,
         "pii_scrub": _q_pii_scrub,
+        "bm25_rank": _q_bm25,
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1722,6 +1736,29 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
     AS n_bpe_tokens
 FROM documents
+""",
+        "bm25_rank": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark','table','merge','window','hash']) AS t),
+tf AS (
+  SELECT tok.doc_id, tok.t, CAST(count(*) AS BIGINT) AS tf
+  FROM tok JOIN q USING (t) GROUP BY tok.doc_id, tok.t),
+dfq AS (
+  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok JOIN q USING (t) GROUP BY t),
+c AS (
+  SELECT tf.doc_id,
+    CAST(floor((ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))))
+      * 1000000.0) AS BIGINT) AS cq
+  FROM tf JOIN dfq USING (t) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(sum(cq) AS BIGINT) AS score_q
+FROM c GROUP BY doc_id
 """,
         "pii_scrub": r"""
 WITH t2 AS (

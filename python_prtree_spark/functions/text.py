@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
-    "langid_col", "pii_cols", "STOPWORDS", "BPE_SPLIT_RE",
+    "langid_col", "pii_cols", "bm25_scores", "STOPWORDS", "BPE_SPLIT_RE",
     "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
 ]
 
@@ -125,3 +125,69 @@ def pii_cols(text: str | Column) -> list[Column]:
         PII_IP_RE, "<IP>",
     )
     return [n_email, n_phone, n_ip, red]
+
+
+def bm25_scores(
+    docs: "DataFrame",
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> "DataFrame":
+    """BM25 relevance ranking (Robertson/Sparck-Jones, the standard
+    retrieval scorer a data pipeline runs for corpus search / dedup
+    triage): score every document against a fixed bag of query terms.
+
+        idf(t)    = ln((N - df + 0.5) / (df + 0.5) + 1)
+        w(t, d)   = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        score(d)  = Σ_t floor(idf * w * 1e6)     (1e-6 fixed point)
+
+    Cross-engine exactness: tf/df/dl/N are exact integers; avgdl is ONE
+    double division (sum_dl / N); every remaining float op is the same
+    literal IEEE sequence in Spark and DuckDB, and per-term contributions
+    quantize to long BEFORE the sum so aggregation order cannot perturb
+    the score (the same fixed-point discipline as the spatial operators).
+
+    Plan: one explode+filter pass over tokens (only query terms survive —
+    the token stream shrinks to |Q| terms per doc before any shuffle),
+    tf via groupBy(doc, term), df broadcast-joined (≤ |Q| rows), dl from
+    a size() column, N/sum_dl one scalar aggregate. Output (doc_id,
+    n_hits, score_q) for documents containing ≥ 1 query term."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        F.col(doc_id).alias("_d"), tokens_col(text).alias("_toks")
+    ).select(
+        "_d", F.size("_toks").alias("_dl"),
+        F.explode(F.filter("_toks", lambda t: F.array_contains(terms, t)))
+        .alias("_t"),
+    )
+    tf = toks.groupBy("_d", "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = toks.select("_d", "_t").distinct().groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens_col(text))).alias("sdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(int(row["sdl"]) / int(row["n"]))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    w = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.lit(avgdl)))
+    )
+    contrib = F.floor((idf * w) * F.lit(1e6)).cast("long")
+    return (
+        tf.join(F.broadcast(df_t), on="_t")
+        .select(F.col("_d").alias(doc_id), contrib.alias("_cq"))
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("_cq").alias("score_q"),
+        )
+    )

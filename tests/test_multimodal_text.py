@@ -168,3 +168,52 @@ def test_pii_cols_counts_and_redaction(spark):
     assert got[2][:3] == (2, 1, 1)
     assert got[2][3] == "two mails <EMAIL> <EMAIL> and ip <IP> plus <PHONE>"
     assert got[3] == (0, 0, 0, "clean text, no pii at all")
+
+
+def test_bm25_scores_vs_brute_force(spark):
+    import math
+
+    from python_prtree_spark.functions.text import bm25_scores
+
+    corpus = [
+        (0, "spark table spark merge"),
+        (1, "table row row row"),
+        (2, "window hash hash spark"),
+        (3, "nothing relevant here"),
+    ]
+    q = ["spark", "table", "hash"]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["score_q"])
+        for r in bm25_scores(df, q).collect()
+    }
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = float(sum(len(t) for t in toks.values()) / n)
+    exp = {}
+    for d, t in toks.items():
+        hits = 0
+        score = 0
+        for term in q:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            w = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl)))
+            hits += 1
+            score += math.floor((idf * w) * 1e6)
+        if hits:
+            exp[d] = (hits, score)
+    assert got == exp
+    assert 3 not in got  # no query term → no row
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.functions.text import bm25_scores
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(df, [])
