@@ -543,6 +543,17 @@ def _q_polygonize(spark, sf_dir):
     return polygonize_regions(pxs, CFG, px=16, threshold=1)
 
 
+def _q_focal_sum(spark, sf_dir):
+    """Focal 3×3 sum (box-blur numerator) chained over rasterize_counts:
+    each lit pixel fans out to its 9 neighbor positions in pure column
+    arithmetic and ONE groupBy on the global pixel key aggregates — the
+    shuffle IS the cross-tile halo exchange; mosaic edges clipped."""
+    from python_prtree_spark.operators.raster import focal_stats, rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return focal_stats(pxs, CFG, px=16, op="sum")
+
+
 def _q_raster_algebra(spark, sf_dir):
     """Map algebra (change detection shape): supplier-probe coverage
     minus part-box coverage, aligned on the pixel lattice by a single
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": _q_pyramid,
         "polygonize": _q_polygonize,
         "raster_algebra": _q_raster_algebra,
+        "focal_sum": _q_focal_sum,
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1612,6 +1624,36 @@ SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
   CAST(max(gx) AS INT) AS gx1, CAST(max(gy) AS INT) AS gy1,
   CAST(sum(cnt) AS BIGINT) AS v_sum
 FROM k JOIN lab USING (k) GROUP BY comp
+""",
+        "focal_sum": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN o2
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, sum(cnt) AS v FROM s GROUP BY gx, gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM a
 """,
         "raster_algebra": f"""
 WITH b1 AS ({SUPPLIER_PROBES_SQL}), b2 AS ({PART_BOXES_SQL}),

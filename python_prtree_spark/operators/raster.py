@@ -30,6 +30,7 @@ __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
+    "focal_stats",
 ]
 
 
@@ -700,4 +701,73 @@ def zonal_histogram(
     return (
         partials.groupBy(F.col("pid").alias(poly_id), "bin")
         .agg(F.sum("n").alias("n_samples"))
+    )
+
+
+_FOCAL_OPS = ("sum", "max", "count")
+
+
+def focal_stats(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    op: str = "sum",
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Focal (neighborhood) raster statistics — GRASS ``r.neighbors`` /
+    ArcGIS Focal Statistics, 3×3 Moore window: for every pixel position,
+    aggregate the values of the up-to-9 lit pixels in its neighborhood
+    (absent pixels contribute nothing; the output covers every position
+    whose window is non-empty, i.e. a one-pixel dilation of the input).
+
+    ops: ``sum`` (box blur numerator), ``max`` (grayscale dilation),
+    ``count`` (lit-neighbor count — ``count = 9`` is morphological
+    EROSION membership for the binary raster). All integer-exact.
+
+    → (tile, r, c, v) sparse rows on the same (tile, r, c) keying as
+    rasterize_counts, so focal output chains straight into
+    raster_algebra / polygonize_regions (blur → threshold → polygonize
+    is the classic object-extraction pipeline).
+
+    Scale shape: NO Arrow kernel and NO halo state — each lit pixel
+    emits its 9 neighbor positions as rows (bounded 9× fan-out of SPARSE
+    input, pure column arithmetic), then ONE groupBy on the global pixel
+    key aggregates. Tile borders need no special casing: the shuffle IS
+    the halo exchange. Positions falling off the mosaic edge are
+    clipped."""
+    if op not in _FOCAL_OPS:
+        raise ValueError(f"op must be one of {_FOCAL_OPS}, got {op!r}")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    shifted = src.select(
+        "_gx", "_gy", "_v", F.explode(offsets).alias("_o")
+    ).select(
+        (F.col("_gx") + F.col("_o.dx")).alias("gx"),
+        (F.col("_gy") + F.col("_o.dy")).alias("gy"),
+        "_v",
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    )
+    agg = {
+        "sum": F.sum("_v"),
+        "max": F.max("_v"),
+        "count": F.count(F.lit(1)),
+    }[op]
+    return shifted.groupBy("gx", "gy").agg(agg.alias("v")).select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        F.col("v").cast("long").alias("v"),
     )

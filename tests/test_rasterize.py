@@ -194,3 +194,51 @@ def test_raster_algebra_ops_and_missing_as_zero(spark):
     assert full[(1, 3, 3)] == 0 and len(full) == 4
     with _pytest.raises(ValueError, match="op must be one of"):
         raster_algebra(a, b, "divide")
+
+
+def test_focal_stats_vs_numpy_conv(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.raster import focal_stats
+
+    rng = np.random.default_rng(51)
+    rows = set()
+    for _ in range(300):
+        rows.add((int(rng.integers(0, 64)), int(rng.integers(0, PX)),
+                  int(rng.integers(0, PX))))
+    rows = [(t, r, c, int((t + r + c) % 7) + 1) for t, r, c in rows]
+    df = spark.createDataFrame(rows, "tile long, r int, c int, cnt long")
+    side = 8
+    grid = side * PX
+    dense = np.zeros((grid, grid), dtype=np.int64)    # [gx, gy]
+    lit = np.zeros((grid, grid), dtype=bool)
+    for t, r, c, v in rows:
+        gx, gy = (t // side) * PX + c, (t % side) * PX + r
+        dense[gx, gy] = v
+        lit[gx, gy] = True
+
+    def brute(op):
+        out = {}
+        for gx in range(grid):
+            for gy in range(grid):
+                vals = [
+                    dense[x, y]
+                    for x in range(max(0, gx - 1), min(grid, gx + 2))
+                    for y in range(max(0, gy - 1), min(grid, gy + 2))
+                    if lit[x, y]
+                ]
+                if not vals:
+                    continue
+                v = {"sum": sum(vals), "max": max(vals), "count": len(vals)}[op]
+                t = (gx // PX) * side + (gy // PX)
+                out[(t, gy % PX, gx % PX)] = v
+        return out
+
+    for op in ("sum", "max", "count"):
+        got = {
+            (r2["tile"], r2["r"], r2["c"]): r2["v"]
+            for r2 in focal_stats(df, CFG, px=PX, op=op).collect()
+        }
+        assert got == brute(op), op
+    with _pytest.raises(ValueError, match="op must be one of"):
+        focal_stats(df, CFG, px=PX, op="median")
