@@ -1004,6 +1004,28 @@ def _q_distance_join(spark, sf_dir):
     )
 
 
+def _q_nearest_segment(spark, sf_dir):
+    """Map-matching primitive: every customer point snaps to its nearest
+    part-derived segment within radius 2.0 — bbox candidates through the
+    cell-routed join, exact clamped-projection d² in JVM columns,
+    winner by (quantized d², seg_id) so the rank is engine-independent."""
+    from python_prtree_spark.operators.linear import nearest_segment_join
+
+    p = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ax = ((k * 2654435761) % 100000).cast("double") / 1000.0
+    ay = ((k * 2246822519) % 100000).cast("double") / 1000.0
+    segs = p.select(
+        k.alias("seg_id"),
+        ax.alias("ax"), ay.alias("ay"),
+        (ax + (((k * 198491329) % 6000).cast("double") / 1000.0 - 3.0)).alias("bx"),
+        (ay + (((k * 954979807) % 6000).cast("double") / 1000.0 - 3.0)).alias("by"),
+    )
+    return nearest_segment_join(
+        segs, customer_points(spark, sf_dir), 2.0, CFG, query_id="pid"
+    )
+
+
 def _q_geo_distance(spark, sf_dir):
     """Geodesic within-distance join (haversine ST_DWithin): supplier
     lng/lat probes vs customer lng/lat points within 500 km great-circle
@@ -1276,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
+        "nearest_segment": _q_nearest_segment,
         "geo_distance_join": _q_geo_distance,
         "geo_distance_pairs": _q_geo_distance_pairs,
         "area_weighted": _q_area_weighted,
@@ -2094,6 +2117,45 @@ d AS (
   FROM s CROSS JOIN c)
 SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 500.0
+""",
+        "nearest_segment": f"""
+WITH s AS (
+  SELECT p_partkey AS seg_id,
+    CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0 AS ax,
+    CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0 AS ay,
+    CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0
+      + (CAST((p_partkey * 198491329) % 6000 AS DOUBLE)/1000.0 - 3.0) AS bx,
+    CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0
+      + (CAST((p_partkey * 954979807) % 6000 AS DOUBLE)/1000.0 - 3.0) AS by
+  FROM part),
+q AS ({CUSTOMER_POINTS_SQL}),
+d0 AS (
+  SELECT q.pid, s.seg_id,
+    (s.bx - s.ax) AS abx, (s.by - s.ay) AS aby,
+    (q.x - s.ax) AS apx, (q.y - s.ay) AS apy
+  FROM q JOIN s
+    ON q.x >= least(s.ax, s.bx) - 2.0 AND q.x <= greatest(s.ax, s.bx) + 2.0
+   AND q.y >= least(s.ay, s.by) - 2.0 AND q.y <= greatest(s.ay, s.by) + 2.0),
+d1 AS (
+  SELECT pid, seg_id, abx, aby, apx, apy,
+    CASE WHEN abx * abx + aby * aby > 0.0
+      THEN greatest(0.0, least(1.0,
+        (apx * abx + apy * aby) / (abx * abx + aby * aby)))
+      ELSE 0.0 END AS t
+  FROM d0),
+d2 AS (
+  SELECT pid, seg_id,
+    (apx - t * abx) * (apx - t * abx)
+      + (apy - t * aby) * (apy - t * aby) AS dist2
+  FROM d1),
+rk AS (
+  SELECT pid, seg_id,
+    CAST(floor(dist2 * 1000000.0) AS BIGINT) AS dist2_q,
+    ROW_NUMBER() OVER (
+      PARTITION BY pid
+      ORDER BY CAST(floor(dist2 * 1000000.0) AS BIGINT), seg_id) AS rk
+  FROM d2 WHERE dist2 <= 4.0)
+SELECT pid, seg_id, dist2_q FROM rk WHERE rk = 1
 """,
         "geo_distance_pairs": """
 WITH c AS (
