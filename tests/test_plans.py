@@ -546,3 +546,68 @@ def test_zonal_histogram_plan_decode_once(spark):
     plan = explain_str(df)
     assert "MapInPandas" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_focal_stats_plan_pure_jvm(spark):
+    """focal_stats: sparse 9-position fan-out + ONE pixel-key groupBy —
+    all JVM (generate + hash aggregate), no Python stage, no cartesian."""
+    from python_prtree_spark.operators.raster import focal_stats
+
+    df = spark.createDataFrame(
+        [(0, 1, 1, 3), (1, 2, 2, 5)], "tile long, r int, c int, cnt long"
+    )
+    out = focal_stats(df, CFG, px=8, op="sum")
+    assert_no_cartesian(out)
+    plan = explain_str(out)
+    assert "Generate" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_nearest_segment_plan(spark):
+    """nearest_segment_join: cell-routed bbox candidates, JVM refine,
+    answer-sized window — no cartesian, no Python."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.operators.linear import nearest_segment_join
+
+    rng = np.random.default_rng(103)
+    segs = spark.createDataFrame(
+        pd.DataFrame({
+            "seg_id": np.arange(100),
+            "ax": rng.uniform(0, 100, 100), "ay": rng.uniform(0, 100, 100),
+            "bx": rng.uniform(0, 100, 100), "by": rng.uniform(0, 100, 100),
+        }), schema="seg_id long, ax double, ay double, bx double, by double",
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(20), "x": rng.uniform(0, 100, 20),
+                      "y": rng.uniform(0, 100, 20)}),
+        schema="qid long, x double, y double",
+    )
+    df = nearest_segment_join(segs, pts, 3.0, CFG.with_(strategy="sql"))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Join" in plan and "cell" in plan
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bm25_df_side_broadcast(spark):
+    """bm25_scores: the per-term df table (<= |Q| rows) must broadcast —
+    never shuffle the tf side on the term key."""
+    import pandas as pd
+
+    from python_prtree_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"spark table tok{i} merge" for i in range(30)],
+    }))
+    df = bm25_scores(docs, ["spark", "table", "merge"])
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan
+    # the tf-vs-df join itself must be broadcast-hash, not a shuffled join
+    # (the tiny df AGGREGATION may shuffle its own doc×term rows)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
