@@ -1011,19 +1011,32 @@ def _q_nearest_segment(spark, sf_dir):
     winner by (quantized d², seg_id) so the rank is engine-independent."""
     from python_prtree_spark.operators.linear import nearest_segment_join
 
+    return nearest_segment_join(
+        _part_segments(spark, sf_dir), customer_points(spark, sf_dir), 2.0,
+        CFG, query_id="pid",
+    )
+
+
+def _part_segments(spark, sf_dir):
     p = _read(spark, sf_dir, "part")
     k = F.col("p_partkey")
     ax = ((k * 2654435761) % 100000).cast("double") / 1000.0
     ay = ((k * 2246822519) % 100000).cast("double") / 1000.0
-    segs = p.select(
+    return p.select(
         k.alias("seg_id"),
         ax.alias("ax"), ay.alias("ay"),
         (ax + (((k * 198491329) % 6000).cast("double") / 1000.0 - 3.0)).alias("bx"),
         (ay + (((k * 954979807) % 6000).cast("double") / 1000.0 - 3.0)).alias("by"),
     )
-    return nearest_segment_join(
-        segs, customer_points(spark, sf_dir), 2.0, CFG, query_id="pid"
-    )
+
+
+def _q_line_density(spark, sf_dir):
+    """Per-cell clipped segment length (road-density raster): exact
+    Liang–Barsky t-window per routed (segment, cell), fixed-point length
+    quantization before the map-side-combined per-cell sum."""
+    from python_prtree_spark.operators.linear import line_density
+
+    return line_density(_part_segments(spark, sf_dir), CFG)
 
 
 def _q_geo_distance(spark, sf_dir):
@@ -1299,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
         "nearest_segment": _q_nearest_segment,
+        "line_density": _q_line_density,
         "geo_distance_join": _q_geo_distance,
         "geo_distance_pairs": _q_geo_distance_pairs,
         "area_weighted": _q_area_weighted,
@@ -1331,6 +1345,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _BATCH_PAIRS_SQL = f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+"""
+
+PART_SEGMENTS_SQL = """
+SELECT p_partkey AS seg_id,
+  CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0 AS ax,
+  CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0 AS ay,
+  CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0
+    + (CAST((p_partkey * 198491329) % 6000 AS DOUBLE)/1000.0 - 3.0) AS bx,
+  CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0
+    + (CAST((p_partkey * 954979807) % 6000 AS DOUBLE)/1000.0 - 3.0) AS by
+FROM part
 """
 
 # shared WITH-body of the zonal oracles (stats + histogram): formula
@@ -2119,15 +2144,7 @@ SELECT qid, id, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 500.0
 """,
         "nearest_segment": f"""
-WITH s AS (
-  SELECT p_partkey AS seg_id,
-    CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0 AS ax,
-    CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0 AS ay,
-    CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/1000.0
-      + (CAST((p_partkey * 198491329) % 6000 AS DOUBLE)/1000.0 - 3.0) AS bx,
-    CAST((p_partkey * 2246822519) % 100000 AS DOUBLE)/1000.0
-      + (CAST((p_partkey * 954979807) % 6000 AS DOUBLE)/1000.0 - 3.0) AS by
-  FROM part),
+WITH s AS ({PART_SEGMENTS_SQL}),
 q AS ({CUSTOMER_POINTS_SQL}),
 d0 AS (
   SELECT q.pid, s.seg_id,
@@ -2156,6 +2173,57 @@ rk AS (
       ORDER BY CAST(floor(dist2 * 1000000.0) AS BIGINT), seg_id) AS rk
   FROM d2 WHERE dist2 <= 4.0)
 SELECT pid, seg_id, dist2_q FROM rk WHERE rk = 1
+""",
+        "line_density": f"""
+WITH s AS ({PART_SEGMENTS_SQL}),
+cells AS (SELECT unnest(range(256)) AS cell),
+cand AS (
+  SELECT cells.cell, s.ax, s.ay, s.bx, s.by,
+    (cells.cell // 16) * (105.0/16) AS cx0,
+    (cells.cell % 16) * (105.0/16) AS cy0
+  FROM cells JOIN s
+    ON least(s.ax, s.bx) <= (cells.cell // 16) * (105.0/16) + 105.0/16
+   AND (cells.cell // 16) * (105.0/16) <= greatest(s.ax, s.bx)
+   AND least(s.ay, s.by) <= (cells.cell % 16) * (105.0/16) + 105.0/16
+   AND (cells.cell % 16) * (105.0/16) <= greatest(s.ay, s.by)),
+w AS (
+  SELECT cell, bx - ax AS dx, by - ay AS dy,
+    greatest(0.0,
+      CASE WHEN bx - ax > 0.0 THEN (cx0 - ax) / (bx - ax)
+           WHEN bx - ax < 0.0 THEN (cx0 + 105.0/16 - ax) / (bx - ax)
+           ELSE CASE WHEN ax >= 0.0 AND ax <= 105.0
+                      AND greatest(0, least(15, floor((ax - 0.0) / 105.0 * 16)))
+                          = cell // 16
+                     THEN 0.0 ELSE 2.0 END END,
+      CASE WHEN by - ay > 0.0 THEN (cy0 - ay) / (by - ay)
+           WHEN by - ay < 0.0 THEN (cy0 + 105.0/16 - ay) / (by - ay)
+           ELSE CASE WHEN ay >= 0.0 AND ay <= 105.0
+                      AND greatest(0, least(15, floor((ay - 0.0) / 105.0 * 16)))
+                          = cell % 16
+                     THEN 0.0 ELSE 2.0 END END) AS t0,
+    least(1.0,
+      CASE WHEN bx - ax > 0.0 THEN (cx0 + 105.0/16 - ax) / (bx - ax)
+           WHEN bx - ax < 0.0 THEN (cx0 - ax) / (bx - ax)
+           ELSE CASE WHEN ax >= 0.0 AND ax <= 105.0
+                      AND greatest(0, least(15, floor((ax - 0.0) / 105.0 * 16)))
+                          = cell // 16
+                     THEN 1.0 ELSE -1.0 END END,
+      CASE WHEN by - ay > 0.0 THEN (cy0 + 105.0/16 - ay) / (by - ay)
+           WHEN by - ay < 0.0 THEN (cy0 - ay) / (by - ay)
+           ELSE CASE WHEN ay >= 0.0 AND ay <= 105.0
+                      AND greatest(0, least(15, floor((ay - 0.0) / 105.0 * 16)))
+                          = cell % 16
+                     THEN 1.0 ELSE -1.0 END END) AS t1
+  FROM cand),
+l AS (
+  SELECT cell,
+    CAST(floor((CASE WHEN t1 > t0
+      THEN (t1 - t0) * sqrt(dx * dx + dy * dy) ELSE 0.0 END)
+      * 1000000.0) AS BIGINT) AS lq
+  FROM w)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_segs,
+  CAST(sum(lq) AS BIGINT) AS len_q
+FROM l WHERE lq > 0 GROUP BY cell
 """,
         "geo_distance_pairs": """
 WITH c AS (

@@ -108,3 +108,53 @@ def test_nearest_segment_out_of_range_empty(spark):
         nearest_segment_join(
             _segs_df(spark, segs), _pts_df(spark, pts), -1.0, CFG
         )
+
+
+def _clip_len_q(seg, cx0, cy0, cw, side, idx, ext=100.0):
+    ax, ay, bx, by = seg
+    dx, dy = bx - ax, by - ay
+
+    def axis(d, a, lo, hi, i):
+        if d > 0:
+            return (lo - a) / d, (hi - a) / d
+        if d < 0:
+            return (hi - a) / d, (lo - a) / d
+        # degenerate axis: the clamped floor-routing cell owns it
+        own = 0.0 <= a <= ext and max(0, min(side - 1, math.floor(a / ext * side))) == i
+        return (0.0, 1.0) if own else (2.0, -1.0)
+
+    xl, xh = axis(dx, ax, cx0, cx0 + cw, idx[0])
+    yl, yh = axis(dy, ay, cy0, cy0 + cw, idx[1])
+    t0, t1 = max(0.0, xl, yl), min(1.0, xh, yh)
+    ln = (t1 - t0) * math.sqrt(dx * dx + dy * dy) if t1 > t0 else 0.0
+    return math.floor(ln * 1e6)
+
+
+def test_line_density_vs_brute(spark):
+    from python_prtree_spark.operators.linear import line_density
+
+    rng = np.random.default_rng(71)
+    segs = [
+        (a, b, a + rng.uniform(-30, 30), b + rng.uniform(-30, 30))
+        for a, b in rng.uniform(0, 100, (50, 2))
+    ]
+    segs += [(20.0, 5.0, 20.0, 95.0),   # vertical, interior of a column
+             (5.0, 50.0, 95.0, 50.0),   # horizontal ON the iy=3/4 cell edge
+             (40.0, 40.0, 40.0, 40.0)]  # degenerate point
+    side, cw = 8, 100.0 / 8
+    exp = {}
+    for s in segs:
+        for cell in range(side * side):
+            lq = _clip_len_q(
+                s, (cell // side) * cw, (cell % side) * cw, cw,
+                side, (cell // side, cell % side),
+            )
+            if lq > 0:
+                n, t = exp.get(cell, (0, 0))
+                exp[cell] = (n + 1, t + lq)
+    df = line_density(_segs_df(spark, segs), CFG)
+    got = {r["cell"]: (r["n_segs"], r["len_q"]) for r in df.collect()}
+    assert got == exp
+    # the long horizontal line crosses every column band once
+    row_cells = [c for c in exp if (c % side) == int(50.0 // cw)]
+    assert len(row_cells) >= side
