@@ -278,6 +278,38 @@ def main() -> None:
                 "CAST((event_id * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat"),
         )),
     ))
+    from python_prtree_spark.operators.linear import (
+        line_density, nearest_segment_join,
+    )
+    from python_prtree_spark.operators.raster import focal_stats
+
+    segs = e._part_segments(spark, sf)
+    sections.append((
+        "nearest_segment_join — map-matching snap",
+        "Point squares route through the cell join against segment "
+        "bboxes; exact clamped-projection d² refines JVM-side; the "
+        "per-point winner window runs over answer-sized candidates "
+        "ranked on the QUANTIZED distance (engine-independent ties).",
+        fmt(nearest_segment_join(
+            segs, e.customer_points(spark, sf), 2.0, e.CFG, query_id="pid",
+        )),
+    ))
+    sections.append((
+        "line_density — per-cell clipped segment length",
+        "Segments route to bbox-covering cells; the Liang–Barsky "
+        "t-window evaluates as pure JVM when/division chains; "
+        "fixed-point lengths aggregate map-side per cell.",
+        fmt(line_density(segs, e.CFG)),
+    ))
+    sections.append((
+        "focal_stats — 3×3 neighborhood aggregate",
+        "Each sparse lit pixel fans out to its 9 neighbor positions "
+        "(Generate, pure columns) and ONE global-pixel groupBy combines "
+        "— the shuffle IS the cross-tile halo exchange; no Arrow stage.",
+        fmt(focal_stats(
+            rasterize_counts(e.supplier_probes(spark, sf), e.CFG), e.CFG,
+        )),
+    ))
     sections.append((
         "zonal_histogram — per-zone value distribution",
         "Shares the zonal decode-once plan: SAT candidates, zones "
