@@ -1159,6 +1159,30 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_geo_knn(spark, sf_dir):
+    """Geodesic kNN: each supplier probe's 3 nearest customer points on
+    the sphere — certified expanding-radius rounds (>= k within r ⇒
+    top-k exact), rank on (integer-meter distance, id) so the k-boundary
+    is engine-independent. Oracle: full cross-join window top-3."""
+    from python_prtree_spark.operators.distance import geo_knn_join
+
+    c = _read(spark, sf_dir, "customer")
+    kk = F.col("c_custkey")
+    data = c.select(
+        kk.alias("id"),
+        (((kk * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((kk * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    s = _read(spark, sf_dir, "supplier")
+    j = F.col("s_suppkey")
+    probes = s.select(
+        j.alias("qid"),
+        (((j * 758888821) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((j * 655326733) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return geo_knn_join(data, probes, 3, initial_radius_km=1000.0)
+
+
 def _q_area_weighted(spark, sf_dir):
     """Area-weighted transfer (areal interpolation): a value carried by
     part boxes redistributed onto supplier-probe zones by intersection
@@ -1315,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_density": _q_line_density,
         "geo_distance_join": _q_geo_distance,
         "geo_distance_pairs": _q_geo_distance_pairs,
+        "geo_knn": _q_geo_knn,
         "area_weighted": _q_area_weighted,
         "trajectory_stats": _q_trajectory,
         "idw_grid": _q_idw_grid,
@@ -2243,6 +2268,33 @@ d AS (
   FROM c a JOIN c b ON a.id < b.id)
 SELECT id_a, id_b, CAST(floor(dkm * 1000.0) AS BIGINT) AS dist_m
 FROM d WHERE dkm <= 250.0
+""",
+        "geo_knn": """
+WITH c AS (
+  SELECT c_custkey AS id,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM customer),
+s AS (
+  SELECT s_suppkey AS qid,
+    CAST((s_suppkey * 758888821) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((s_suppkey * 655326733) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM supplier),
+d AS (
+  SELECT s.qid, c.id,
+    CAST(floor(2.0 * 6371.0088 * asin(sqrt(least(1.0,
+      sin((radians(c.lat) - radians(s.lat)) / 2.0)
+        * sin((radians(c.lat) - radians(s.lat)) / 2.0)
+      + cos(radians(s.lat)) * cos(radians(c.lat))
+        * sin((radians(c.lng) - radians(s.lng)) / 2.0)
+        * sin((radians(c.lng) - radians(s.lng)) / 2.0)
+    ))) * 1000.0) AS BIGINT) AS dist_m
+  FROM s CROSS JOIN c),
+r AS (
+  SELECT qid, id, dist_m,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_m, id) AS rank
+  FROM d)
+SELECT qid, id, dist_m, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
 """,
         "idw_grid": f"""
 WITH p AS ({CUSTOMER_POINTS_SQL}),

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["distance_join", "geo_distance_join", "geo_distance_pairs"]
+__all__ = ["distance_join", "geo_distance_join", "geo_distance_pairs", "geo_knn_join"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -244,3 +244,78 @@ def geo_distance_pairs(
     return out.where(F.col("_qid_self") < F.col(id_col)).select(
         F.col("_qid_self").alias("id_a"), F.col(id_col).alias("id_b"), "dist_m"
     )
+
+
+_HALF_CIRCUMFERENCE_KM = 20100.0  # > pi * R: a radius covering the sphere
+
+
+def geo_knn_join(
+    data_df: DataFrame,
+    probes_df: DataFrame,
+    k: int,
+    initial_radius_km: float = 1000.0,
+    cfg: EngineConfig = GEO_CFG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """k-nearest-neighbour join on the sphere: for every probe point the
+    k geodesically closest data points, ranked 1..k by (integer-meter
+    haversine distance, data id) — ranking on the QUANTIZED distance
+    makes the order and the k-boundary engine-independent.
+
+    Expanding-radius rounds with an exactness certificate (the geodesic
+    twin of knn_join's radius fallback, operators/knn.py): round i runs
+    ``geo_distance_join`` at radius r_i = initial·4^i (capped at a
+    sphere-covering radius). A probe RESOLVES in the first round where it
+    has >= k in-radius candidates — the certificate: if >= k points lie
+    within r, the true k nearest all lie within r, and the within-r join
+    returns EVERY such point, so its top-k is exact. Unresolved probes
+    (fewer than k neighbours found) carry to the next, wider round; the
+    final sphere-covering round resolves everything, emitting fewer than
+    k rows only when the data table itself has fewer than k points.
+
+    Scale shape: each round is ONE spatial shuffle over the REMAINING
+    probes only (resolved probes leave via an anti-join), and candidate
+    volume per probe is bounded by the local density at the smallest
+    sufficient radius — never an all-pairs pass except for the leftover
+    probes of the last round. Probe frames are localCheckpoint-ed per
+    round so the loop's plan does not grow.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = float(initial_radius_km)
+    if not (r > 0.0):
+        raise ValueError(f"initial_radius_km must be > 0, got {initial_radius_km!r}")
+    from pyspark.sql import Window
+
+    pts = probes_df.select(query_id, lng, lat).localCheckpoint(eager=False)
+    out = None
+    while True:
+        r = min(r, _HALF_CIRCUMFERENCE_KM)
+        cand = geo_distance_join(
+            data_df, pts, r, cfg, data_id=data_id, query_id=query_id,
+            lng=lng, lat=lat,
+        )
+        w = Window.partitionBy(query_id).orderBy("dist_m", data_id)
+        ranked = cand.withColumn("rank", F.row_number().over(w))
+        if r >= _HALF_CIRCUMFERENCE_KM:
+            resolved = ranked.where(F.col("rank") <= k)
+        else:
+            full = ranked.where(F.col("rank") == k).select(query_id)
+            resolved = ranked.where(F.col("rank") <= k).join(
+                F.broadcast(full), on=query_id, how="left_semi"
+            )
+        resolved = resolved.select(
+            query_id, data_id, "dist_m", F.col("rank").cast("int").alias("rank")
+        ).localCheckpoint(eager=True)
+        out = resolved if out is None else out.unionByName(resolved)
+        if r >= _HALF_CIRCUMFERENCE_KM:
+            return out
+        pts = pts.join(
+            resolved.select(query_id).distinct(), on=query_id, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if pts.isEmpty():
+            return out
+        r *= 4.0

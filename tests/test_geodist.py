@@ -113,3 +113,54 @@ def test_geo_distance_pairs_self_join(spark):
                 exp[(min(ia, ib), max(ia, ib))] = math.floor(d * 1000.0)
     assert got == exp
     assert got  # non-trivial at this radius
+
+
+def _geo_knn_oracle(probes, data, k):
+    out = {}
+    for qid, plng, plat in probes:
+        ranked = sorted(
+            (math.floor(_hav_km(plng, plat, dlng, dlat) * 1000.0), did)
+            for did, dlng, dlat in data
+        )
+        for rk, (dm, did) in enumerate(ranked[:k], start=1):
+            out[(qid, did)] = (dm, rk)
+    return out
+
+
+def test_geo_knn_multi_round_vs_oracle(spark):
+    from python_prtree_spark.operators.distance import geo_knn_join
+
+    rng = np.random.default_rng(83)
+    data = [(i, rng.uniform(-180, 180), rng.uniform(-80, 80)) for i in range(200)]
+    probes = [(i, rng.uniform(-180, 180), rng.uniform(-80, 80)) for i in range(25)]
+    # tiny initial radius: most probes resolve only after several expansions
+    got = {
+        (r["qid"], r["id"]): (r["dist_m"], r["rank"])
+        for r in geo_knn_join(
+            _df(spark, data, "id"), _df(spark, probes, "qid"), 4,
+            initial_radius_km=50.0,
+        ).collect()
+    }
+    assert got == _geo_knn_oracle(probes, data, 4)
+    assert len(got) == 25 * 4
+
+
+def test_geo_knn_fewer_than_k_and_validation(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.distance import geo_knn_join
+
+    data = [(1, 0.0, 0.0), (2, 10.0, 10.0)]
+    probes = [(9, 5.0, 5.0)]
+    rows = geo_knn_join(
+        _df(spark, data, "id"), _df(spark, probes, "qid"), 5,
+        initial_radius_km=100.0,
+    ).collect()
+    assert {(r["qid"], r["id"], r["rank"]) for r in rows} == {(9, 1, 1), (9, 2, 2)} \
+        or {(r["qid"], r["id"], r["rank"]) for r in rows} == {(9, 2, 1), (9, 1, 2)}
+    assert len(rows) == 2  # only 2 data points exist
+    with _pytest.raises(ValueError, match="k must be"):
+        geo_knn_join(_df(spark, data, "id"), _df(spark, probes, "qid"), 0)
+    with _pytest.raises(ValueError, match="initial_radius_km"):
+        geo_knn_join(_df(spark, data, "id"), _df(spark, probes, "qid"), 1,
+                     initial_radius_km=0.0)
