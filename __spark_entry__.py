@@ -1039,6 +1039,21 @@ def _q_line_density(spark, sf_dir):
     return line_density(_part_segments(spark, sf_dir), CFG)
 
 
+def _q_segment_intersections(spark, sf_dir):
+    """Line-line overlay: part-derived segments × supplier-probe
+    diagonals — cell-routed bbox candidates, exact four-orientation +
+    collinear-touch refine (closed semantics), boolean engine-exact."""
+    from python_prtree_spark.operators.linear import segment_intersection_join
+
+    a = _part_segments(spark, sf_dir).withColumnRenamed("seg_id", "a_id")
+    b = supplier_probes(spark, sf_dir).select(
+        F.col("qid").alias("b_id"),
+        F.col("xmin").alias("ax"), F.col("ymin").alias("ay"),
+        F.col("xmax").alias("bx"), F.col("ymax").alias("by"),
+    )
+    return segment_intersection_join(a, b, CFG)
+
+
 def _q_geo_distance(spark, sf_dir):
     """Geodesic within-distance join (haversine ST_DWithin): supplier
     lng/lat probes vs customer lng/lat points within 500 km great-circle
@@ -1337,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": _q_distance_join,
         "nearest_segment": _q_nearest_segment,
         "line_density": _q_line_density,
+        "segment_intersections": _q_segment_intersections,
         "geo_distance_join": _q_geo_distance,
         "geo_distance_pairs": _q_geo_distance_pairs,
         "geo_knn": _q_geo_knn,
@@ -2249,6 +2265,47 @@ l AS (
 SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_segs,
   CAST(sum(lq) AS BIGINT) AS len_q
 FROM l WHERE lq > 0 GROUP BY cell
+""",
+        # NOTE: least/greatest inside the join/filter trips a DuckDB 1.0
+        # internal error ("requires a flat vector") at sf>=0.01 — bounds
+        # are precomputed as CASE columns instead (same values, no NaN
+        # in the data). b's bounds need no CASE: bx1<bx2, by1<by2 by
+        # construction (probe diagonals).
+        "segment_intersections": f"""
+WITH a0 AS ({PART_SEGMENTS_SQL}),
+a AS (
+  SELECT seg_id, ax, ay, bx, by,
+    CASE WHEN ax < bx THEN ax ELSE bx END AS axl,
+    CASE WHEN ax < bx THEN bx ELSE ax END AS axh,
+    CASE WHEN ay < by THEN ay ELSE by END AS ayl,
+    CASE WHEN ay < by THEN by ELSE ay END AS ayh
+  FROM a0),
+b0 AS ({SUPPLIER_PROBES_SQL}),
+b AS (SELECT qid AS b_id, xmin AS bx1, ymin AS by1, xmax AS bx2, ymax AS by2
+      FROM b0),
+p AS (
+  SELECT a.seg_id AS a_id, b.b_id,
+    a.ax AS ax1, a.ay AS ay1, a.bx AS ax2, a.by AS ay2,
+    a.axl, a.axh, a.ayl, a.ayh,
+    b.bx1, b.by1, b.bx2, b.by2
+  FROM a JOIN b
+    ON a.axl <= b.bx2 AND b.bx1 <= a.axh
+   AND a.ayl <= b.by2 AND b.by1 <= a.ayh),
+d AS (
+  SELECT a_id, b_id, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+    axl, axh, ayl, ayh,
+    (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d1,
+    (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d2,
+    (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d3,
+    (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d4
+  FROM p)
+SELECT a_id, b_id FROM d
+WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+   AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+   OR (d1 = 0 AND bx1 <= ax1 AND ax1 <= bx2 AND by1 <= ay1 AND ay1 <= by2)
+   OR (d2 = 0 AND bx1 <= ax2 AND ax2 <= bx2 AND by1 <= ay2 AND ay2 <= by2)
+   OR (d3 = 0 AND axl <= bx1 AND bx1 <= axh AND ayl <= by1 AND by1 <= ayh)
+   OR (d4 = 0 AND axl <= bx2 AND bx2 <= axh AND ayl <= by2 AND by2 <= ayh)
 """,
         "geo_distance_pairs": """
 WITH c AS (

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["nearest_segment_join", "line_density"]
+__all__ = ["nearest_segment_join", "line_density", "segment_intersection_join"]
 
 
 def nearest_segment_join(
@@ -180,4 +180,58 @@ def line_density(
             F.count(F.lit(1)).alias("n_segs"),
             F.sum("_lq").alias("len_q"),
         )
+    )
+
+
+def segment_intersection_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    n_data_hint: int | None = None,
+) -> DataFrame:
+    """Line-line overlay (ST_Intersects over two segment layers — road ×
+    river crossings): every (a, b) pair whose CLOSED segments intersect,
+    touching included.
+
+    Both layers use the engine segment convention (id, ax, ay, bx, by).
+    Candidates come from the cell-routed bbox join (one spatial shuffle);
+    the refine is polygon_join's exact four-orientation + collinear
+    on-segment predicate (operators/polygon.py `_segments_intersect`) —
+    pure JVM products of coordinate differences, the identical IEEE
+    sequence in DuckDB, so the boolean is engine-exact with no
+    quantization needed. → (a_id, b_id), duplicate-free (each pair meets
+    in exactly one candidate row)."""
+    from python_prtree_spark.operators.polygon import _segments_intersect
+
+    def with_bbox(df, idc):
+        return df.select(
+            idc, "ax", "ay", "bx", "by",
+            F.least("ax", "bx").alias("xmin"), F.least("ay", "by").alias("ymin"),
+            F.greatest("ax", "bx").alias("xmax"), F.greatest("ay", "by").alias("ymax"),
+        )
+
+    a = with_bbox(a_df, a_id)
+    b = with_bbox(b_df, b_id)
+    cand = _probe.batch_query(
+        a.select(a_id, "xmin", "ymin", "xmax", "ymax"),
+        b.select(b_id, "xmin", "ymin", "xmax", "ymax"),
+        cfg, data_id=a_id, query_id=b_id, n_data_hint=n_data_hint,
+    )
+    acoord = a_df.select(
+        a_id,
+        F.col("ax").alias("ax1"), F.col("ay").alias("ay1"),
+        F.col("bx").alias("ax2"), F.col("by").alias("ay2"),
+    )
+    bcoord = b_df.select(
+        b_id,
+        F.col("ax").alias("bx1"), F.col("ay").alias("by1"),
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"),
+    )
+    return (
+        cand.join(acoord, on=a_id)
+        .join(bcoord, on=b_id)
+        .where(_segments_intersect())
+        .select(a_id, b_id)
     )

@@ -158,3 +158,83 @@ def test_line_density_vs_brute(spark):
     # the long horizontal line crosses every column band once
     row_cells = [c for c in exp if (c % side) == int(50.0 // cw)]
     assert len(row_cells) >= side
+
+
+def test_segment_intersection_join_cases(spark):
+    from python_prtree_spark.operators.linear import segment_intersection_join
+
+    def adf(rows, idc):
+        return spark.createDataFrame(
+            [(int(i), float(a), float(b), float(c), float(d))
+             for i, (a, b, c, d) in enumerate(rows)],
+            f"{idc} long, ax double, ay double, bx double, by double",
+        )
+
+    a = [
+        (10, 10, 20, 20),   # 0: crossing b0
+        (0, 5, 5, 0),       # 1: bbox overlaps b1 but segments miss
+        (30, 30, 40, 30),   # 2: touches b2 at an endpoint
+        (50, 50, 60, 50),   # 3: collinear overlap with b3
+        (70, 70, 70, 70),   # 4: degenerate point ON b4
+    ]
+    b = [
+        (20, 10, 10, 20),   # crosses a0
+        (0, 0, 1, 1),       # near a1, no hit
+        (40, 30, 45, 35),   # endpoint touch with a2
+        (55, 50, 90, 50),   # collinear overlap with a3
+        (65, 70, 75, 70),   # horizontal through the a4 point
+    ]
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in segment_intersection_join(adf(a, "a_id"), adf(b, "b_id"), CFG).collect()
+    }
+    assert (0, 0) in got
+    assert (1, 1) not in got
+    assert (2, 2) in got
+    assert (3, 3) in got
+    assert (4, 4) in got
+
+
+def test_segment_intersection_random_vs_brute(spark):
+    from python_prtree_spark.operators.linear import segment_intersection_join
+
+    def brute(p1, p2, q1, q2):
+        def cross(o, p, q):
+            return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+        def on(p, q, r):
+            return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                    and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+        d1, d2 = cross(q1, q2, p1), cross(q1, q2, p2)
+        d3, d4 = cross(p1, p2, q1), cross(p1, p2, q2)
+        if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 \
+                and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+            return True
+        return (d1 == 0 and on(q1, q2, p1)) or (d2 == 0 and on(q1, q2, p2)) \
+            or (d3 == 0 and on(p1, p2, q1)) or (d4 == 0 and on(p1, p2, q2))
+
+    rng = np.random.default_rng(91)
+    a = [(x, y, x + rng.uniform(-10, 10), y + rng.uniform(-10, 10))
+         for x, y in rng.uniform(0, 100, (60, 2))]
+    b = [(x, y, x + rng.uniform(-10, 10), y + rng.uniform(-10, 10))
+         for x, y in rng.uniform(0, 100, (60, 2))]
+
+    def adf(rows, idc):
+        return spark.createDataFrame(
+            [(int(i), float(p), float(q), float(r), float(s))
+             for i, (p, q, r, s) in enumerate(rows)],
+            f"{idc} long, ax double, ay double, bx double, by double",
+        )
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in segment_intersection_join(adf(a, "a_id"), adf(b, "b_id"), CFG).collect()
+    }
+    exp = {
+        (i, j)
+        for i, s1 in enumerate(a) for j, s2 in enumerate(b)
+        if brute((s1[0], s1[1]), (s1[2], s1[3]), (s2[0], s2[1]), (s2[2], s2[3]))
+    }
+    assert got == exp
+    assert exp
