@@ -543,15 +543,23 @@ def _q_polygonize(spark, sf_dir):
     return polygonize_regions(pxs, CFG, px=16, threshold=1)
 
 
-def _q_focal_sum(spark, sf_dir):
-    """Focal 3×3 sum (box-blur numerator) chained over rasterize_counts:
-    each lit pixel fans out to its 9 neighbor positions in pure column
-    arithmetic and ONE groupBy on the global pixel key aggregates — the
-    shuffle IS the cross-tile halo exchange; mosaic edges clipped."""
-    from python_prtree_spark.operators.raster import focal_stats, rasterize_counts
+def _make_q_focal(op):
+    def q(spark, sf_dir):
+        """Focal 3×3 aggregate chained over rasterize_counts: each lit
+        pixel fans out to its 9 neighbor positions in pure column
+        arithmetic and ONE groupBy on the global pixel key aggregates —
+        the shuffle IS the cross-tile halo exchange; edges clipped.
+        sum = box-blur numerator, max = grayscale dilation, count =
+        lit-neighbor count (count == 9 ⇔ binary erosion member)."""
+        from python_prtree_spark.operators.raster import (
+            focal_stats,
+            rasterize_counts,
+        )
 
-    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
-    return focal_stats(pxs, CFG, px=16, op="sum")
+        pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+        return focal_stats(pxs, CFG, px=16, op=op)
+
+    return q
 
 
 def _q_raster_algebra(spark, sf_dir):
@@ -1327,7 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": _q_pyramid,
         "polygonize": _q_polygonize,
         "raster_algebra": _q_raster_algebra,
-        "focal_sum": _q_focal_sum,
+        "focal_sum": _make_q_focal("sum"),
+        "focal_max": _make_q_focal("max"),
+        "focal_count": _make_q_focal("count"),
         "mutation_pipeline": _q_mutation,
         "rebuild": _q_rebuild,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1387,6 +1397,39 @@ _BATCH_PAIRS_SQL = f"""
 WITH b AS ({PART_BOXES_SQL}), q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """
+
+# focal-oracle template: __AGG__ is the per-window aggregate expression
+_FOCAL_SQL_TMPL = """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN o2
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, __AGG__ AS v FROM s GROUP BY gx, gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM a
+"""
+_FOCAL_SQL = _FOCAL_SQL_TMPL.format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL)
 
 PART_SEGMENTS_SQL = """
 SELECT p_partkey AS seg_id,
@@ -1714,36 +1757,9 @@ SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
   CAST(sum(cnt) AS BIGINT) AS v_sum
 FROM k JOIN lab USING (k) GROUP BY comp
 """,
-        "focal_sum": f"""
-WITH b AS ({SUPPLIER_PROBES_SQL}),
-tiles AS (SELECT unnest(range(256)) AS tile),
-pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
-pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
-pxl AS (
-  SELECT tile, r, c,
-    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
-    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
-  FROM pc0),
-counts AS (
-  SELECT tile, r, c, COUNT(*) AS cnt
-  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
-                 AND b.ymin <= pyc AND pyc <= b.ymax
-  GROUP BY tile, r, c),
-g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
-      FROM counts),
-o AS (SELECT unnest([-1, 0, 1]) AS dx),
-o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
-s AS (
-  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
-  FROM g CROSS JOIN o2
-  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
-    AND g.gy + dy >= 0 AND g.gy + dy < 256),
-a AS (SELECT gx, gy, sum(cnt) AS v FROM s GROUP BY gx, gy)
-SELECT (gx // 16) * 16 + (gy // 16) AS tile,
-  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
-  CAST(v AS BIGINT) AS v
-FROM a
-""",
+        "focal_sum": _FOCAL_SQL.replace("__AGG__", "sum(cnt)"),
+        "focal_max": _FOCAL_SQL.replace("__AGG__", "max(cnt)"),
+        "focal_count": _FOCAL_SQL.replace("__AGG__", "count(*)"),
         "raster_algebra": f"""
 WITH b1 AS ({SUPPLIER_PROBES_SQL}), b2 AS ({PART_BOXES_SQL}),
 tiles AS (SELECT unnest(range(256)) AS tile),

@@ -303,9 +303,11 @@ def geo_knn_join(
         if r >= _HALF_CIRCUMFERENCE_KM:
             resolved = ranked.where(F.col("rank") <= k)
         else:
+            # no broadcast HINT: `full` is probe-bounded but probes can be
+            # arbitrarily many — AQE broadcasts it when it is actually small
             full = ranked.where(F.col("rank") == k).select(query_id)
             resolved = ranked.where(F.col("rank") <= k).join(
-                F.broadcast(full), on=query_id, how="left_semi"
+                full, on=query_id, how="left_semi"
             )
         resolved = resolved.select(
             query_id, data_id, "dist_m", F.col("rank").cast("int").alias("rank")
