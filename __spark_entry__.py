@@ -562,6 +562,19 @@ def _make_q_focal(op):
     return q
 
 
+def _q_raster_sobel(spark, sf_dir):
+    """Sobel-x gradient over the coverage raster (3×3 integer
+    convolution via the sparse weighted fan-out — zero taps skipped, one
+    global-pixel groupBy; the shuffle is the halo exchange)."""
+    from python_prtree_spark.operators.raster import (
+        raster_convolve,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return raster_convolve(pxs, _SOBEL_X, CFG, px=16)
+
+
 def _q_raster_algebra(spark, sf_dir):
     """Map algebra (change detection shape): supplier-probe coverage
     minus part-box coverage, aligned on the pixel lattice by a single
@@ -1335,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": _q_pyramid,
         "polygonize": _q_polygonize,
         "raster_algebra": _q_raster_algebra,
+        "raster_sobel": _q_raster_sobel,
         "focal_sum": _make_q_focal("sum"),
         "focal_max": _make_q_focal("max"),
         "focal_count": _make_q_focal("count"),
@@ -1430,6 +1444,52 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
 FROM a
 """
 _FOCAL_SQL = _FOCAL_SQL_TMPL.format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL)
+
+_SOBEL_X = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+
+
+def _conv_taps_sql(kernel):
+    """(dx, dy, w) VALUES rows for raster_convolve's fan-out: input pixel
+    g contributes to output g+(dx,dy) with w = kernel[1-dy][1-dx] — the
+    identical tap enumeration the engine builds."""
+    vals = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            w = kernel[1 - dy][1 - dx]
+            if w:
+                vals.append(f"({dx}, {dy}, {w})")
+    return ", ".join(vals)
+
+
+_CONV_SQL_TMPL = """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+t(dx, dy, w) AS (VALUES {TAPS}),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt * w AS cc
+  FROM g CROSS JOIN t
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, sum(cc) AS v FROM s GROUP BY gx, gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM a WHERE v <> 0
+"""
 
 PART_SEGMENTS_SQL = """
 SELECT p_partkey AS seg_id,
@@ -1757,6 +1817,10 @@ SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
   CAST(sum(cnt) AS BIGINT) AS v_sum
 FROM k JOIN lab USING (k) GROUP BY comp
 """,
+        "raster_sobel": _CONV_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS=_conv_taps_sql(_SOBEL_X),
+        ),
         "focal_sum": _FOCAL_SQL.replace("__AGG__", "sum(cnt)"),
         "focal_max": _FOCAL_SQL.replace("__AGG__", "max(cnt)"),
         "focal_count": _FOCAL_SQL.replace("__AGG__", "count(*)"),

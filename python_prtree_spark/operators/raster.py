@@ -30,7 +30,7 @@ __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
-    "focal_stats",
+    "focal_stats", "raster_convolve",
 ]
 
 
@@ -765,6 +765,76 @@ def focal_stats(
         "count": F.count(F.lit(1)),
     }[op]
     return shifted.groupBy("gx", "gy").agg(agg.alias("v")).select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        F.col("v").cast("long").alias("v"),
+    )
+
+
+def raster_convolve(
+    pixels_df: DataFrame,
+    kernel,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Sparse 3×3 integer convolution over the tile mosaic (Sobel /
+    Prewitt / Laplacian edge and gradient filters — the image-processing
+    primitive, here over arbitrarily large tiled rasters): out[p] =
+    Σ_{(dx,dy)} kernel[dy+1][dx+1] · in[p - (dx,dy)], with absent pixels
+    contributing 0 and mosaic edges clipped (zero padding).
+
+    ``kernel``: 3×3 iterable of ints, kernel[row][col] with row 0 = the
+    neighbor ABOVE (gy-1), col 0 = the neighbor LEFT (gx-1). Zero taps
+    are skipped at plan time — a cross-shaped kernel fans out 5×, not 9×.
+
+    Integer weights keep every contribution exact (long arithmetic), so
+    the result is oracle-gateable. Zero results are dropped (sparse-
+    raster invariant — for gradient kernels, zero means "flat or empty").
+
+    Same scale shape as focal_stats: the SPARSE fan-out is the halo
+    exchange (pure column arithmetic, bounded ≤9×), ONE global-pixel-key
+    groupBy combines map-side. Chains with rasterize_counts /
+    raster_algebra / polygonize_regions (Sobel → threshold → polygonize
+    = edge-object extraction)."""
+    k = [[int(v) for v in row] for row in kernel]
+    if len(k) != 3 or any(len(r) != 3 for r in k):
+        raise ValueError("kernel must be 3x3")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    # input pixel at g contributes to output position g + (dx, dy) with
+    # weight kernel[1 - dy][1 - dx] (= kernel taken relative to the OUTPUT)
+    taps = [
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+            F.lit(k[1 - dy][1 - dx]).alias("w"),
+        )
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if k[1 - dy][1 - dx] != 0
+    ]
+    if not taps:
+        raise ValueError("kernel is all zeros")
+    shifted = src.select(
+        "_gx", "_gy", "_v", F.explode(F.array(*taps)).alias("_t")
+    ).select(
+        (F.col("_gx") + F.col("_t.dx")).alias("gx"),
+        (F.col("_gy") + F.col("_t.dy")).alias("gy"),
+        (F.col("_v") * F.col("_t.w")).alias("_c"),
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    )
+    return shifted.groupBy("gx", "gy").agg(F.sum("_c").alias("v")).where(
+        F.col("v") != 0
+    ).select(
         ((F.col("gx") / px).cast("long") * side
          + (F.col("gy") / px).cast("long")).alias("tile"),
         (F.col("gy") % px).cast("int").alias("r"),

@@ -242,3 +242,48 @@ def test_focal_stats_vs_numpy_conv(spark):
         assert got == brute(op), op
     with _pytest.raises(ValueError, match="op must be one of"):
         focal_stats(df, CFG, px=PX, op="median")
+
+
+def test_raster_convolve_vs_numpy(spark):
+    import pytest as _pytest
+
+    from python_prtree_spark.operators.raster import raster_convolve
+
+    rng = np.random.default_rng(57)
+    rows = set()
+    for _ in range(250):
+        rows.add((int(rng.integers(0, 64)), int(rng.integers(0, PX)),
+                  int(rng.integers(0, PX))))
+    rows = [(t, r, c, int((t * 3 + r + c) % 9) + 1) for t, r, c in rows]
+    df = spark.createDataFrame(rows, "tile long, r int, c int, cnt long")
+    side = 8
+    grid = side * PX
+    dense = np.zeros((grid, grid), dtype=np.int64)  # [gy, gx]
+    for t, r, c, v in rows:
+        dense[(t % side) * PX + r, (t // side) * PX + c] = v
+
+    kernels = [
+        [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],   # sobel-x
+        [[0, 1, 0], [1, -4, 1], [0, 1, 0]],     # laplacian (cross: 5 taps)
+    ]
+    for k in kernels:
+        exp = {}
+        for gy in range(grid):
+            for gx in range(grid):
+                v = sum(
+                    k[dy + 1][dx + 1] * dense[gy + dy, gx + dx]
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if 0 <= gy + dy < grid and 0 <= gx + dx < grid
+                )
+                if v != 0:
+                    t = (gx // PX) * side + (gy // PX)
+                    exp[(t, gy % PX, gx % PX)] = v
+        got = {
+            (r2["tile"], r2["r"], r2["c"]): r2["v"]
+            for r2 in raster_convolve(df, k, CFG, px=PX).collect()
+        }
+        assert got == exp, k
+    with _pytest.raises(ValueError, match="3x3"):
+        raster_convolve(df, [[1, 2], [3, 4]], CFG, px=PX)
+    with _pytest.raises(ValueError, match="all zeros"):
+        raster_convolve(df, [[0] * 3] * 3, CFG, px=PX)
