@@ -111,8 +111,11 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
     vectorized uint8 subtraction against the previous row (wrapping mod
     256 per the spec), with the first row's prior implicitly zero."""
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {pixels.shape}")
     h, w, c = pixels.shape
-    assert c == 3 and h > 0 and w > 0, "non-empty RGB expected"
+    if c != 3 or h <= 0 or w <= 0:
+        raise ValueError(f"non-empty RGB expected, got shape {pixels.shape}")
     delta = pixels.copy()
     delta[1:] -= pixels[:-1]  # uint8 wraps — exactly the Up filter
     scan = np.empty((h, 1 + w * 3), dtype=np.uint8)

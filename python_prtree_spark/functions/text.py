@@ -111,19 +111,21 @@ def pii_cols(text: str | Column) -> list[Column]:
     codegen), DuckDB-reproducible with the identical patterns.
 
     Returns [n_emails, n_phones, n_ips, redacted] (unaliased). Redaction
-    order is emails → phones → ips; placeholders are inert tokens the
-    patterns cannot re-match."""
+    is a cascade (emails → phones → ips) and each count is taken on the
+    text the corresponding pass actually sees — so every count equals the
+    number of its placeholder occurrences in the redacted output (an IP
+    or phone swallowed by an earlier email match is neither counted nor
+    separately redacted). Placeholders are inert tokens the patterns
+    cannot re-match."""
     c = F.col(text) if isinstance(text, str) else text
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
     n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
-    n_ip = F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), F.lit(0)))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE, "<PHONE>",
-        ),
-        PII_IP_RE, "<IP>",
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE_RE), F.lit(0))
     )
+    n_ip = F.size(F.regexp_extract_all(after_phone, F.lit(PII_IP_RE), F.lit(0)))
+    red = F.regexp_replace(after_phone, PII_IP_RE, "<IP>")
     return [n_email, n_phone, n_ip, red]
 
 

@@ -65,8 +65,15 @@ def trajectory_stream(
             last_us = last_lng = last_lat = None
             n_p = n_h = tot = mx = 0
         touched = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["_us", id_col], kind="stable")
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+        # arbitrary shuffle order; sorting each chunk alone is not a global
+        # (ts, id) order. Materialize the whole group once (per-entity data
+        # is task-sized by contract) and sort it globally before folding.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ).sort_values(["_us", id_col], kind="stable")
             for us, g, t in zip(
                 pdf["_us"].to_numpy(), pdf[lng].to_numpy(), pdf[lat].to_numpy()
             ):

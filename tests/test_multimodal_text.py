@@ -154,6 +154,9 @@ def test_pii_cols_counts_and_redaction(spark):
         (1, "write to bob.smith+x@mail-host.org or call +555-123-4567 now"),
         (2, "two mails a@b.co c.d@e.io and ip 192.168.0.1 plus 555-000-1111"),
         (3, "clean text, no pii at all"),
+        # phone-shaped local part swallowed by the email match: counted as
+        # neither phone nor ip (counts == placeholder occurrences)
+        (4, "mail 555-123-4567@mail.co only"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     ne, np_, ni, red = pii_cols("text")
@@ -168,6 +171,7 @@ def test_pii_cols_counts_and_redaction(spark):
     assert got[2][:3] == (2, 1, 1)
     assert got[2][3] == "two mails <EMAIL> <EMAIL> and ip <IP> plus <PHONE>"
     assert got[3] == (0, 0, 0, "clean text, no pii at all")
+    assert got[4] == (1, 0, 0, "mail <EMAIL> only")
 
 
 def test_bm25_scores_vs_brute_force(spark):
