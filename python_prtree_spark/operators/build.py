@@ -230,7 +230,9 @@ def _make_stream_pack_arrow(cfg: EngineConfig, with_salt: bool):
     return fn
 
 
-def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
+def _pack_sql(
+    cells: DataFrame, cfg: EngineConfig, extra_cols: list[str] | None = None
+) -> DataFrame:
     """JVM-only pack kernel: the whole STR layout as Spark SQL higher-order
     functions — groupBy (cell, salt) → collect_list → two ``array_sort``
     over structs whose leading fields are the sort keys ((cx, id), then
@@ -247,14 +249,22 @@ def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
     leaf geometry as the Arrow kernel; within-pack row order breaks
     x-center ties by id (the numpy kernel ties on shuffle arrival order —
     both are valid STR layouts; closed-interval AABB refinement makes
-    query results layout-independent, reference bounding_box.h:104-123)."""
+    query results layout-independent, reference bounding_box.h:104-123).
+
+    extra_cols: names of carried coordinate columns (nd persisted indexes:
+    min2/max2[, min3/max3]) riding through both layout sorts as TRAILING
+    struct fields (never compared: the leading (key, _did) prefix is
+    already unique) and extracted as aligned ``b_<name>`` arrays, so a
+    loaded pack can refine the closed-interval predicate on dims 2..D-1
+    row-for-row against its 2D routing arrays."""
     B = cfg.leaf_size
     level = cfg.level
+    extra_cols = list(extra_cols or [])
 
     g = cells.groupBy("cell", "salt").agg(
         F.collect_list(F.struct(
             F.col("_did").cast("long").alias("_did"),
-            *[F.col(c).cast("double").alias(c) for c in BOX],
+            *[F.col(c).cast("double").alias(c) for c in BOX + extra_cols],
         )).alias("rows")
     )
     # sort keys are LEADING STRUCT FIELDS under array_sort's natural struct
@@ -268,6 +278,7 @@ def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
             x["_did"].alias("_did"),
             x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
             x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
+            *[x[c].alias(c) for c in extra_cols],
         ),
     ))
     g = (
@@ -286,6 +297,7 @@ def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
             x["_did"].alias("_did"),
             x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
             x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
+            *[x[c].alias(c) for c in extra_cols],
         ),
     )
     g = g.withColumn("a2", F.array_sort(tagged)).drop("a1")
@@ -300,6 +312,13 @@ def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.transform("a2", lambda x: x["ymin"]).alias("b_ymin"),
         F.transform("a2", lambda x: x["xmax"]).alias("b_xmax"),
         F.transform("a2", lambda x: x["ymax"]).alias("b_ymax"),
+        # NB: default-arg capture (lambda x, c=c) would make Spark treat
+        # this as the 2-arg (element, index) lambda form — build the
+        # 1-arg lambda in a closure instead
+        *[
+            F.transform("a2", (lambda cc: lambda x: x[cc])(c)).alias(f"b_{c}")
+            for c in extra_cols
+        ],
     )
     leaf_mbbs = F.flatten(F.transform(
         F.sequence(F.lit(0), F.col("n_leaves") - 1),
@@ -317,6 +336,7 @@ def _pack_sql(cells: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.lit(B).cast("int").alias("leaf_size"),
         "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+        *[f"b_{c}" for c in extra_cols],
         leaf_mbbs.alias("leaf_mbbs"),
     )
 
@@ -329,6 +349,7 @@ def build_index(
     n_data_hint: int | None = None,
     only_cells: "list[int] | DataFrame | None" = None,
     kernel: str = "sql",
+    extra_cols: list[str] | None = None,
 ) -> tuple[DataFrame, EngineConfig]:
     """→ (index DataFrame with INDEX_SCHEMA, resolved config).
 
@@ -352,12 +373,15 @@ def build_index(
         raise ValueError(
             f"kernel must be 'sql' or 'arrow', got {kernel!r}"
         )
-    slim = data_df.select(data_id, *BOX)
+    extra_cols = list(extra_cols or [])
+    if extra_cols and kernel != "sql":
+        raise ValueError("extra_cols (nd persisted indexes) require kernel='sql'")
+    slim = data_df.select(data_id, *BOX, *extra_cols)
     if validate:
-        validate_boxes_df(slim, cfg)
+        validate_boxes_df(slim.select(data_id, *BOX), cfg)
     cfg, n = resolve_geometry(slim, cfg, n_data_hint)
     cells = explode_cells(slim, cfg.extent, cfg.level).select(
-        F.col(data_id).alias("_did"), "cell", *BOX
+        F.col(data_id).alias("_did"), "cell", *BOX, *extra_cols
     )
     if isinstance(only_cells, DataFrame):
         wanted = only_cells.select(F.col(only_cells.columns[0]).alias("cell"))
@@ -377,7 +401,10 @@ def build_index(
     if "salt" not in cells.columns:
         cells = cells.withColumn("salt", F.lit(0))
     if kernel == "sql":
-        return _pack_sql(cells.select("_did", "cell", "salt", *BOX), cfg), cfg
+        return _pack_sql(
+            cells.select("_did", "cell", "salt", *BOX, *extra_cols),
+            cfg, extra_cols,
+        ), cfg
     with_salt = "salt" in keys
     index = (
         cells.select("_did", "cell", "salt", *BOX)

@@ -129,8 +129,8 @@ class PRTreeTable:
 
         li = load_index(spark, path)
         n = li.size()
-        t = cls(li.boxes(data_id), li.cfg, data_id, _n_at_build=n,
-                _validate=False, _n_hint=n)
+        t = cls(li.boxes(data_id), li.cfg, data_id, dims=li.dims,
+                _n_at_build=n, _validate=False, _n_hint=n)
         t.index_path = path
         return t
 
@@ -294,17 +294,24 @@ class PRTreeTable:
         from python_prtree_spark.operators.build import build_index
         from python_prtree_spark.sources.store import _with_bucket, merge_refresh
 
-        if self.dims != 2:
-            raise NotImplementedError(
-                "persisted index tables are 2D; 3D/4D tables are "
-                "in-session mutation surfaces (queries run via the nd "
-                "operators, which pack per-batch)"
-            )
         if self.dirty_cells is None:
             return
         dirty = self.dirty_cells.distinct()
-        index, _ = build_index(self.df, self.cfg, self.data_id, validate=False,
-                               only_cells=dirty, n_data_hint=self._n)
+        src = self.df
+        extra_cols = None
+        if self.dims > 2:
+            # nd persisted index (r4 VERDICT item 4): route on dims 0-1,
+            # carry dims 2..D-1 into the re-packed cells — same layout
+            # save_index(dims=) writes, so refreshed buckets stay readable
+            # by the nd probe kernel
+            from python_prtree_spark.operators.nd import _as2d
+            from python_prtree_spark.sources.store import _extra_box_cols
+
+            src = _as2d(self.df, self.data_id, self.dims, keep_extra=True)
+            extra_cols = _extra_box_cols(self.dims)
+        index, _ = build_index(src, self.cfg, self.data_id, validate=False,
+                               only_cells=dirty, n_data_hint=self._n,
+                               extra_cols=extra_cols)
         fresh = _with_bucket(index, self.cfg.level)
         spark = self.df.sparkSession
         merge_refresh(spark, os.path.join(path, "index"), fresh, dirty,
@@ -418,29 +425,37 @@ class PRTreeTable:
             self.df.select(self.data_id, *self.payload_cols), on=self.data_id, how="left"
         ).select(query_id, self.data_id, *self.payload_cols)
 
-    def query(self, xmin: float, ymin: float, xmax: float | None = None,
-              ymax: float | None = None, return_obj: bool = False) -> list:
+    def query(self, *coords: float, return_obj: bool = False) -> list:
         """Single-probe convenience with the reference's return contract
-        (core.py:513-605): sorted ascending id list; a 2-argument call is a
-        point probe (degenerate box, prtree.h:743-754). With
+        (core.py:513-605, PRTree3D/4D.query core.py:774,826): sorted
+        ascending id list; a D-argument call is a point probe (degenerate
+        box, prtree.h:743-754), a 2*D-argument call a box probe with the
+        reference's (min0..min{D-1}, max0..max{D-1}) layout. With
         ``return_obj=True`` returns payloads instead of ids, ordered by id
         (core.py:601-605) — the bare value for a single payload column,
         else a dict of payload columns."""
-        if self.dims != 2:
-            raise NotImplementedError(
-                "scalar query() is 2D; use batch_query with nd columns"
+        D = self.dims
+        vals = [float(v) for v in coords]
+        if len(vals) == D:  # point probe: query(x, y[, z, ...])
+            vals = vals + vals
+        elif len(vals) != 2 * D:
+            raise ValueError(
+                f"{D}D query takes {D} (point) or {2 * D} (box) "
+                f"coordinates, got {len(vals)}"
             )
-        if xmax is None:  # point probe: query(x, y)
-            xmax, ymax = xmin, ymin
         spark = self.df.sparkSession
-        q = spark.createDataFrame(
-            [(0, float(xmin), float(ymin), float(xmax), float(ymax))],
-            "qid long, xmin double, ymin double, xmax double, ymax double",
-        )
+        if D == 2:
+            schema = "qid long, xmin double, ymin double, xmax double, ymax double"
+            row = (0, vals[0], vals[1], vals[2], vals[3])
+        else:
+            mins, maxs = box_col_names(D)
+            schema = "qid long, " + ", ".join(
+                f"{c} double" for c in (*mins, *maxs)
+            )
+            row = (0, *vals)
+        q = spark.createDataFrame([row], schema)
         if not return_obj:
-            rows = _probe.batch_query(
-                self.df, q, self.cfg, self.data_id, "qid", n_data_hint=self._n
-            ).collect()
+            rows = self.batch_query(q, "qid").collect()
             return sorted(r[self.data_id] for r in rows)
         pcols = self.payload_cols
         rows = self.batch_query(q, "qid", return_obj=True).collect()
@@ -450,9 +465,26 @@ class PRTreeTable:
         return [{c: r[c] for c in pcols} for r in rows]
 
     def batch_query_array(self, query_df: DataFrame, query_id: str = "qid") -> DataFrame:
-        if self.dims != 2:
-            raise NotImplementedError("batch_query_array is 2D; use batch_query")
-        return _probe.batch_query_array(self.df, query_df, self.cfg, self.data_id, query_id)
+        """(query_id, n_hits, ids sorted ascending) at every dimension —
+        the nd path aggregates batch_query_nd pairs with the identical
+        empty-array contract (reference prtree.h:731-733)."""
+        if self.dims == 2:
+            return _probe.batch_query_array(
+                self.df, query_df, self.cfg, self.data_id, query_id
+            )
+        pairs = self.batch_query(query_df, query_id)
+        agg = pairs.groupBy(query_id).agg(
+            F.sort_array(F.collect_list(self.data_id)).alias("ids")
+        )
+        return (
+            query_df.select(query_id)
+            .join(agg, on=query_id, how="left")
+            .select(
+                query_id,
+                F.coalesce(F.size("ids"), F.lit(0)).alias("n_hits"),
+                F.coalesce("ids", F.array().cast("array<long>")).alias("ids"),
+            )
+        )
 
     def point_query(self, points_df: DataFrame, query_id: str = "qid") -> DataFrame:
         """Point probes. For dims > 2 pass columns p0..p{D-1}; points are

@@ -353,12 +353,29 @@ def merge_refresh(
     files = {
         b: list(fs) for b, fs in base_files.items() if b not in dirty_buckets
     }
+    dirty = set(dirty_buckets)
     for b, fs in after.items():
         prior = set(before.get(b, []))
         added = [f for f in fs if f not in prior]
         if added:
-            files[b] = added  # merged rows only ever land in dirty buckets
+            # Invariant: merged rows only ever land in dirty buckets (the
+            # merged frame is built exclusively from dirty-bucket rows, and
+            # _with_bucket / _bucket_of_cell share one formula). If a future
+            # divergence broke that, `files[b] = added` would silently DROP
+            # b's base files from the new manifest — fail loudly instead.
+            if b not in dirty:
+                raise RuntimeError(
+                    f"merge_refresh wrote files into non-dirty bucket {b!r}; "
+                    "bucket formulas diverged — refusing to commit a manifest "
+                    "that would drop its base files"
+                )
+            files[b] = added
     _commit_snapshot(index_dir, files, "refresh", cur)
+
+
+def _extra_box_cols(dims: int) -> list[str]:
+    """Carried coordinate columns for dims > 2 (nd naming, nd.py)."""
+    return [f"{mm}{d}" for d in range(2, dims) for mm in ("min", "max")]
 
 
 def save_index(
@@ -367,6 +384,7 @@ def save_index(
     cfg: EngineConfig = DEFAULT_CONFIG,
     data_id: str = "id",
     resume: bool = False,
+    dims: int = 2,
 ) -> EngineConfig:
     """Build and persist the index table; idempotent per bucket.
 
@@ -377,6 +395,21 @@ def save_index(
     rewrite, so resume can never double-append a bucket's packs."""
     import json
     import shutil
+
+    if not 2 <= dims <= 4:
+        raise ValueError("dims must be 2, 3, or 4 (reference parity)")
+    extra_cols: list[str] = []
+    if dims > 2:
+        # nd input (min0..max{D-1}): validate at full dimensionality, then
+        # route on the first two dims and CARRY dims 2..D-1 into the packs
+        # (reference saves/loads trees at every dimension,
+        # python_bindings.cc:174-408)
+        from python_prtree_spark.functions.geometry import validate_boxes_df
+        from python_prtree_spark.operators.nd import _as2d, box_cols
+
+        validate_boxes_df(data_df.select(data_id, *box_cols(dims)), cfg, dims)
+        data_df = _as2d(data_df, data_id, dims, keep_extra=True)
+        extra_cols = _extra_box_cols(dims)
 
     spark = data_df.sparkSession
     snap_cur = current_snapshot_version(os.path.join(path, "index"))
@@ -402,7 +435,10 @@ def save_index(
     if n_live == 0:
         # reference parity: saving an empty tree raises (core.py:173-178)
         raise ValueError("Cannot save empty tree")
-    index, cfg = build_index(data_df, cfg, data_id=data_id, n_data_hint=n_live)
+    index, cfg = build_index(
+        data_df, cfg, data_id=data_id, n_data_hint=n_live,
+        validate=(dims == 2), extra_cols=extra_cols or None,
+    )
     index = _with_bucket(index, cfg.level)
 
     done: set[int] = set()
@@ -465,6 +501,7 @@ def save_index(
         "n_live_rows": n_live,
         "version": 2,
         "bucket_scheme": BUCKET_SCHEME,
+        "dims": dims,
     }
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f)
@@ -513,6 +550,9 @@ class LoadedIndex:
         # scheme gate (see BUCKET_SCHEME): mismatching/legacy meta → read
         # every bucket rather than prune with the wrong formula
         self._prune_buckets = meta.get("bucket_scheme") == BUCKET_SCHEME
+        # nd persisted indexes: routing plane is dims 0-1, the packs carry
+        # aligned b_min2/b_max2[, b_min3/b_max3] arrays for refinement
+        self.dims = int(meta.get("dims", 2))
 
     def size(self) -> int:
         """Live (unreplicated) row count — a row spanning k cells is stored
@@ -526,14 +566,27 @@ class LoadedIndex:
         persisted packs — the index IS the data (the reference archive
         stores idx2bb alongside the tree, prtree.h:119-132; here the pack
         arrays already hold every row). A row spanning k cells is stored k
-        times; dedup by id (copies are identical by construction)."""
+        times; dedup by id (copies are identical by construction).
+
+        For an nd index (dims > 2) the reconstructed table uses the nd
+        column convention (min0..min{D-1}, max0..max{D-1})."""
+        extras = _extra_box_cols(self.dims)
+        zipped = F.arrays_zip(
+            "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
+            *[f"b_{c}" for c in extras],
+        )
+        if self.dims == 2:
+            names = [("b_xmin", "xmin"), ("b_ymin", "ymin"),
+                     ("b_xmax", "xmax"), ("b_ymax", "ymax")]
+        else:
+            names = [("b_xmin", "min0"), ("b_ymin", "min1"),
+                     ("b_xmax", "max0"), ("b_ymax", "max1")]
+            names += [(f"b_{c}", c) for c in extras]
         return (
-            self.df.select(F.explode(F.arrays_zip(
-                "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax")).alias("r"))
+            self.df.select(F.explode(zipped).alias("r"))
             .select(
                 F.col("r.ids").alias(data_id),
-                F.col("r.b_xmin").alias("xmin"), F.col("r.b_ymin").alias("ymin"),
-                F.col("r.b_xmax").alias("xmax"), F.col("r.b_ymax").alias("ymax"),
+                *[F.col(f"r.{src}").alias(dst) for src, dst in names],
             )
             .dropDuplicates([data_id])
         )
@@ -811,10 +864,20 @@ class LoadedIndex:
         from python_prtree_spark.operators.strpack import STRPack
 
         cfg = self.cfg
+        extras = _extra_box_cols(self.dims)
+        if extras:
+            # nd index: probes arrive in the nd convention — route on dims
+            # 0-1, carry dims 2..D-1 for in-kernel refinement
+            from python_prtree_spark.operators.nd import _as2d
+
+            query_df = _as2d(query_df, query_id, self.dims, keep_extra=True)
         q = explode_cells(
-            query_df.select(query_id, "xmin", "ymin", "xmax", "ymax"),
+            query_df.select(query_id, "xmin", "ymin", "xmax", "ymax", *extras),
             cfg.extent, cfg.level,
-        ).select(F.col(query_id).alias("_qid"), "cell", "xmin", "ymin", "xmax", "ymax")
+        ).select(
+            F.col(query_id).alias("_qid"),
+            "cell", "xmin", "ymin", "xmax", "ymax", *extras,
+        )
         extent, level = cfg.extent, cfg.level
         qcells = q.select("cell").distinct()
         idx = self.df
@@ -844,18 +907,35 @@ class LoadedIndex:
             outs = []
             qboxes = qdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
             qids = qdf["_qid"].to_numpy(dtype=np.int64)
+            qex = (
+                qdf[extras].to_numpy(dtype=np.float64) if extras else None
+            )  # (nq, 2*(D-2)): min2, max2[, min3, max3]
             # plain zip over column arrays, one iteration per (cell,salt)
             # pack — not iterrows (per-pack Series construction was pure
             # overhead; the loop body is already vectorized)
-            for ids_, bx0, by0, bx1, by1, mbbs, ls, cell_v in zip(
+            ex_cols = [idx_pdf[f"b_{c}"] for c in extras] if extras else []
+            for ids_, bx0, by0, bx1, by1, mbbs, ls, cell_v, *bex in zip(
                 idx_pdf["ids"], idx_pdf["b_xmin"], idx_pdf["b_ymin"],
                 idx_pdf["b_xmax"], idx_pdf["b_ymax"], idx_pdf["leaf_mbbs"],
-                idx_pdf["leaf_size"], idx_pdf["cell"],
+                idx_pdf["leaf_size"], idx_pdf["cell"], *ex_cols,
             ):
                 pack = STRPack.from_arrays(ids_, bx0, by0, bx1, by1, mbbs, ls)
                 qi, pos = pack.query(qboxes)
                 if not len(qi):
                     continue
+                if extras:
+                    # closed-interval refinement on the carried dims: pack
+                    # row order == stored array order, so pos indexes the
+                    # b_min{d}/b_max{d} arrays directly
+                    k_ex = np.ones(len(qi), dtype=bool)
+                    for d2 in range(len(extras) // 2):
+                        dmin = np.asarray(bex[2 * d2], dtype=np.float64)[pos]
+                        dmax = np.asarray(bex[2 * d2 + 1], dtype=np.float64)[pos]
+                        k_ex &= (dmin <= qex[qi, 2 * d2 + 1]) \
+                            & (qex[qi, 2 * d2] <= dmax)
+                    qi, pos = qi[k_ex], pos[k_ex]
+                    if not len(qi):
+                        continue
                 refx = np.maximum(qboxes[qi, 0], pack.boxes[pos, 0])
                 refy = np.maximum(qboxes[qi, 1], pack.boxes[pos, 1])
                 keep = cell_of_point_np(refx, refy, extent, level) == int(cell_v)

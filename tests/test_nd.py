@@ -190,3 +190,95 @@ def test_mutation_nd_point_query_and_intersections(spark):
                    for k in range(dims)):
                 exp_pairs.add((live_ids[ai], live_ids[bi]))
     assert pairs == exp_pairs and pairs
+
+
+def test_scalar_query_nd(spark):
+    """Scalar query() at dims>2 (reference PRTree3D/4D.query,
+    core.py:774,826): D-arg point probe and 2*D-arg box probe return the
+    sorted-id list the brute-force oracle predicts."""
+    from python_prtree_spark.operators.mutate import PRTreeTable
+
+    dims = 3
+    d = rand_boxes_nd(400, dims, 321, ext_max=15.0)
+    t = PRTreeTable(nd_df(spark, d, dims), CFG, dims=dims)
+
+    pt = np.array([[50.0, 50.0, 50.0]])
+    exp_pt = sorted(
+        di for _, di in oracle_nd(np.hstack([pt, pt]), d, dims)
+    )
+    assert t.query(50.0, 50.0, 50.0) == exp_pt
+
+    box = np.array([[40.0, 40.0, 40.0, 60.0, 60.0, 60.0]])
+    exp_box = sorted(di for _, di in oracle_nd(box, d, dims))
+    got_box = t.query(40.0, 40.0, 40.0, 60.0, 60.0, 60.0)
+    assert got_box == exp_box and got_box
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="coordinates"):
+        t.query(1.0, 2.0)
+
+
+def test_batch_query_array_nd(spark):
+    """batch_query_array at dims>2: (qid, n_hits, sorted ids) with the
+    reference's empty-array contract (prtree.h:731-733)."""
+    from python_prtree_spark.operators.mutate import PRTreeTable
+
+    dims = 4
+    d = rand_boxes_nd(300, dims, 55, ext_max=18.0)
+    q = rand_boxes_nd(25, dims, 56, ext_max=25.0)
+    # one probe guaranteed empty: outside the extent-adjacent data range
+    q[0] = [99.9] * dims + [99.95] * dims
+    t = PRTreeTable(nd_df(spark, d, dims), CFG, dims=dims)
+    exp: dict[int, list[int]] = {qi: [] for qi in range(len(q))}
+    for qi, di in oracle_nd(q, d, dims):
+        exp[qi].append(di)
+    got = {
+        r["qid"]: (r["n_hits"], list(r["ids"]))
+        for r in t.batch_query_array(nd_df(spark, q, dims, "qid")).collect()
+    }
+    assert set(got) == set(exp)
+    for qi, ids in exp.items():
+        assert got[qi] == (len(ids), sorted(ids))
+
+
+@pytest.mark.parametrize("dims", [3, 4])
+def test_persist_roundtrip_nd(spark, tmp_path, dims):
+    """save_index(dims=)/load_index at 3D and 4D: loaded probes (carried
+    extra-dim arrays refined in-kernel) match the brute-force oracle;
+    boxes() reconstructs the nd table; from_index + mutations +
+    refresh_index keep the persisted nd index queryable (reference
+    python_bindings.cc:174-408, legacy io tests across dims)."""
+    from python_prtree_spark.operators.mutate import PRTreeTable
+    from python_prtree_spark.sources.store import load_index, save_index
+
+    n = 400
+    d = rand_boxes_nd(n, dims, dims * 100, ext_max=12.0)
+    q = rand_boxes_nd(40, dims, dims * 100 + 1, ext_max=20.0)
+    path = str(tmp_path / f"idx{dims}d")
+    save_index(nd_df(spark, d, dims), path, CFG, dims=dims)
+
+    idx = load_index(spark, path)
+    assert idx.dims == dims
+    assert idx.size() == n
+    got = {(r["qid"], r["id"])
+           for r in idx.batch_query(nd_df(spark, q, dims, "qid")).collect()}
+    assert got == oracle_nd(q, d, dims) and got
+
+    # nd boxes() reconstruction: exact coordinates, nd naming
+    rec = {r["id"]: [r[c] for c in box_cols(dims)]
+           for r in idx.boxes().collect()}
+    assert len(rec) == n
+    for i in (0, n // 2, n - 1):
+        assert rec[i] == pytest.approx(list(d[i]), abs=0)
+
+    # mutate the persisted nd index: erase a quarter, refresh, reload
+    t = PRTreeTable.from_index(spark, path)
+    assert t.dims == dims
+    t = t.erase(list(range(0, n, 4)))
+    t.refresh_index(path)
+    live = [i for i in range(n) if i % 4 != 0]
+    idx2 = load_index(spark, path)
+    got2 = {(r["qid"], r["id"])
+            for r in idx2.batch_query(nd_df(spark, q, dims, "qid")).collect()}
+    exp2 = {(qi, live[di]) for qi, di in oracle_nd(q, d[live], dims)}
+    assert got2 == exp2
