@@ -39,6 +39,7 @@ from python_prtree_spark.operators.components import (
     connected_components,
     duplicate_clusters,
 )
+from python_prtree_spark.operators.semdedup import semantic_dedup
 from python_prtree_spark.sources.store import (
     expire_index_snapshots,
     index_snapshots,
@@ -73,6 +74,7 @@ __all__ = [
     "PRTreeTable",
     "connected_components",
     "duplicate_clusters",
+    "semantic_dedup",
     "save_index",
     "load_index",
 ]

@@ -114,6 +114,48 @@ def cosine_topk_quantized(
     )
 
 
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    kmeans_rounds: int = 5,
+    sample_size: int = 10_000,
+) -> np.ndarray:
+    """Unit spherical-k-means centroids from a seeded sample (driver numpy,
+    Lloyd iterations on <= sample_size rows) — shared by ivf_topk's
+    inverted lists and semantic_dedup's clusters.
+
+    Deterministic hash-ordered sample, NOT limit(): limit takes whatever
+    partitions answer first, so a clustered corpus (one shard per tenant,
+    say) would train centroids on a few partitions' vectors and tank
+    approximate-mode recall. orderBy(xxhash64)+limit compiles to
+    TakeOrderedAndProject — per-partition top-n, driver merge, no full
+    sort shuffle — giving a seed-stable pseudo-random sample drawn from
+    EVERY partition."""
+    samp = np.stack(
+        [r["v"] for r in corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        ).orderBy("_h").limit(sample_size).collect()]
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    sn = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_rounds):
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(len(cn)):
+            m = assign == c
+            if m.any():
+                v = sn[m].mean(axis=0)
+                cn[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cn
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -139,31 +181,9 @@ def ivf_topk(
     With n_probe = n_centroids every probe visits every list, making the
     result provably the EXACT top-k (recall 1.0 independent of the
     centroid float math) — the oracle-gated configuration."""
-    # deterministic hash-ordered sample, NOT limit(): limit takes whatever
-    # partitions answer first, so a clustered corpus (one shard per tenant,
-    # say) would train centroids on a few partitions' vectors and tank
-    # approximate-mode recall. orderBy(xxhash64)+limit compiles to
-    # TakeOrderedAndProject — per-partition top-n, driver merge, no full
-    # sort shuffle — giving a seed-stable pseudo-random sample drawn from
-    # EVERY partition.
-    samp = np.stack(
-        [r["v"] for r in corpus.select(
-            F.col(vec_col).cast("array<double>").alias("v"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-        ).orderBy("_h").limit(sample_size).collect()]
+    planes = train_centroids(
+        corpus, n_centroids, id_col, vec_col, seed, kmeans_rounds, sample_size
     )
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cent = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]
-    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    sn = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
-    for _ in range(kmeans_rounds):
-        assign = (sn @ cn.T).argmax(axis=1)
-        for c in range(len(cn)):
-            m = assign == c
-            if m.any():
-                v = sn[m].mean(axis=0)
-                cn[c] = v / max(np.linalg.norm(v), 1e-12)
-    planes = cn  # final unit centroids
 
     def assign_corpus(batches):
         for pdf in batches:

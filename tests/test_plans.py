@@ -611,3 +611,27 @@ def test_bm25_df_side_broadcast(spark):
     # (the tiny df AGGREGATION may shuffle its own doc×term rows)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_plan(spark):
+    """semantic_dedup: the within-cluster compare must be an equi-join on
+    (cluster_id, ba, bb) — never a cartesian product — and the fixed-point
+    cosine must stay in JVM higher-order functions (no Python UDF in the
+    pair stage; the only Python is the bounded centroid-assign map)."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.9, n_clusters=1, n_blocks=4)
+    assert_no_cartesian(out)
+    plan = explain_str(out)
+    # single-cluster config: zero Python stages at all
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
