@@ -73,17 +73,57 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+# Graphs at or below this edge count are solved with one driver-side
+# union-find instead of the alternating-star loop: every star round costs
+# ~4 Spark jobs + a checksum collect, pure constant overhead when the
+# border-edge graph is tiny (r4 VERDICT: polygonize paid 5.4 s for a
+# 2-region raster). The gate is a bounded limit(cap+1) probe — never an
+# unbounded collect; 50k edges is a few MB of driver memory.
+SMALL_GRAPH_CAP = 50_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_rounds: int = 50,
+    small_graph_cap: int = SMALL_GRAPH_CAP,
 ) -> DataFrame:
     """→ (node, component) for every node appearing in ``pairs``;
     component = min node id of the connected component."""
     e = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    if small_graph_cap:
+        head = e.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            spark = pairs.sparkSession
+            dt = pairs.schema[a_col].dataType.simpleString()
+            schema = f"node {dt}, component {dt}"
+            if not head:
+                return spark.createDataFrame([], schema)
+            # union-find keyed so the root is always the MIN id — the
+            # same (node, component=min reachable id) contract as the
+            # distributed loop
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                ra, rb = find(row["a"]), find(row["b"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {row["a"] for row in head} | {row["b"] for row in head}
+            return spark.createDataFrame(
+                [(n, find(n)) for n in sorted(nodes)], schema
+            )
     prev = _checksum(e)
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -31,15 +31,20 @@ def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def _run(spark, edges):
+def _run(spark, edges, cap=None):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    kw = {} if cap is None else {"small_graph_cap": cap}
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
-def test_random_clusters(spark):
+# cap=None exercises the small-graph driver union-find gate (these test
+# graphs are all under the cap); cap=0 forces the distributed
+# alternating-star loop on the same inputs so both code paths stay green
+@pytest.mark.parametrize("cap", [None, 0])
+def test_random_clusters(spark, cap):
     rng = np.random.default_rng(7)
     edges = []
     # 30 clusters of random size with random internal spanning edges + noise
@@ -53,16 +58,17 @@ def test_random_clusters(spark):
         if size > 3:
             edges.append((int(ids[0]), int(ids[size - 1])))
         base += size + int(rng.integers(1, 5))  # gaps → singletons absent
-    got = _run(spark, edges)
+    got = _run(spark, edges, cap)
     exp = _uf_oracle(edges)
     assert got == exp
 
 
-def test_long_path_converges(spark):
+@pytest.mark.parametrize("cap", [None, 0])
+def test_long_path_converges(spark, cap):
     """A 200-node chain: naive min-propagation needs ~200 rounds; the
     alternating star must finish well inside max_rounds (O(log^2))."""
     edges = [(i, i + 1) for i in range(200)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, cap)
     assert set(got.values()) == {0}
     assert len(got) == 201
 
@@ -78,6 +84,8 @@ def test_duplicate_clusters_keep_flags(spark):
     }
 
 
-def test_empty_and_self_pairs(spark):
+@pytest.mark.parametrize("cap", [None, 0])
+def test_empty_and_self_pairs(spark, cap):
     df = spark.createDataFrame(pd.DataFrame({"id_a": [4], "id_b": [4]}))
-    assert connected_components(df).count() == 0
+    assert connected_components(df, small_graph_cap=cap or 50_000).count() == 0
+    assert connected_components(df, small_graph_cap=0).count() == 0
