@@ -95,10 +95,50 @@ def warmup(spark: SparkSession) -> None:
     minhash_lsh_pairs(docs, 0.8, bands=16).count()
 
 
+def calib() -> float:
+    """Fixed-flops numpy probe (8 x 512^3 matmuls): ~0.03-0.06 s when the
+    host grants full CPU, 3-16x that inside a hypervisor throttle window
+    (r4's filed bench read 0.595/0.917 and its numbers were 1.6-3x off)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((512, 512))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ a / 512.0
+    return round(time.perf_counter() - t0, 3)
+
+
+def calib_gate(extras: dict, tag: str) -> bool:
+    """r4 VERDICT item 2: the headline bench must carry the same
+    calibration-gating discipline as bench/scaling_gated.py. Probe the
+    fixed-flops calibration; while it reads above the gate (default
+    0.08 s ~ 2x the r3 clean-host stamp), wait out the throttle window
+    and retry, bounded. EVERY probed value is recorded in extras so the
+    artifact shows the windows that were rejected; if no clean window
+    arrives within the budget the suite still runs (the driver needs its
+    JSON line) and the artifact self-reports <tag>_gate_passed=false."""
+    gate = float(os.environ.get("SPARK_GRAFT_CALIB_GATE", "0.08"))
+    tries = int(os.environ.get("SPARK_GRAFT_GATE_TRIES", "8"))
+    wait = float(os.environ.get("SPARK_GRAFT_GATE_WAIT_SEC", "40"))
+    calib()  # discard: the first probe in a process pays BLAS/threadpool init
+    probes = []
+    for i in range(max(1, tries)):
+        c = calib()
+        probes.append(c)
+        if c <= gate:
+            break
+        if i < tries - 1:
+            time.sleep(wait)
+    extras[f"{tag}_gate_probes"] = probes
+    extras[f"{tag}_gate_passed"] = probes[-1] <= gate
+    return probes[-1] <= gate
+
+
 def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     warmup(spark)
+    calib_gate(extras, "suite")
 
     def timed(name: str, fn):
         """Min over `repeats` runs: the sandbox VM's hypervisor throttles
@@ -187,15 +227,6 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
     # artifact carries direct evidence of the throttle state the samples
     # were taken under (calib ~0.5 s unthrottled; 3-4x that when the VM is
     # being starved).
-    def calib() -> float:
-        import numpy as np
-
-        a = np.random.default_rng(0).standard_normal((512, 512))
-        t0 = time.perf_counter()
-        for _ in range(8):
-            a = a @ a / 512.0
-        return round(time.perf_counter() - t0, 3)
-
     n8 = 8_000_000
     big = (
         spark.range(n8).select(
@@ -207,6 +238,7 @@ def run(spark: SparkSession, sf_dir: str, repeats: int = 3) -> dict:
         .localCheckpoint()
     )
     cfg8 = CFG.with_(extent=Extent(0, 0, 105, 105), level=7)
+    calib_gate(extras, "build8m")
     extras["calib_sec_pre"] = calib()
     best8 = None
     # each sample builds a FRESH DataFrame: fresh Catalyst analysis, fresh
