@@ -491,6 +491,94 @@ def _q_zonal_histogram(spark, sf_dir):
     )
 
 
+_GEOHASH_PRECISION = 7
+
+
+def _geohash_sql(lng: str, lat: str, precision: int) -> str:
+    """DuckDB twin of functions/geo.geohash_col — the identical unrolled
+    bit-interleave, generated by the same loop shape so the two engines
+    cannot drift."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = (f"greatest(0, least({(1 << lon_bits) - 1}, "
+          f"CAST(floor(({lng} + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT)))")
+    iy = (f"greatest(0, least({(1 << lat_bits) - 1}, "
+          f"CAST(floor(({lat} + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT)))")
+    chars = []
+    for k in range(precision):
+        digit = "0"
+        for j in range(5):
+            pos = 5 * k + j
+            if pos % 2 == 0:
+                bit = f"((ix >> {lon_bits - 1 - pos // 2}) & 1)"
+            else:
+                bit = f"((iy >> {lat_bits - 1 - pos // 2}) & 1)"
+            digit = f"({digit} * 2 + {bit})"
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST({digit} AS INT) + 1, 1)"
+        )
+    return (f"SELECT pid, {' || '.join(chars)} AS geohash "
+            f"FROM (SELECT pid, {ix} AS ix, {iy} AS iy FROM g)")
+
+
+def _q_geohash(spark, sf_dir):
+    """Base-32 geohash assignment at precision 7 over customer points —
+    the third member of the tiling family (grid cells, quadkeys,
+    geohashes): pure unrolled-bit-interleave column expressions, prefix =
+    containing cell. Oracle: the same loop generates the DuckDB SQL."""
+    from python_prtree_spark.functions.geo import geohash_col
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = c.select(
+        k.alias("pid"),
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return g.select(
+        "pid",
+        geohash_col(F.col("lng"), F.col("lat"), _GEOHASH_PRECISION).alias("geohash"),
+    )
+
+
+def _q_zonal_majority(spark, sf_dir):
+    """Zonal majority (modal decoded value per zone, smallest value on
+    ties): composition of the zonal_histogram kernel at n_bins=256 with a
+    deterministic window rank — the whole decode→mask→count→argmax chain
+    hash-gated against the symbolic formula-tile oracle."""
+    from python_prtree_spark.operators.raster import zonal_majority
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return zonal_majority(
+        formula_tiles(ids), nation_triangles(spark, sf_dir), CFG
+    )
+
+
+def _q_st_cube(spark, sf_dir):
+    """Space-time cube over the events stream: hour buckets x zoom-6
+    web-mercator tiles (synthetic per-user lng/lat via integer-exact hash
+    arithmetic), count + fixed-point value sums — one map-side-combined
+    groupBy, the canonical 100 TB downsample step."""
+    from python_prtree_spark.operators.stcube import st_cube
+
+    e = _read(spark, sf_dir, "events")
+    u = F.col("user_id")
+    g = e.select(
+        "ts", "value",
+        ((u * 941083987) % 360000).cast("double").alias("_mlng"),
+        ((u * 824633721) % 166000).cast("double").alias("_mlat"),
+    ).select(
+        "ts", "value",
+        (F.col("_mlng") / 1000.0 - 180.0).alias("lng"),
+        (F.col("_mlat") / 1000.0 - 83.0).alias("lat"),
+    )
+    return st_cube(g, zoom=6, window_sec=3600)
+
+
 def _q_rasterize(spark, sf_dir):
     """Vector→raster (sparse per-pixel coverage counts): supplier probe
     boxes painted onto the level-4 tile grid at 16×16 px/tile. The DuckDB
@@ -1435,6 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_roundtrip_3d": _q_persist_roundtrip_3d,
         "point_query_3d": _q_point_query_3d,
         "dedup_semantic": _q_dedup_semantic,
+        "zonal_majority": _q_zonal_majority,
+        "st_cube": _q_st_cube,
+        "geohash_assignment": _q_geohash,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1859,6 +1950,35 @@ FROM b CROSS JOIN t
 WHERE b.xmin <= (t.cx + t.r) AND (t.cx - t.r) <= b.xmax
   AND b.ymin <= (t.cy + t.r) AND (t.cy - t.r) <= b.ymax
   AND NOT ({_tri_sat_sep_sql()})
+""",
+        "zonal_majority": _ZONAL_INSIDE_SQL + """,
+samples AS (SELECT poly_id, unnest([v0, v1, v2]) AS v FROM inside),
+hist AS (SELECT poly_id, CAST(v AS INT) AS value, CAST(count(*) AS BIGINT) AS n
+         FROM samples GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY poly_id ORDER BY n DESC, value ASC) AS r FROM hist)
+SELECT poly_id, value AS majority_value, n AS n_majority FROM rk WHERE r = 1
+""",
+        "st_cube": """
+WITH g AS (
+  SELECT ts, value,
+    CAST((user_id * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((user_id * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM events),
+t AS (
+  SELECT
+    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) * 3600
+      AS t_bucket,
+    greatest(0, least(63, CAST(floor((lng + 180.0) / 360.0 * 64.0) AS BIGINT))) AS tx,
+    greatest(0, least(63, CAST(floor(
+      (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0
+    ) AS BIGINT))) AS ty,
+    CAST(floor(value * 1000) AS BIGINT) AS vq
+  FROM g)
+SELECT t_bucket, tx, ty, CAST(tx * 64 + ty AS BIGINT) AS tile_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(vq) AS BIGINT) AS sum_value_q
+FROM t GROUP BY t_bucket, tx, ty
 """,
         "zonal_histogram": _ZONAL_INSIDE_SQL + """,
 samples AS (SELECT poly_id, unnest([v0, v1, v2]) AS v FROM inside)
@@ -2349,6 +2469,13 @@ b_in_a AS (
 SELECT DISTINCT a_id, b_id FROM (
   SELECT * FROM seg UNION ALL SELECT * FROM a_in_b UNION ALL SELECT * FROM b_in_a)
 """,
+        "geohash_assignment": """
+WITH g AS (
+  SELECT c_custkey AS pid,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM customer)
+""" + _geohash_sql("lng", "lat", _GEOHASH_PRECISION),
         "geo_tile_assignment": """
 WITH g AS (
   SELECT c_custkey AS pid,

@@ -29,6 +29,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "geohash_col",
     "lnglat_tile_cols",
     "tile_id_col",
     "quadkey_col",
@@ -77,6 +78,48 @@ def quadkey_col(tx: Column, ty: Column, zoom: int) -> Column:
         ybit = F.shiftrightunsigned(ty, s).bitwiseAND(F.lit(1))
         digits.append((xbit + ybit * F.lit(2)).cast("string"))
     return F.concat(*digits)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lng: Column, lat: Column, precision: int = 7) -> Column:
+    """Standard base-32 geohash of ``precision`` characters — pure column
+    expressions (bit interleave unrolled at plan-build time, whole-stage
+    codegen; no UDF). Same pruning property as quadkeys: a geohash's
+    prefix is its containing cell, so prefix equality = spatial
+    containment and a prefix groupBy is a coarser spatial partitioner.
+
+    Bit layout (geohash.org convention): bits alternate lon, lat, ...
+    starting with longitude, MSB first; each 5-bit group maps to one
+    character of "0123456789bcdefghjkmnpqrstuvwxyz"."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = F.greatest(F.lit(0), F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))).cast("long"),
+    ))
+    iy = F.greatest(F.lit(0), F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))).cast("long"),
+    ))
+    chars = []
+    for k in range(precision):
+        digit = F.lit(0)
+        for j in range(5):
+            pos = 5 * k + j  # interleaved bit index, MSB-first
+            if pos % 2 == 0:  # longitude bit
+                shift = lon_bits - 1 - pos // 2
+                bit = F.shiftrightunsigned(ix, shift).bitwiseAND(F.lit(1))
+            else:             # latitude bit
+                shift = lat_bits - 1 - pos // 2
+                bit = F.shiftrightunsigned(iy, shift).bitwiseAND(F.lit(1))
+            digit = digit * F.lit(2) + bit
+        chars.append(F.lit(_GEOHASH32).substr(digit.cast("int") + F.lit(1), F.lit(1)))
+    return F.concat(*chars)
 
 
 def quadkey_parent_col(quadkey: Column, levels_up: int = 1) -> Column:

@@ -30,7 +30,7 @@ __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
-    "focal_stats", "raster_convolve",
+    "zonal_majority", "focal_stats", "raster_convolve",
 ]
 
 
@@ -705,6 +705,46 @@ def zonal_histogram(
 
 
 _FOCAL_OPS = ("sum", "max", "count")
+
+
+def zonal_majority(
+    tiles_df: DataFrame,
+    polys_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    raster_id: str = "image_id",
+    poly_id: str = "poly_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Zonal majority (QGIS "zonal statistics: majority" / ArcGIS
+    MajorityFilter's zonal form): the modal decoded uint8 value per zone,
+    smallest value on ties — the standard reclassified-landcover "which
+    class dominates this polygon" query.
+
+    → (poly_id, majority_value, n_majority). Pure composition: the
+    zonal_histogram kernel at n_bins=256 (bin == value, so no bucketing
+    approximation) plus one window rank over the <=256 histogram rows per
+    zone — deterministic (count desc, value asc), engine-independent. The
+    extra shuffle moves at most 256 rows per zone; the pixel-granular
+    work is the same decode-once single pass zonal_stats runs.
+    """
+    from pyspark.sql import Window
+
+    h = zonal_histogram(
+        tiles_df, polys_df, cfg, n_bins=256,
+        raster_id=raster_id, poly_id=poly_id, bytes_col=bytes_col,
+    )
+    w = Window.partitionBy(poly_id).orderBy(
+        F.col("n_samples").desc(), F.col("bin").asc()
+    )
+    return (
+        h.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            poly_id,
+            F.col("bin").cast("int").alias("majority_value"),
+            F.col("n_samples").cast("long").alias("n_majority"),
+        )
+    )
 
 
 def focal_stats(

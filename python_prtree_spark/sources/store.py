@@ -837,12 +837,20 @@ class LoadedIndex:
         """Point probes against the persisted packs (degenerate-box form of
         batch_query, reference prtree.h:743-754) — same bucket-pruned scan.
         x/y name the probe coordinate columns, mirroring knn_join and
-        distance_join."""
-        pts = points_df.select(
-            query_id,
-            F.col(x).alias("xmin"), F.col(y).alias("ymin"),
-            F.col(x).alias("xmax"), F.col(y).alias("ymax"),
-        )
+        distance_join. On an nd index (dims > 2) pass columns p0..p{D-1}
+        instead — the same convention as PRTreeTable.point_query."""
+        if self.dims > 2:
+            pts = points_df.select(
+                query_id,
+                *[F.col(f"p{d}").alias(f"min{d}") for d in range(self.dims)],
+                *[F.col(f"p{d}").alias(f"max{d}") for d in range(self.dims)],
+            )
+        else:
+            pts = points_df.select(
+                query_id,
+                F.col(x).alias("xmin"), F.col(y).alias("ymin"),
+                F.col(x).alias("xmax"), F.col(y).alias("ymax"),
+            )
         return self.batch_query(pts, query_id, data_id)
 
     def batch_query(

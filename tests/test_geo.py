@@ -97,3 +97,67 @@ def test_known_anchor_tiles():
     # Null Island @ z=1 → tile (1, 1) boundary: x=0.5→tx 1, y=0.5→ty 1
     tx, ty = lnglat_tiles_np(np.array([0.0]), np.array([0.0]), 1)
     assert (tx[0], ty[0]) == (1, 1)
+
+
+def _geohash_ref(lng: float, lat: float, precision: int) -> str:
+    """Independent reference: the classic interval-bisection algorithm
+    (geohash.org), no shared code with the column implementation."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo = [-180.0, -90.0]
+    hi = [180.0, 90.0]
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        d = 0 if even else 1
+        mid = (lo[d] + hi[d]) / 2
+        v = lng if even else lat
+        if v >= mid:
+            ch = ch * 2 + 1
+            lo[d] = mid
+        else:
+            ch = ch * 2
+            hi[d] = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(b32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_known_value(spark):
+    from python_prtree_spark.functions.geo import geohash_col
+
+    df = spark.createDataFrame(
+        [(1, -5.603, 42.605)], "pid long, lng double, lat double"
+    )
+    got = df.select(geohash_col(F.col("lng"), F.col("lat"), 5).alias("g")).first()["g"]
+    assert got == "ezs42"  # canonical geohash.org example
+
+
+def test_geohash_vs_bisection_reference(spark):
+    import numpy as np
+
+    from python_prtree_spark.functions.geo import geohash_col
+
+    rng = np.random.default_rng(42)
+    lngs = rng.uniform(-179.9, 179.9, 300)
+    lats = rng.uniform(-84.9, 84.9, 300)
+    df = spark.createDataFrame(
+        [(i, float(lngs[i]), float(lats[i])) for i in range(300)],
+        "pid long, lng double, lat double",
+    )
+    for prec in (1, 5, 7, 12):
+        got = {
+            r["pid"]: r["g"]
+            for r in df.select(
+                "pid", geohash_col(F.col("lng"), F.col("lat"), prec).alias("g")
+            ).collect()
+        }
+        for i in range(300):
+            assert got[i] == _geohash_ref(lngs[i], lats[i], prec), (i, prec)
+    # prefix property: precision-5 hash is a prefix of precision-12
+    g5 = {r["pid"]: r["g"] for r in df.select(
+        "pid", geohash_col(F.col("lng"), F.col("lat"), 5).alias("g")).collect()}
+    g12 = {r["pid"]: r["g"] for r in df.select(
+        "pid", geohash_col(F.col("lng"), F.col("lat"), 12).alias("g")).collect()}
+    assert all(g12[i].startswith(g5[i]) for i in range(300))

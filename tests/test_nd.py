@@ -282,3 +282,26 @@ def test_persist_roundtrip_nd(spark, tmp_path, dims):
             for r in idx2.batch_query(nd_df(spark, q, dims, "qid")).collect()}
     exp2 = {(qi, live[di]) for qi, di in oracle_nd(q, d[live], dims)}
     assert got2 == exp2
+
+
+def test_loaded_point_query_nd(spark, tmp_path):
+    """LoadedIndex.point_query at 3D (p0..p2 convention) vs brute force."""
+    from python_prtree_spark.sources.store import load_index, save_index
+
+    dims, n = 3, 300
+    d = rand_boxes_nd(n, dims, 888, ext_max=15.0)
+    path = str(tmp_path / "idxp3")
+    save_index(nd_df(spark, d, dims), path, CFG, dims=dims)
+    idx = load_index(spark, path)
+
+    rng = np.random.default_rng(889)
+    pts = rng.random((25, dims)) * 100
+    q = np.hstack([pts, pts])
+    exp = oracle_nd(q, d, dims)
+    pdf = pd.DataFrame({"qid": np.arange(len(pts))})
+    for k in range(dims):
+        pdf[f"p{k}"] = pts[:, k]
+    pts_df = spark.createDataFrame(
+        pdf, schema="qid long, " + ", ".join(f"p{k} double" for k in range(dims)))
+    got = {(r["qid"], r["id"]) for r in idx.point_query(pts_df).collect()}
+    assert got == exp
