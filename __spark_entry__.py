@@ -542,6 +542,35 @@ def _q_geohash(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (kdb aj / merge_asof / DuckDB ASOF): probes are
+    every 7th event shifted +30 min; each matches the latest event of the
+    same user at or before it — engine plan is union + ONE keyed window
+    (no join); ties at equal (user, ts) resolve to the largest event_id,
+    which the oracle's window replicates exactly."""
+    from python_prtree_spark.operators.asof import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    right = e.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    left = e.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("qid"), "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+    )
+    j = asof_join(
+        left, right, on="user_id",
+        right_id="event_id", right_values=["vq"],
+    )
+    return j.select(
+        "qid",
+        F.col("event_id_right").cast("long").alias("match_id"),
+        F.col("ts_us_right").cast("long").alias("match_ts_us"),
+        F.col("vq_right").cast("long").alias("match_vq"),
+    )
+
+
 def _q_zonal_majority(spark, sf_dir):
     """Zonal majority (modal decoded value per zone, smallest value on
     ties): composition of the zonal_histogram kernel at n_bins=256 with a
@@ -1526,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": _q_zonal_majority,
         "st_cube": _q_st_cube,
         "geohash_assignment": _q_geohash,
+        "asof_join": _q_asof_join,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1958,6 +1988,23 @@ hist AS (SELECT poly_id, CAST(v AS INT) AS value, CAST(count(*) AS BIGINT) AS n
 rk AS (SELECT *, row_number() OVER (
          PARTITION BY poly_id ORDER BY n DESC, value ASC) AS r FROM hist)
 SELECT poly_id, value AS majority_value, n AS n_majority FROM rk WHERE r = 1
+""",
+        "asof_join": """
+WITH d AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+    CAST(floor(value * 1000) AS BIGINT) AS vq
+  FROM events),
+q AS (
+  SELECT event_id AS qid, user_id,
+    epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE) AS t_us
+  FROM events WHERE event_id % 7 = 0),
+j AS (
+  SELECT q.qid, d.event_id, d.us, d.vq,
+    row_number() OVER (PARTITION BY q.qid ORDER BY d.us DESC, d.event_id DESC) AS rk
+  FROM q JOIN d ON d.user_id = q.user_id AND d.us <= q.t_us)
+SELECT q.qid AS qid, j.event_id AS match_id, j.us AS match_ts_us,
+  j.vq AS match_vq
+FROM q LEFT JOIN j ON j.qid = q.qid AND j.rk = 1
 """,
         "st_cube": """
 WITH g AS (
