@@ -542,6 +542,60 @@ def _q_geohash(spark, sf_dir):
     )
 
 
+_DBSCAN_PTS = """
+SELECT c_custkey AS pid,
+  CASE WHEN c_custkey % 3 = 0
+    THEN CAST((c_custkey * 961748927) % 100000 AS DOUBLE)/1000.0
+    ELSE CAST(((c_custkey % 40) * 7368787 + 13) % 90000 AS DOUBLE)/1000.0 + 5.0
+       + (CAST((c_custkey * 198491329) % 2001 AS DOUBLE) - 1000.0)/1000.0 * 0.8
+  END AS x,
+  CASE WHEN c_custkey % 3 = 0
+    THEN CAST((c_custkey * 920419813) % 100000 AS DOUBLE)/1000.0
+    ELSE CAST(((c_custkey % 40) * 15485863 + 7) % 90000 AS DOUBLE)/1000.0 + 5.0
+       + (CAST((c_custkey * 954979807) % 2001 AS DOUBLE) - 1000.0)/1000.0 * 0.8
+  END AS y
+FROM customer
+"""
+
+
+def _dbscan_points(spark, sf_dir):
+    """Planted-cluster points: 2/3 of customers jitter around one of 40
+    deterministic centers (DBSCAN needs density contrast — the plain
+    multiplicative-hash points are lattice-uniform, max degree 3), 1/3
+    scatter over the full domain as noise/border material. Integer-exact
+    hash arithmetic, identical doubles in Spark and DuckDB."""
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cl = k % 40
+    jx = ((k * 198491329) % 2001).cast("double") - 1000.0
+    jy = ((k * 954979807) % 2001).cast("double") - 1000.0
+    x = F.when(
+        k % 3 == 0, ((k * 961748927) % 100000).cast("double") / 1000.0
+    ).otherwise(
+        ((cl * 7368787 + 13) % 90000).cast("double") / 1000.0 + 5.0
+        + jx / 1000.0 * 0.8
+    )
+    y = F.when(
+        k % 3 == 0, ((k * 920419813) % 100000).cast("double") / 1000.0
+    ).otherwise(
+        ((cl * 15485863 + 7) % 90000).cast("double") / 1000.0 + 5.0
+        + jy / 1000.0 * 0.8
+    )
+    return c.select(k.alias("pid"), x.alias("x"), y.alias("y"))
+
+
+def _q_dbscan(spark, sf_dir):
+    """ST_ClusterDBSCAN parity (eps=1.5, min_pts=5, self-inclusive
+    neighborhood like PostGIS) with deterministic min-id clusters and
+    min-cluster border assignment — candidate pairs through the engine's
+    spatial distance_join (no all-pairs stage), components through the
+    alternating-star/union-find operator. Oracle: all-pairs degree +
+    recursive-CTE closure over core-core edges."""
+    from python_prtree_spark.operators.cluster import dbscan
+
+    return dbscan(_dbscan_points(spark, sf_dir), 1.5, 5, CFG, id_col="pid")
+
+
 def _q_asof_join(spark, sf_dir):
     """Backward as-of join (kdb aj / merge_asof / DuckDB ASOF): probes are
     every 7th event shifted +30 min; each matches the latest event of the
@@ -1556,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_cube": _q_st_cube,
         "geohash_assignment": _q_geohash,
         "asof_join": _q_asof_join,
+        "dbscan": _q_dbscan,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1988,6 +2043,38 @@ hist AS (SELECT poly_id, CAST(v AS INT) AS value, CAST(count(*) AS BIGINT) AS n
 rk AS (SELECT *, row_number() OVER (
          PARTITION BY poly_id ORDER BY n DESC, value ASC) AS r FROM hist)
 SELECT poly_id, value AS majority_value, n AS n_majority FROM rk WHERE r = 1
+""",
+        "dbscan": f"""
+WITH RECURSIVE q AS ({_DBSCAN_PTS}),
+p AS (
+  SELECT a.pid AS pa, b.pid AS pb FROM q a JOIN q b
+  ON greatest(a.x - b.x, b.x - a.x, 0.0) * greatest(a.x - b.x, b.x - a.x, 0.0)
+   + greatest(a.y - b.y, b.y - a.y, 0.0) * greatest(a.y - b.y, b.y - a.y, 0.0)
+   <= 2.25),
+deg AS (SELECT pa AS pid, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pa),
+core AS (SELECT pid FROM deg WHERE n >= 5),
+ce AS (
+  SELECT pa, pb FROM p
+  WHERE pa <> pb AND pa IN (SELECT pid FROM core)
+    AND pb IN (SELECT pid FROM core)),
+r(n, l) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.pb, r.l FROM ce JOIN r ON ce.pa = r.n
+),
+comp AS (SELECT n AS pid, min(l) AS cluster FROM r GROUP BY n),
+border AS (
+  SELECT p.pa AS pid, min(comp.cluster) AS cluster
+  FROM p JOIN comp ON p.pb = comp.pid
+  WHERE p.pa <> p.pb AND p.pa NOT IN (SELECT pid FROM core)
+  GROUP BY p.pa)
+SELECT q.pid AS pid, deg.n AS n_within,
+  q.pid IN (SELECT pid FROM core) AS is_core,
+  coalesce(comp.cluster, border.cluster) AS cluster
+FROM q
+JOIN deg ON deg.pid = q.pid
+LEFT JOIN comp ON comp.pid = q.pid
+LEFT JOIN border ON border.pid = q.pid
 """,
         "asof_join": """
 WITH d AS (
