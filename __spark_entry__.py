@@ -746,6 +746,18 @@ def _q_raster_sobel(spark, sf_dir):
     return raster_convolve(pxs, _SOBEL_X, CFG, px=16)
 
 
+def _q_slope_d8(spark, sf_dir):
+    """Terrain pair over the coverage raster: Sobel gx/gy, integer
+    slope2 = gx²+gy², and the gradient's half-open 45° sector d8 — two
+    sparse convolution fan-outs + one co-partitioned full-outer align;
+    the oracle evaluates the identical CASE chain on the identical
+    integer gradients."""
+    from python_prtree_spark.operators.raster import rasterize_counts, slope_d8
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return slope_d8(pxs, CFG, px=16)
+
+
 def _q_raster_algebra(spark, sf_dir):
     """Map algebra (change detection shape): supplier-probe coverage
     minus part-box coverage, aligned on the pixel lattice by a single
@@ -1611,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_assignment": _q_geohash,
         "asof_join": _q_asof_join,
         "dbscan": _q_dbscan,
+        "slope_d8": _q_slope_d8,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -1710,6 +1723,61 @@ FROM a
 _FOCAL_SQL = _FOCAL_SQL_TMPL.format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL)
 
 _SOBEL_X = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+_SOBEL_Y = [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]
+
+# slope/D8 oracle: same coverage-counts lattice as the convolution
+# template, two tap tables (Sobel x and y), full-outer align, then the
+# IDENTICAL half-open 45-degree CASE chain as operators/raster._d8_octant
+_SLOPE_SQL_TMPL = """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS px, (tile % 16) * 16 + r AS py, cnt
+      FROM counts),
+tx(dx, dy, w) AS (VALUES {TAPS_X}),
+ty(dx, dy, w) AS (VALUES {TAPS_Y}),
+sx AS (
+  SELECT g.px + dx AS px, g.py + dy AS py, sum(cnt * w) AS v
+  FROM g CROSS JOIN tx
+  WHERE g.px + dx >= 0 AND g.px + dx < 256
+    AND g.py + dy >= 0 AND g.py + dy < 256
+  GROUP BY 1, 2 HAVING sum(cnt * w) <> 0),
+sy AS (
+  SELECT g.px + dx AS px, g.py + dy AS py, sum(cnt * w) AS v
+  FROM g CROSS JOIN ty
+  WHERE g.px + dx >= 0 AND g.px + dx < 256
+    AND g.py + dy >= 0 AND g.py + dy < 256
+  GROUP BY 1, 2 HAVING sum(cnt * w) <> 0),
+jj AS (
+  SELECT coalesce(sx.px, sy.px) AS px, coalesce(sx.py, sy.py) AS py,
+    coalesce(sx.v, 0) AS vx, coalesce(sy.v, 0) AS vy
+  FROM sx FULL OUTER JOIN sy ON sx.px = sy.px AND sx.py = sy.py)
+SELECT (px // 16) * 16 + (py // 16) AS tile,
+  CAST(py % 16 AS INT) AS r, CAST(px % 16 AS INT) AS c,
+  CAST(vx AS BIGINT) AS gx, CAST(vy AS BIGINT) AS gy,
+  CAST(vx * vx + vy * vy AS BIGINT) AS slope2,
+  CAST(CASE
+    WHEN vx > 0 AND vy >= 0 AND vy < vx THEN 0
+    WHEN vx > 0 AND vy >= vx THEN 1
+    WHEN vx <= 0 AND vy > 0 AND -vx < vy THEN 2
+    WHEN vx < 0 AND vy > 0 AND -vx >= vy THEN 3
+    WHEN vx < 0 AND vy <= 0 AND -vy < -vx THEN 4
+    WHEN vx < 0 AND vy < 0 AND -vy >= -vx THEN 5
+    WHEN vx >= 0 AND vy < 0 AND vx < -vy THEN 6
+    ELSE 7 END AS INT) AS d8
+FROM jj
+"""
 
 
 def _conv_taps_sql(kernel):
@@ -2211,6 +2279,11 @@ FROM k JOIN lab USING (k) GROUP BY comp
         "raster_sobel": _CONV_SQL_TMPL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
             TAPS=_conv_taps_sql(_SOBEL_X),
+        ),
+        "slope_d8": _SLOPE_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS_X=_conv_taps_sql(_SOBEL_X),
+            TAPS_Y=_conv_taps_sql(_SOBEL_Y),
         ),
         "focal_sum": _FOCAL_SQL.replace("__AGG__", "sum(cnt)"),
         "focal_max": _FOCAL_SQL.replace("__AGG__", "max(cnt)"),

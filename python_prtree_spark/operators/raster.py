@@ -30,7 +30,7 @@ __all__ = [
     "raster_vector_join", "zonal_stats", "rasterize_counts",
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
-    "zonal_majority", "focal_stats", "raster_convolve",
+    "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
 ]
 
 
@@ -705,6 +705,74 @@ def zonal_histogram(
 
 
 _FOCAL_OPS = ("sum", "max", "count")
+
+
+SOBEL_X = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+SOBEL_Y = [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]
+
+
+def _d8_octant(gx, gy):
+    """Half-open 45-degree sector index of the gradient vector: octant k
+    iff atan2(gy, gx) in [k*45, (k+1)*45) degrees — pure integer sign /
+    magnitude comparisons (no trig), a complete partition of every
+    (gx, gy) != (0, 0). The same CASE chain, in the same order, is the
+    oracle's definition."""
+    return (
+        F.when((gx > 0) & (gy >= 0) & (gy < gx), 0)
+        .when((gx > 0) & (gy >= gx), 1)
+        .when((gx <= 0) & (gy > 0) & (-gx < gy), 2)
+        .when((gx < 0) & (gy > 0) & (-gx >= gy), 3)
+        .when((gx < 0) & (gy <= 0) & (-gy < -gx), 4)
+        .when((gx < 0) & (gy < 0) & (-gy >= -gx), 5)
+        .when((gx >= 0) & (gy < 0) & (gx < -gy), 6)
+        .otherwise(7)
+        .cast("int")
+    )
+
+
+def slope_d8(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Terrain-analysis pair over a sparse value raster (gdaldem slope +
+    a D8-style aspect classification, integer-exact): Sobel gradients in
+    x and y, then per pixel the squared gradient magnitude slope2 =
+    gx² + gy² (monotone in true slope — no sqrt, stays in exact longs)
+    and the gradient's 45-degree sector ``d8`` in [0, 8) (_d8_octant).
+    Pixels with zero gradient in both axes are absent (flat or empty —
+    the sparse-raster invariant).
+
+    → (tile, r, c, gx, gy, slope2, d8).
+
+    Scale shape: two sparse convolution fan-outs (each: bounded ≤9×
+    explode + one global-pixel groupBy) and ONE co-partitioned full-outer
+    join aligning the two gradient layers — the raster_algebra pattern.
+    Composes: slope2 threshold → polygonize = steep-area extraction.
+    """
+    gx = raster_convolve(pixels_df, SOBEL_X, cfg, px=px,
+                         tile_col=tile_col, value_col=value_col)
+    gy = raster_convolve(pixels_df, SOBEL_Y, cfg, px=px,
+                         tile_col=tile_col, value_col=value_col)
+    key = ["tile", "r", "c"]
+    j = (
+        gx.select(*key, F.col("v").alias("_gx"))
+        .join(gy.select(*key, F.col("v").alias("_gy")), on=key, how="full_outer")
+        .select(
+            *key,
+            F.coalesce("_gx", F.lit(0).cast("long")).alias("_gx"),
+            F.coalesce("_gy", F.lit(0).cast("long")).alias("_gy"),
+        )
+    )
+    cgx, cgy = F.col("_gx"), F.col("_gy")
+    return j.select(
+        *key,
+        cgx.alias("gx"), cgy.alias("gy"),
+        (cgx * cgx + cgy * cgy).cast("long").alias("slope2"),
+        _d8_octant(cgx, cgy).alias("d8"),
+    )
 
 
 def zonal_majority(

@@ -59,3 +59,93 @@ def test_touching_box_polygon(spark):
     got_t = raster_vector_join(boxes_df(spark, box_touch, "image_id"), polys, CFG).count()
     got_m = raster_vector_join(boxes_df(spark, box_miss, "image_id"), polys, CFG).count()
     assert got_t == 1 and got_m == 0
+
+
+def test_d8_octant_partition(spark):
+    """_d8_octant: every nonzero integer vector lands in exactly one
+    octant and the octant contains its atan2 angle's 45-degree sector."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.operators.raster import _d8_octant
+
+    vecs = [(gx, gy) for gx in range(-4, 5) for gy in range(-4, 5)
+            if (gx, gy) != (0, 0)]
+    df = spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["gx", "gy"]), "gx long, gy long"
+    )
+    got = {
+        (r["gx"], r["gy"]): r["oct"]
+        for r in df.select("gx", "gy",
+                           _d8_octant(F.col("gx"), F.col("gy")).alias("oct")
+                           ).collect()
+    }
+    for gx, gy in vecs:
+        ang = math.degrees(math.atan2(gy, gx)) % 360.0
+        assert got[(gx, gy)] == int(ang // 45.0), (gx, gy, ang)
+
+
+def test_slope_d8_brute_force(spark):
+    """slope_d8 over a tiny sparse raster vs numpy convolution."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.config import EngineConfig, Extent
+    from python_prtree_spark.operators.raster import SOBEL_X, SOBEL_Y, slope_d8
+
+    cfg2 = EngineConfig(extent=Extent(0, 0, 100, 100), level=1)  # 2x2 tiles
+    px = 4
+    grid = 8
+    rng = np.random.default_rng(12)
+    dense = (rng.random((grid, grid)) < 0.3) * rng.integers(1, 9, (grid, grid))
+    rows = []
+    for gx in range(grid):
+        for gy in range(grid):
+            if dense[gy, gx]:
+                rows.append((
+                    (gx // px) * 2 + (gy // px), gy % px, gx % px,
+                    int(dense[gy, gx]),
+                ))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile", "r", "c", "cnt"]),
+        "tile long, r int, c int, cnt long",
+    )
+    out = {(r["tile"], r["r"], r["c"]): (r["gx"], r["gy"], r["slope2"], r["d8"])
+           for r in slope_d8(df, cfg2, px=px).collect()}
+    # numpy oracle: correlate with zero padding
+    def conv(kern):
+        k = np.array(kern)
+        out = np.zeros_like(dense)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                # engine semantics: in[p-(dx,dy)] weighted k[1-dy][1-dx]
+                # (correlation with kernel[0] = the row ABOVE), not the
+                # flipped-kernel true convolution
+                w = k[1 - dy, 1 - dx]
+                if not w:
+                    continue
+                src = np.zeros_like(dense)
+                ys = slice(max(0, dy), grid + min(0, dy))
+                xs = slice(max(0, dx), grid + min(0, dx))
+                ys2 = slice(max(0, -dy), grid + min(0, -dy))
+                xs2 = slice(max(0, -dx), grid + min(0, -dx))
+                src[ys, xs] = dense[ys2, xs2]
+                out += w * src
+        return out
+
+    exp_gx, exp_gy = conv(SOBEL_X), conv(SOBEL_Y)
+    n_checked = 0
+    for gx in range(grid):
+        for gy in range(grid):
+            vx, vy = int(exp_gx[gy, gx]), int(exp_gy[gy, gx])
+            key = ((gx // px) * 2 + (gy // px), gy % px, gx % px)
+            if vx == 0 and vy == 0:
+                assert key not in out
+                continue
+            got = out[key]
+            assert got[0] == vx and got[1] == vy
+            assert got[2] == vx * vx + vy * vy
+            n_checked += 1
+    assert n_checked > 10
