@@ -596,6 +596,19 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(_dbscan_points(spark, sf_dir), 1.5, 5, CFG, id_col="pid")
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view→click→purchase within a 1-day horizon of the
+    first view: conditional-min aggregation chained per step (no per-user
+    arrays, no row explosion), non-strict timestamps. Oracle: the same
+    min-chain as correlated SQL aggregates."""
+    from python_prtree_spark.operators.funnel import funnel
+
+    return funnel(
+        _read(spark, sf_dir, "events"),
+        ["view", "click", "purchase"], 86400,
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """Backward as-of join (kdb aj / merge_asof / DuckDB ASOF): probes are
     every 7th event shifted +30 min; each matches the latest event of the
@@ -1624,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "dbscan": _q_dbscan,
         "slope_d8": _q_slope_d8,
+        "funnel": _q_funnel,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -2143,6 +2157,27 @@ FROM q
 JOIN deg ON deg.pid = q.pid
 LEFT JOIN comp ON comp.pid = q.pid
 LEFT JOIN border ON border.pid = q.pid
+""",
+        "funnel": """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS t
+  FROM events),
+s1 AS (SELECT u, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+s2 AS (
+  SELECT e.u, min(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
+  WHERE t = 'click' AND us >= t1 AND us <= t1 + 86400000000
+  GROUP BY e.u),
+s3 AS (
+  SELECT e.u, min(us) AS t3 FROM e
+  JOIN s1 ON e.u = s1.u JOIN s2 ON e.u = s2.u
+  WHERE t = 'purchase' AND us >= t2 AND us <= t1 + 86400000000
+  GROUP BY e.u)
+SELECT s1.u AS user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS n_steps,
+  t1 AS t1_us,
+  coalesce(t3, t2, t1) AS t_last_us
+FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
 """,
         "asof_join": """
 WITH d AS (
