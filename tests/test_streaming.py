@@ -132,3 +132,43 @@ def test_ingest_snapshot_retention_bounds_history(spark, tmp_path):
         for r in idx.batch_query(boxes_df(spark, qboxes, "qid")).collect()
     }
     assert got == {(q, ids[i]) for (q, i) in oracle_pairs(qboxes, all_boxes)}
+
+
+def test_st_cube_stream_equals_batch(spark, tmp_path):
+    """st_cube_stream over an actual file stream == batch st_cube on the
+    same rows (window '1 hour' <-> window_sec 3600), and the plan runs as
+    a real streaming query with a memory sink."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from python_prtree_spark.operators.stcube import st_cube
+    from python_prtree_spark.streaming.stcube import st_cube_stream
+
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    u = F.col("user_id")
+    g = ev.select(
+        "ts", "value",
+        (((u * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((u * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    g.write.parquet(src)
+
+    stream = spark.readStream.schema(g.schema).parquet(src)
+    q = (
+        st_cube_stream(stream, zoom=6, window="1 hour")
+        .writeStream.format("memory").queryName("stcube_mem")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["t_bucket"], r["tx"], r["ty"]): (r["tile_id"], r["n_events"], r["sum_value_q"])
+        for r in spark.sql("SELECT * FROM stcube_mem").collect()
+    }
+    exp = {
+        (r["t_bucket"], r["tx"], r["ty"]): (r["tile_id"], r["n_events"], r["sum_value_q"])
+        for r in st_cube(g, zoom=6, window_sec=3600).collect()
+    }
+    assert got == exp and len(got) > 50
+    shutil.rmtree(src, ignore_errors=True)
