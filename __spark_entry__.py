@@ -596,6 +596,49 @@ def _q_dbscan(spark, sf_dir):
     return dbscan(_dbscan_points(spark, sf_dir), 1.5, 5, CFG, id_col="pid")
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 7
+
+
+def _split_case_sql(key_expr: str, weights: dict, seed: int) -> str:
+    """DuckDB twin of operators/split.split_col: same md5 prefix, same
+    integer cut points (generated by the identical Python arithmetic)."""
+    scale = 16 ** 12
+    total = float(sum(weights.values()))
+    labels = sorted(weights)
+    h = (f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '#{seed}'),"
+         f" 1, 12)) AS BIGINT)")
+    acc, arms = 0.0, []
+    for lab in labels[:-1]:
+        acc += weights[lab] / total
+        arms.append(f"WHEN {h} < {int(acc * scale)} THEN '{lab}'")
+    return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5-of-key, stable under
+    repartitioning and corpus growth — what randomSplit is not), plus the
+    leakage-safe variant keyed on the document's source so correlated
+    rows share a split. Pure column expressions, zero shuffles."""
+    from python_prtree_spark.operators.split import split_col
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        split_col("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED).alias("split"),
+        split_col("source", _SPLIT_WEIGHTS, _SPLIT_SEED).alias("split_by_source"),
+    )
+
+
+def _q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (sklearn-smoothed idf, fixed-point
+    scores, (score desc, term asc) rank) — document-side complement of
+    bm25_rank."""
+    from python_prtree_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered funnel view→click→purchase within a 1-day horizon of the
     first view: conditional-min aggregation chained per step (no per-user
@@ -1638,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": _q_dbscan,
         "slope_d8": _q_slope_d8,
         "funnel": _q_funnel,
+        "dataset_split": _q_dataset_split,
+        "tfidf_topk": _q_tfidf,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -2157,6 +2202,31 @@ FROM q
 JOIN deg ON deg.pid = q.pid
 LEFT JOIN comp ON comp.pid = q.pid
 LEFT JOIN border ON border.pid = q.pid
+""",
+        "dataset_split": f"""
+SELECT doc_id,
+  {_split_case_sql('doc_id', _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split,
+  {_split_case_sql('source', _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split_by_source
+FROM documents
+""",
+        "tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({RAW_TOKENS_SQL}) AS t FROM documents),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, t),
+dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+nn AS (SELECT CAST(count(*) AS DOUBLE) + 1.0 AS n1 FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.t AS term, tf.tf, dft.df,
+    CAST(floor(tf.tf * (ln(nn.n1 / (dft.df + 1.0)) + 1.0) * 1000000) AS BIGINT)
+      AS score_q
+  FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN nn),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rank
+  FROM sc)
+SELECT doc_id, term, tf, df, score_q, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
 """,
         "funnel": """
 WITH e AS (

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
-    "langid_col", "pii_cols", "bm25_scores", "STOPWORDS", "BPE_SPLIT_RE",
+    "langid_col", "pii_cols", "bm25_scores", "tfidf_topk", "STOPWORDS",
+    "BPE_SPLIT_RE",
     "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
 ]
 
@@ -127,6 +128,58 @@ def pii_cols(text: str | Column) -> list[Column]:
     n_ip = F.size(F.regexp_extract_all(after_phone, F.lit(PII_IP_RE), F.lit(0)))
     red = F.regexp_replace(after_phone, PII_IP_RE, "<IP>")
     return [n_email, n_phone, n_ip, red]
+
+
+def tfidf_topk(
+    docs: "DataFrame",
+    k: int = 5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    quantize_scale: int = 1_000_000,
+) -> "DataFrame":
+    """Per-document top-k TF-IDF terms — the document-vector extraction a
+    corpus pipeline runs for keyword tagging / topic triage (the
+    document-side complement of bm25_scores' query-side ranking).
+
+        idf(t)   = ln((N + 1) / (df + 1)) + 1      (sklearn smoothing)
+        score    = floor(tf * idf * quantize_scale)  (fixed point)
+
+    Ranked per doc by (score desc, term asc) — the tie-break makes the
+    k-boundary engine-independent, so the result hash-gates exactly.
+
+    Plan: tokens explode once; tf = groupBy(doc, term); df = one more
+    groupBy over distinct (doc, term) — both partial-aggregated; tf JOINS
+    df on the term key (sort-merge at vocabulary scale — df is NOT
+    broadcast here, unlike bm25's ≤|Q|-row table); one window per doc for
+    the top-k. N is one scalar count (same driver-side scalar contract as
+    bm25's avgdl)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(doc_id).alias("_d"), F.explode(tokens_col(text)).alias("_t")
+    )
+    tf = toks.groupBy("_d", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = int(docs.count())
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)
+    score = F.floor(F.col("_tf") * idf * F.lit(int(quantize_scale))).cast("long")
+    return (
+        tf.join(df_t, on="_t")
+        .select(
+            F.col("_d").alias(doc_id), F.col("_t").alias("term"),
+            F.col("_tf").cast("long").alias("tf"),
+            F.col("_df").cast("long").alias("df"),
+            score.alias("score_q"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(doc_id).orderBy(
+                F.col("score_q").desc(), F.col("term").asc())))
+        .where(F.col("rank") <= k)
+        .select(doc_id, "term", "tf", "df", "score_q",
+                F.col("rank").cast("int").alias("rank"))
+    )
 
 
 def bm25_scores(
