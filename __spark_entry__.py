@@ -639,6 +639,19 @@ def _q_tfidf(spark, sf_dir):
     return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact per-language quota sample of documents (40 per lang, md5
+    rank) — deterministic membership, reproducible across engines; rank
+    included so the oracle checks the ordering too."""
+    from python_prtree_spark.operators.sample import stratified_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(d, "lang", 40, key="doc_id", seed=11,
+                            with_rank=True)
+    return out.select("doc_id", "lang",
+                      F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered funnel view→click→purchase within a 1-day horizon of the
     first view: conditional-min aggregation chained per step (no per-user
@@ -1683,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "dataset_split": _q_dataset_split,
         "tfidf_topk": _q_tfidf,
+        "stratified_sample": _q_stratified_sample,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -2202,6 +2216,16 @@ FROM q
 JOIN deg ON deg.pid = q.pid
 LEFT JOIN comp ON comp.pid = q.pid
 LEFT JOIN border ON border.pid = q.pid
+""",
+        "stratified_sample": """
+WITH rk AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#11') ASC,
+               CAST(doc_id AS VARCHAR) ASC) AS r
+  FROM documents)
+SELECT doc_id, lang, CAST(r AS INT) AS sample_rank FROM rk WHERE r <= 40
 """,
         "dataset_split": f"""
 SELECT doc_id,
