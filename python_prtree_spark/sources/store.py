@@ -605,11 +605,17 @@ class LoadedIndex:
         (diagonal = one pack self-probed, off-diagonal = pack sb's rows
         probed against pack sa), inheriting the salted-self-join skew
         bound. Cross-cell duplicates are removed by the same
-        reference-point rule as the live path."""
+        reference-point rule as the live path.
+
+        On an nd index (dims > 2) the 2D routing probe runs unchanged and
+        the carried b_min{d}/b_max{d} arrays refine each candidate pair's
+        closed-interval overlap in-kernel — full-dimensional pairs, same
+        single pack-pair shuffle."""
         extent, level = self.cfg.extent, self.cfg.level
+        extras = [f"b_{c}" for c in _extra_box_cols(self.dims)]
         idx = self.df.select(
             "cell", "salt", "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
-            "leaf_mbbs", "leaf_size",
+            "leaf_mbbs", "leaf_size", *extras,
         )
         max_salt = idx.groupBy("cell").agg(F.max("salt").alias("max_salt"))
         base = idx.join(max_salt, on="cell")
@@ -625,7 +631,7 @@ class LoadedIndex:
         repl = base.withColumn("k", F.explode(F.concat(a_keys, b_keys))).select(
             "cell", "salt", F.col("k.sa").alias("sa"), F.col("k.sb").alias("sb"),
             "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",
-            "leaf_mbbs", "leaf_size",
+            "leaf_mbbs", "leaf_size", *extras,
         )
 
         def gen(batches):
@@ -653,6 +659,11 @@ class LoadedIndex:
                     row["leaf_size"],
                 )
 
+            def extras_of(row):
+                """Carried-dim arrays aligned with the pack's stored order
+                ((min, max) per extra dim, interleaved)."""
+                return [np.asarray(row[e], dtype=np.float64) for e in extras]
+
             def group(rows):
                 """One (cell, sa, sb) key: 1 pack (diagonal) or 2 packs."""
                 cell = int(rows[0]["cell"])
@@ -661,6 +672,7 @@ class LoadedIndex:
                     qi, pos = pk.query(pk.boxes)
                     ia, ib = pk.ids[qi], pk.ids[pos]
                     qb, db = pk.boxes, pk.boxes
+                    qe = de = extras_of(rows[0]) if extras else None
                     keep = ia < ib
                 else:
                     if len(rows) < 2:
@@ -671,7 +683,16 @@ class LoadedIndex:
                     qi, pos = pa.query(pb.boxes)
                     ia, ib = pb.ids[qi], pa.ids[pos]
                     qb, db = pb.boxes, pa.boxes
+                    qe = extras_of(b_row) if extras else None
+                    de = extras_of(a_row) if extras else None
                     keep = ia != ib
+                if extras and keep.any():
+                    # closed-interval refine on dims 2..D-1: qi indexes the
+                    # probe-side arrays, pos the data-side arrays
+                    for d2 in range(len(extras) // 2):
+                        qmin, qmax = qe[2 * d2][qi], qe[2 * d2 + 1][qi]
+                        dmin, dmax = de[2 * d2][pos], de[2 * d2 + 1][pos]
+                        keep &= (dmin <= qmax) & (qmin <= dmax)
                 if not keep.any():
                     return
                 qi, pos, ia, ib = qi[keep], pos[keep], ia[keep], ib[keep]

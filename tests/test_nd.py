@@ -305,3 +305,23 @@ def test_loaded_point_query_nd(spark, tmp_path):
         pdf, schema="qid long, " + ", ".join(f"p{k} double" for k in range(dims)))
     got = {(r["qid"], r["id"]) for r in idx.point_query(pts_df).collect()}
     assert got == exp
+
+
+def test_loaded_intersections_nd(spark, tmp_path):
+    """LoadedIndex.query_intersections at 3D: persisted packs probed
+    directly, carried dims refined in-kernel — pairs match brute force."""
+    from python_prtree_spark.sources.store import load_index, save_index
+
+    dims, n = 3, 350
+    d = rand_boxes_nd(n, dims, 777, ext_max=10.0)
+    path = str(tmp_path / "idxi3")
+    save_index(nd_df(spark, d, dims), path, CFG, dims=dims)
+    idx = load_index(spark, path)
+    got = {(r["id_a"], r["id_b"]) for r in idx.query_intersections().collect()}
+    exp = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if all(max(d[a, k], d[b, k]) <= min(d[a, dims + k], d[b, dims + k])
+                   for k in range(dims)):
+                exp.add((a, b))
+    assert got == exp and got
