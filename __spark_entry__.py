@@ -827,6 +827,16 @@ def _q_slope_d8(spark, sf_dir):
     return slope_d8(pxs, CFG, px=16)
 
 
+def _q_contour_cases(spark, sf_dir):
+    """Marching-squares case extraction at threshold 2 over the coverage
+    raster — 4-corner halo fan-out, one global-window groupBy; the oracle
+    rebuilds the identical bit sums on the symbolic pixel lattice."""
+    from python_prtree_spark.operators.raster import contour_cases, rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return contour_cases(pxs, 2, CFG, px=16)
+
+
 def _q_raster_algebra(spark, sf_dir):
     """Map algebra (change detection shape): supplier-probe coverage
     minus part-box coverage, aligned on the pixel lattice by a single
@@ -1697,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "tfidf_topk": _q_tfidf,
         "stratified_sample": _q_stratified_sample,
+        "contour_cases": _q_contour_cases,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -2409,6 +2420,33 @@ FROM k JOIN lab USING (k) GROUP BY comp
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
             TAPS=_conv_taps_sql(_SOBEL_X),
         ),
+        "contour_cases": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+lit AS (
+  SELECT (tile // 16) * 16 + c AS px, (tile % 16) * 16 + r AS py
+  FROM counts WHERE cnt >= 2),
+t(ox, oy, w) AS (VALUES (0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8)),
+fan AS (
+  SELECT lit.px + ox AS wx, lit.py + oy AS wy, w
+  FROM lit CROSS JOIN t
+  WHERE lit.px + ox >= 0 AND lit.px + ox < 255
+    AND lit.py + oy >= 0 AND lit.py + oy < 255),
+cases AS (SELECT wx, wy, CAST(sum(w) AS INT) AS mcase FROM fan GROUP BY wx, wy)
+SELECT wx, wy, mcase FROM cases WHERE mcase BETWEEN 1 AND 14
+""",
         "slope_d8": _SLOPE_SQL_TMPL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
             TAPS_X=_conv_taps_sql(_SOBEL_X),

@@ -31,6 +31,7 @@ __all__ = [
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
+    "contour_cases",
 ]
 
 
@@ -772,6 +773,67 @@ def slope_d8(
         cgx.alias("gx"), cgy.alias("gy"),
         (cgx * cgx + cgy * cgy).cast("long").alias("slope2"),
         _d8_octant(cgx, cgy).alias("d8"),
+    )
+
+
+def contour_cases(
+    pixels_df: DataFrame,
+    threshold: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Marching-squares case extraction over the sparse value raster —
+    the contour / isoline primitive (matplotlib contour, GDAL
+    gdal_contour run this per 2x2 corner window): for every 2x2 window of
+    pixel CORNERS, the 4-bit case index of "corner >= threshold"
+    (bit 0 = top-left (wx, wy), bit 1 = (wx+1, wy), bit 2 = (wx, wy+1),
+    bit 3 = (wx+1, wy+1); absent sparse pixels read 0, i.e. below any
+    positive threshold). Windows with case 0 (all below) or 15 (all
+    above) carry no contour segment and are dropped — the output is
+    exactly the window set a marching-squares tracer visits.
+
+    → (wx, wy, mcase): global window coordinates (top-left corner pixel)
+    and the case index in [1, 14].
+
+    Scale shape: the focal/convolve discipline — each lit >=threshold
+    pixel fans out to its <=4 covering windows as a pure column explode
+    (the shuffle IS the halo exchange), ONE global-window groupBy with a
+    map-side-combined bit sum. Integer-exact, oracle-gateable.
+    Composes: contour_cases(slope_d8().slope2 ...) = terrain isolines.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+    ).where(F.col(value_col) >= threshold)
+    # pixel (gx, gy) is corner (gx-wx, gy-wy) of window (wx, wy): bit
+    # weight 1 << ((gx-wx) + 2*(gy-wy)) for wx in {gx-1, gx}, wy likewise
+    taps = [
+        F.struct(
+            F.lit(-dx).alias("ox"), F.lit(-dy).alias("oy"),
+            F.lit(1 << (dx + 2 * dy)).alias("w"),
+        )
+        for dx in (0, 1) for dy in (0, 1)
+    ]
+    fan = src.select(
+        "_gx", "_gy", F.explode(F.array(*taps)).alias("_t")
+    ).select(
+        (F.col("_gx") + F.col("_t.ox")).alias("wx"),
+        (F.col("_gy") + F.col("_t.oy")).alias("wy"),
+        F.col("_t.w").alias("_w"),
+    ).where(
+        (F.col("wx") >= 0) & (F.col("wx") < grid - 1)
+        & (F.col("wy") >= 0) & (F.col("wy") < grid - 1)
+    )
+    return (
+        fan.groupBy("wx", "wy").agg(F.sum("_w").cast("int").alias("mcase"))
+        .where((F.col("mcase") >= 1) & (F.col("mcase") <= 14))
+        .select("wx", "wy", "mcase")
     )
 
 

@@ -149,3 +149,36 @@ def test_slope_d8_brute_force(spark):
             assert got[2] == vx * vx + vy * vy
             n_checked += 1
     assert n_checked > 10
+
+
+def test_contour_cases_brute_force(spark):
+    """contour_cases vs a dense numpy marching-squares case map."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.config import EngineConfig, Extent
+    from python_prtree_spark.operators.raster import contour_cases
+
+    cfg2 = EngineConfig(extent=Extent(0, 0, 100, 100), level=1)
+    px, grid, thr = 4, 8, 3
+    rng = np.random.default_rng(77)
+    dense = (rng.random((grid, grid)) < 0.4) * rng.integers(1, 7, (grid, grid))
+    rows = [
+        ((gx // px) * 2 + (gy // px), gy % px, gx % px, int(dense[gy, gx]))
+        for gx in range(grid) for gy in range(grid) if dense[gy, gx]
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile", "r", "c", "cnt"]),
+        "tile long, r int, c int, cnt long",
+    )
+    got = {(r["wx"], r["wy"]): r["mcase"]
+           for r in contour_cases(df, thr, cfg2, px=px).collect()}
+    lit = dense >= thr
+    exp = {}
+    for wy in range(grid - 1):
+        for wx in range(grid - 1):
+            case = (int(lit[wy, wx]) | int(lit[wy, wx + 1]) << 1
+                    | int(lit[wy + 1, wx]) << 2 | int(lit[wy + 1, wx + 1]) << 3)
+            if 1 <= case <= 14:
+                exp[(wx, wy)] = case
+    assert got == exp and len(exp) > 5
