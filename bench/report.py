@@ -15,6 +15,11 @@ unchanged and re-measuring them costs ~40 min of the same shared-VM
 budget the headline needs.
 
 Usage: python bench/report.py
+
+NOTE (r5): BENCH.md now carries hand-maintained r5 sections (two-round
+>=0.8 table, gated-bench artifact table, knn/minhash A/B, distribution
+disclosure). Regenerating with this script will DROP them — merge by
+hand or port the sections here first.
 """
 
 from __future__ import annotations
