@@ -1661,10 +1661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior CORRECTNESS_r*.json files and tools/check_oracles.py runs).
     r5 rotation: the 24 entries the r4 driver never reached (10
     never-checked r4 operators first, then 14 whose last green row is
-    r3, including the 5 rows-only entries) lead; then the r5-new
-    entries; then veterans touched by r5 diffs (pii cascade-count,
-    store.py manifest guard, components early-exit, nd mutate paths);
-    27 veterans green in BOTH r3 and r4 rotate past position 50."""
+    r3, including the 5 rows-only entries) lead; then the 14 r5-new
+    entries (every one locally hash-verified via tools/check_oracles.py,
+    FAILURES 0); then veterans touched by r5 diffs (pii cascade-count,
+    persisted-store/nd-mutate paths, components early-exit, knn A/B
+    scrutiny); veterans green in BOTH r3 and r4 rotate past position 50
+    (their evidence lives in prior CORRECTNESS files)."""
     return {
         # --- (1) never driver-checked (registered r4, positions 51-60) ---
         "line_density": _q_line_density,
