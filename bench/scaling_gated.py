@@ -48,7 +48,9 @@ DEV_LOCK = "/tmp/dev_busy"
 ATTEMPTS = os.path.join(REPO, "bench", "scaling_attempts.jsonl")
 BEST = os.path.join(REPO, "bench", "scaling_best.json")
 
-TARGET = 0.80          # north-rule bar on the composite
+# north-rule bar on the composite; override for stretch hunts after the
+# bar is already on file (SPARK_GRAFT_SCALING_TARGET=0.86)
+TARGET = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.80"))
 
 
 def _log(msg: str) -> None:
