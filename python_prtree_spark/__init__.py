@@ -41,6 +41,7 @@ from python_prtree_spark.operators.components import (
 )
 from python_prtree_spark.operators.semdedup import semantic_dedup
 from python_prtree_spark.sources.store import (
+    compact_index,
     expire_index_snapshots,
     index_snapshots,
     load_index,
@@ -53,6 +54,7 @@ __all__ = [
     "Extent",
     "build_index",
     "index_snapshots",
+    "compact_index",
     "rollback_index",
     "expire_index_snapshots",
     "batch_query",

@@ -290,6 +290,69 @@ def expire_index_snapshots(path: str, keep_last: int = 1) -> dict:
     }
 
 
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 1,
+) -> dict:
+    """Small-file compaction — the lakehouse maintenance op (Iceberg
+    rewrite_data_files / OPTIMIZE): every refresh appends files, so a
+    long-mutated bucket accumulates many small parquet files and pays
+    per-file open cost on every scan. Compaction rewrites each bucket
+    that exceeds ``max_files_per_bucket`` into ONE new file and commits
+    the result as a snapshot (op=compact) — data files stay immutable,
+    prior versions stay readable (time travel intact), and
+    ``expire_index_snapshots`` reclaims the superseded files later.
+    Query results are identical by construction (same rows, new layout).
+
+    Returns {"compacted_buckets": n, "version": new_version} —
+    version is None when nothing needed compacting (no commit).
+
+    Scale shape: one job reading ONLY the oversized buckets (partition-
+    pruned scan), repartitioned on bucket so each writes a single file;
+    untouched buckets keep their existing files byte-identical."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    index_dir = os.path.join(path, "index")
+    cur = current_snapshot_version(index_dir)
+    if cur is None:
+        if not _data_buckets_on_disk(index_dir):
+            return {"compacted_buckets": 0, "version": None}
+        # pre-snapshot index: freeze the current layout first (same adopt
+        # step as merge_refresh) so compaction is itself time-travelable
+        cur = _commit_snapshot(
+            index_dir, _list_bucket_files(index_dir), "adopt", None
+        )
+    manifest = _read_manifest(index_dir, cur)["files"]
+    fat = {int(b) for b, fs in manifest.items()
+           if len(fs) > max_files_per_bucket}
+    if not fat:
+        return {"compacted_buckets": 0, "version": None}
+    snap = _snapshot_df(spark, index_dir, cur)
+    rows = snap.where(F.col("bucket").isin([int(b) for b in fat]))
+    before = _list_bucket_files(index_dir)
+    # one file per bucket: repartition on the partition column, so each
+    # task owns exactly one bucket's rows
+    rows.repartition(len(fat), F.col("bucket")).write.partitionBy(
+        "bucket"
+    ).mode("append").parquet(index_dir)
+    after = _list_bucket_files(index_dir)
+    files = {b: list(fs) for b, fs in manifest.items() if int(b) not in fat}
+    for b in fat:
+        prior = set(before.get(b, []))
+        added = [f for f in after.get(b, []) if f not in prior]
+        if not added:
+            raise RuntimeError(
+                f"compaction wrote no files for bucket {b} — refusing to "
+                "commit a manifest that would drop its rows"
+            )
+        files[b] = added
+    version = _commit_snapshot(index_dir, files, "compact", cur)
+    return {"compacted_buckets": len(fat), "version": version}
+
+
 def merge_refresh(
     spark: SparkSession,
     index_dir: str,

@@ -159,3 +159,70 @@ def test_repeated_refreshes_chain_history(spark, tmp_path):
     assert load_index(spark, path, version=1).size() == 1500
     assert load_index(spark, path, version=3).size() == 1520
     assert load_index(spark, path).size() == 1530
+
+
+def test_compact_index(spark, tmp_path):
+    """compact_index: a mutated bucket with several files rewrites to ONE
+    file in a new snapshot; results identical, prior version readable,
+    vacuum reclaims the superseded files."""
+    import os
+
+    import numpy as np
+
+    from python_prtree_spark import (
+        EngineConfig, Extent, PRTreeTable, compact_index, load_index, save_index,
+    )
+    from python_prtree_spark.sources.store import _read_manifest
+    from tests.conftest import boxes_df, rand_boxes
+
+    # level 4 -> 4 cells per bucket, spread across shuffle tasks, so the
+    # build manifest itself references multiple files per bucket (the
+    # many-tasks-per-bucket regime a real cluster is always in)
+    cfg = EngineConfig(extent=Extent(0, 0, 100, 100), level=4)
+    path = str(tmp_path / "cidx")
+    boxes = rand_boxes(400, 5, ext_max=6.0)
+    save_index(boxes_df(spark, boxes, "id"), path, cfg)
+    # a refresh cycle also appends files into its touched buckets
+    t = PRTreeTable.from_index(spark, path)
+    t = t.erase(list(range(0, 5)))
+    t.refresh_index(path)
+    idx_dir = os.path.join(path, "index")
+    from python_prtree_spark.sources.store import current_snapshot_version
+    man0 = _read_manifest(idx_dir, current_snapshot_version(idx_dir))["files"]
+    assert any(len(fs) > 1 for fs in man0.values())
+    probes = rand_boxes(60, 6, ext_max=12.0)
+    pdf = boxes_df(spark, probes, "qid")
+    before_rows = {
+        (r["qid"], r["id"])
+        for r in load_index(spark, path).batch_query(pdf).collect()
+    }
+    v_pre = load_index(spark, path).version
+
+    out = compact_index(spark, path, max_files_per_bucket=1)
+    assert out["compacted_buckets"] >= 1 and out["version"] == v_pre + 1
+    li = load_index(spark, path)
+    assert li.version == out["version"]
+    # the manifest's compacted buckets now reference exactly one file
+    man = _read_manifest(idx_dir, out["version"])["files"]
+    assert all(len(fs) == 1 for fs in man.values())
+    after_rows = {(r["qid"], r["id"]) for r in li.batch_query(pdf).collect()}
+    assert after_rows == before_rows
+    # time travel to the pre-compaction version still works
+    old_rows = {
+        (r["qid"], r["id"])
+        for r in load_index(spark, path, version=v_pre).batch_query(pdf).collect()
+    }
+    assert old_rows == before_rows
+    # idempotent: nothing left to compact
+    assert compact_index(spark, path, 1) == {
+        "compacted_buckets": 0, "version": None,
+    }
+    # vacuum reclaims the superseded small files
+    from python_prtree_spark import expire_index_snapshots
+    res = expire_index_snapshots(path, keep_last=1)
+    assert res["removed_files"] >= 1
+    final_rows = {
+        (r["qid"], r["id"])
+        for r in load_index(spark, path).batch_query(pdf).collect()
+    }
+    assert final_rows == before_rows
