@@ -912,6 +912,25 @@ def _q_persist_mutation(spark, sf_dir):
     return idx.batch_query(supplier_probes(spark, sf_dir))
 
 
+def _q_persist_compact(spark, sf_dir):
+    """Compaction correctness end-to-end: save → erase+insert+refresh
+    (buckets accumulate files) → compact_index (oversized buckets
+    rewritten to one file each, op=compact snapshot) → reload → probe.
+    Results must equal the same mutated-table oracle as persist_mutation
+    — compaction changes layout, never rows."""
+    from python_prtree_spark.sources.store import compact_index
+
+    path = tempfile.mkdtemp(prefix="prtree_idx_")
+    save_index(part_boxes(spark, sf_dir), f"{path}/idx", CFG)
+    t = PRTreeTable.from_index(spark, f"{path}/idx")
+    t = t.erase(part_boxes(spark, sf_dir).where(F.col("id") % 7 == 0).select("id"))
+    t = t.insert(supplier_new_boxes(spark, sf_dir))
+    t.refresh_index(f"{path}/idx")
+    compact_index(spark, f"{path}/idx", max_files_per_bucket=1)
+    idx = load_index(spark, f"{path}/idx")
+    return idx.batch_query(supplier_probes(spark, sf_dir))
+
+
 def _q_persist_timetravel(spark, sf_dir):
     """Snapshot time travel on the persisted index (sources/store.py makes
     the Iceberg snapshot semantics REAL: immutable data files + versioned
@@ -1716,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_intersections": _q_persist_intersections,
         "persist_mutation": _q_persist_mutation,
         "persist_timetravel": _q_persist_timetravel,
+        "persist_compact": _q_persist_compact,
         "polygonize": _q_polygonize,
         "knn": _q_knn,
         "mutation_pipeline": _q_mutation,
@@ -2523,6 +2543,13 @@ SELECT
 FROM b
 """,
         "persist_mutation": f"""
+WITH base AS ({PART_BOXES_SQL}),
+ins AS ({SUPPLIER_NEW_BOXES_SQL}),
+b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
+q AS ({SUPPLIER_PROBES_SQL})
+SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
+""",
+        "persist_compact": f"""
 WITH base AS ({PART_BOXES_SQL}),
 ins AS ({SUPPLIER_NEW_BOXES_SQL}),
 b AS (SELECT * FROM base WHERE id % 7 <> 0 UNION ALL SELECT * FROM ins),
