@@ -635,3 +635,71 @@ def test_semantic_dedup_plan(spark):
     plan = explain_str(out)
     # single-cluster config: zero Python stages at all
     assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_st_cube_plan_single_exchange(spark):
+    """st_cube: pure column expressions into one partial-aggregated
+    groupBy — exactly ONE exchange, zero Python stages."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from python_prtree_spark.operators.stcube import st_cube
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "ts": [dt.datetime(2026, 1, 1, h) for h in range(20)],
+            "lng": [float(i) for i in range(20)],
+            "lat": [float(i % 5) for i in range(20)],
+            "value": [1.5] * 20,
+        })
+    )
+    import re
+
+    plan = explain_str(st_cube(df, zoom=5, window_sec=3600))
+    # formatted mode prints each node twice (tree + detail) — count the
+    # numbered detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_dataset_split_plan_no_shuffle(spark):
+    """split_assign is a pure projection: ZERO exchanges."""
+    from python_prtree_spark.operators.split import split_assign
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = explain_str(split_assign(df, {"a": 0.5, "b": 0.5}, key="k"))
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_plan_no_explosion(spark):
+    """funnel: aggregations + equi-joins only — no Generate (explode), no
+    cartesian, no Python."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from python_prtree_spark.operators.funnel import funnel
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "ts": [dt.datetime(2026, 1, 1, h) for h in (1, 2, 3)],
+            "event_type": ["a", "b", "a"],
+        })
+    )
+    out = funnel(df, ["a", "b"], 3600)
+    assert_no_cartesian(out)
+    plan = explain_str(out)
+    assert "Generate" not in plan and "pythonUDF" not in plan, plan
+
+
+def test_geohash_plan_pure_projection(spark):
+    from python_prtree_spark.functions.geo import geohash_col
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        (F.col("id") * 1.0).alias("lng"), (F.col("id") * 0.5).alias("lat")
+    )
+    plan = explain_str(df.select(geohash_col(F.col("lng"), F.col("lat"), 7)))
+    assert "Exchange" not in plan and "pythonUDF" not in plan, plan
