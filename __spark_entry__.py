@@ -639,6 +639,18 @@ def _q_tfidf(spark, sf_dir):
     return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (global token count >= 40) over documents —
+    two-phase plan: per-partition pigeonhole prune (vectorized
+    value_counts, local threshold ceil(T/P), provable superset) then a
+    broadcast semi-join exact recount; only candidate occurrences
+    shuffle. Output equals the naive full-shuffle answer — hash-gated
+    against a plain HAVING count(*) >= T oracle."""
+    from python_prtree_spark.operators.freq import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf_dir, "documents"), threshold=40)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exact per-language quota sample of documents (40 per lang, md5
     rank) — deterministic membership, reproducible across engines; rank
@@ -835,6 +847,36 @@ def _q_contour_cases(spark, sf_dir):
 
     pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
     return contour_cases(pxs, 2, CFG, px=16)
+
+
+def _q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hotspot analysis over the coverage raster: 3×3
+    binary-weight window including self, global moments over the full
+    256×256 lattice (zeros folded in analytically) — sparse focal
+    fan-out + one pixel-key groupBy + a broadcast single-row moments
+    join; z-scores quantized floor(z·1e6), bit-identical in DuckDB
+    because every step is a correctly-rounded IEEE double op evaluated
+    in the same literal order."""
+    from python_prtree_spark.operators.hotspot import gi_star
+    from python_prtree_spark.operators.raster import rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return gi_star(pxs, CFG, px=16)
+
+
+def _q_mm_resize_nn(spark, sf_dir):
+    """Nearest-neighbor 16×16 thumbnails over the formula-tile image
+    corpus (REAL decode: raw / engine PNG / lossy by magic bytes), each
+    image reduced to exact order-sensitive integer checksums
+    (Σv, Σi·v, Σi²·v over row-major resized pixels) — the whole
+    decode→resize chain hash-gated against the symbolic pixel formula."""
+    from python_prtree_spark.operators.multimodal import resize_nn_checksums
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return resize_nn_checksums(formula_tiles(ids), 16, 16)
 
 
 def _q_raster_algebra(spark, sf_dir):
@@ -1729,6 +1771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "stratified_sample": _q_stratified_sample,
         "contour_cases": _q_contour_cases,
+        "hotspot_gistar": _q_gi_star,
+        "heavy_hitters": _q_heavy_hitters,
+        "mm_resize_nn": _q_mm_resize_nn,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
@@ -2266,6 +2311,12 @@ SELECT doc_id,
   {_split_case_sql('source', _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split_by_source
 FROM documents
 """,
+        "heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest({RAW_TOKENS_SQL}) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token HAVING count(*) >= 40
+""",
         "tfidf_topk": f"""
 WITH toks AS (
   SELECT doc_id, unnest({RAW_TOKENS_SQL}) AS t FROM documents),
@@ -2474,6 +2525,52 @@ SELECT wx, wy, mcase FROM cases WHERE mcase BETWEEN 1 AND 14
             TAPS_X=_conv_taps_sql(_SOBEL_X),
             TAPS_Y=_conv_taps_sql(_SOBEL_Y),
         ),
+        # Gi* — same coverage lattice as the focal template; the z-score
+        # expression mirrors operators/hotspot.gi_star VERBATIM (same IEEE
+        # double op order), so floor(z*1e6) is bit-exact across engines.
+        "hotspot_gistar": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS sx,
+              CAST(sum(cnt * cnt) AS DOUBLE) AS sxx FROM g),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN o2
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, sum(cnt) AS fs FROM s GROUP BY gx, gy),
+wz AS (
+  SELECT gx, gy, fs,
+    CAST((least(gx + 1, 255) - greatest(gx - 1, 0) + 1)
+       * (least(gy + 1, 255) - greatest(gy - 1, 0) + 1) AS INT) AS w
+  FROM a)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  w, CAST(fs AS BIGINT) AS fs,
+  CAST(floor(
+    (CAST(fs AS DOUBLE) - (sx / 65536.0e0) * CAST(w AS DOUBLE))
+    / (sqrt(sxx / 65536.0e0 - (sx / 65536.0e0) * (sx / 65536.0e0))
+       * sqrt((65536.0e0 * CAST(w AS DOUBLE)
+               - CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) / 65535.0e0))
+    * 1000000.0e0) AS BIGINT) AS gi_q
+FROM wz CROSS JOIN st
+""",
         "focal_sum": _FOCAL_SQL.replace("__AGG__", "sum(cnt)"),
         "focal_max": _FOCAL_SQL.replace("__AGG__", "max(cnt)"),
         "focal_count": _FOCAL_SQL.replace("__AGG__", "count(*)"),
@@ -2521,6 +2618,34 @@ q AS ({SUPPLIER_PROBES_SQL})
 SELECT q.qid AS qid, b.id AS id FROM q JOIN b ON {AABB_JOIN}
 """,
         "persist_roundtrip": _BATCH_PAIRS_SQL,
+        # NN-resize checksums — same customer-derived formula-tile corpus
+        # as zonal_majority; source pixel (orow*h//16, ocol*w//16), value
+        # (id*31 + r*7 + c*13 + ch*101) % 256, lossy drops to even.
+        "mm_resize_nn": """
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+r0 AS (SELECT *, unnest(range(16)) AS orow FROM t0),
+c0 AS (SELECT *, unnest(range(16)) AS ocol FROM r0),
+ch0 AS (SELECT *, unnest(range(3)) AS ch FROM c0),
+m AS (
+  SELECT id, lossy, ch,
+    (orow * h) // 16 AS sr, (ocol * w) // 16 AS sc,
+    (orow * 16 + ocol) * 3 + ch + 1 AS i1
+  FROM ch0),
+v0 AS (SELECT id, i1, lossy,
+    (id*31 + sr*7 + sc*13 + ch*101) % 256 AS raw FROM m),
+v AS (SELECT id, i1,
+    CASE WHEN lossy THEN raw - raw % 2 ELSE raw END AS val FROM v0)
+SELECT id AS image_id, CAST(16 AS INT) AS ow, CAST(16 AS INT) AS oh,
+  CAST(sum(val) AS BIGINT) AS s0,
+  CAST(sum(i1 * val) AS BIGINT) AS s1,
+  CAST(sum(i1 * i1 * val) AS BIGINT) AS s2
+FROM v GROUP BY id
+""",
         "mm_tile_caption": """
 WITH ids AS (SELECT unnest(range(0, 500)) AS id),
 b AS (

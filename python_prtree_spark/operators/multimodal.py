@@ -29,6 +29,7 @@ __all__ = [
     "decode_stats",
     "recompute_phash",
     "resize_images",
+    "resize_nn_checksums",
     "verify_roundtrip",
     "audio_features_stub",
     "video_frame_sample_stub",
@@ -108,6 +109,58 @@ def resize_images(
     t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, bytes_col).mapInPandas(
         gen, schema=f"{id_col} {t}, bytes binary, w int, h int, fmt string"
+    )
+
+
+def resize_nn_checksums(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize (the uniform-thumbnail step of an
+    image-training-data pipeline) with an exact, order-sensitive integer
+    witness per image, so the whole decode→resize chain hash-gates against
+    a symbolic SQL oracle without shipping binary columns.
+
+    NN convention: output pixel (orow, ocol) samples source pixel
+    (orow·h // out_h, ocol·w // out_w) — pure integer floor mapping,
+    reproducible verbatim in ANSI SQL. Over the resized pixels in
+    row-major (orow, ocol, ch) order with 1-based index i:
+
+        s0 = Σ v      s1 = Σ i·v      s2 = Σ i²·v
+
+    (all exact in int64; s2 ≤ (out_w·out_h·3)²·255·count ≪ 2⁶³). Any
+    misplaced, dropped, or altered pixel shifts at least one of the three.
+
+    → (image_id, ow, oh, s0, s1, s2). Arrow-batched mapInPandas; decode
+    is the REAL engine codec (raw / PNG / lossy by magic bytes)."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output size must be >= 1, got {out_w}x{out_h}")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = decode_image(bytes(data))
+                h, w, _ = px.shape
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                v = px[ys[:, None], xs[None, :], :].astype(np.int64).reshape(-1)
+                i1 = np.arange(1, v.size + 1, dtype=np.int64)
+                rows.append((
+                    iid, out_w, out_h,
+                    int(v.sum()), int((i1 * v).sum()),
+                    int((i1 * i1 * v).sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ow", "oh", "s0", "s1", "s2"])
+
+    t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
     )
 
 

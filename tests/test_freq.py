@@ -1,0 +1,60 @@
+"""heavy_hitters: exact two-phase frequent items vs a Counter oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from python_prtree_spark.operators.freq import heavy_hitters
+
+
+def _docs(spark, texts, n_partitions=8):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf, "doc_id long, text string").repartition(
+        n_partitions
+    )
+
+
+def _oracle(texts, threshold):
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.strip().split())
+    return {tok: n for tok, n in cnt.items() if n >= threshold}
+
+
+@pytest.mark.parametrize("threshold", [2, 5, 40])
+def test_heavy_hitters_exact(spark, threshold):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    # zipf-ish skew: low ids sampled far more often
+    texts = [
+        " ".join(vocab[min(int(rng.zipf(1.3)) - 1, 199)] for _ in range(30))
+        for _ in range(120)
+    ]
+    got = {
+        r["token"]: r["n"] for r in heavy_hitters(_docs(spark, texts), threshold).collect()
+    }
+    assert got == _oracle(texts, threshold)
+
+
+def test_heavy_hitters_threshold_one_is_full_vocab(spark):
+    texts = ["a b b c", "c d"]
+    got = {r["token"]: r["n"] for r in heavy_hitters(_docs(spark, texts, 3), 1).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_heavy_hitters_spread_across_partitions(spark):
+    """A token below ceil(T/P) in EVERY partition must still be found —
+    each of 8 partitions holds it a few times; global count crosses T."""
+    texts = [f"filler{i} spread spread" for i in range(64)]
+    got = {r["token"]: r["n"] for r in heavy_hitters(_docs(spark, texts), 128).collect()}
+    assert got == {"spread": 128}
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    with pytest.raises(ValueError):
+        heavy_hitters(_docs(spark, ["x"]), 0)

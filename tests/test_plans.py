@@ -703,3 +703,55 @@ def test_geohash_plan_pure_projection(spark):
     )
     plan = explain_str(df.select(geohash_col(F.col("lng"), F.col("lat"), 7)))
     assert "Exchange" not in plan and "pythonUDF" not in plan, plan
+
+
+def test_gi_star_plan_pure_jvm_broadcast_moments(spark):
+    """gi_star: sparse 9x fan-out + ONE pixel-key groupBy, global moments
+    arriving via broadcast — zero Python stages, no cartesian blow-up
+    (the single-row moments crossJoin is a broadcast nested loop)."""
+    import pandas as pd
+
+    from python_prtree_spark import EngineConfig, Extent
+    from python_prtree_spark.operators.hotspot import gi_star
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [1, 2], "c": [3, 4],
+                      "cnt": [5, 6]}),
+        "tile long, r int, c int, cnt long",
+    )
+    cfg = EngineConfig(extent=Extent(0, 0, 100, 100), level=2, strategy="sql")
+    plan = explain_str(gi_star(df, cfg, px=4))
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_heavy_hitters_plan_prune_then_broadcast_semi(spark):
+    """heavy_hitters: Arrow-batched partition prune feeding a BROADCAST
+    left-semi join — the full token stream must NOT hash-shuffle before
+    the candidate filter."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.freq import heavy_hitters
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b c"]}),
+        "doc_id long, text string",
+    )
+    plan = explain_str(heavy_hitters(df, 2))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_resize_nn_plan_no_exchange(spark):
+    """resize_nn_checksums: one Arrow-batched map stage per input split —
+    ZERO exchanges (embarrassingly parallel thumbnailing)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.multimodal import resize_nn_checksums
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [0], "bytes": [b""]}),
+        "image_id long, bytes binary",
+    )
+    plan = explain_str(resize_nn_checksums(df, 8, 8))
+    assert "Exchange" not in plan, plan
