@@ -651,6 +651,18 @@ def _q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_read(spark, sf_dir, "documents"), threshold=40)
 
 
+def _q_group_quantiles(spark, sf_dir):
+    """Exact per-language p50/p90 of document length (nearest-rank,
+    integer thousandth-ranks) — histogram-based: ONE map-side-combining
+    groupBy(lang, n_chars) collapses the corpus, the cumulative scan runs
+    over distinct values only. No row-level sort, no approx."""
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    return group_quantiles(
+        _read(spark, sf_dir, "documents"), "lang", "n_chars", [0.5, 0.9]
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exact per-language quota sample of documents (40 per lang, md5
     rank) — deterministic membership, reproducible across engines; rank
@@ -877,6 +889,64 @@ def _q_mm_resize_nn(spark, sf_dir):
         F.col("c_custkey").cast("long").alias("id")
     )
     return resize_nn_checksums(formula_tiles(ids), 16, 16)
+
+
+def _q_moran_lisa(spark, sf_dir):
+    """Anselin local Moran's I (LISA cluster/outlier map) over the same
+    coverage raster as hotspot_gistar: queen contiguity excluding self,
+    global moments broadcast, the center value recovered inside the ONE
+    pixel-key groupBy via a conditional sum (no self-join). moran_q =
+    floor(I·1e6), bit-exact vs DuckDB (identical IEEE double op order)."""
+    from python_prtree_spark.operators.hotspot import local_moran
+    from python_prtree_spark.operators.raster import rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return local_moran(pxs, CFG, px=16)
+
+
+def _q_mm_augment(spark, sf_dir):
+    """Train-time augmentation chain (hflip → 90° CW rotate → center
+    8×8 crop) over the formula-tile corpus, verified by exact integer
+    checksums (Σv, Σi·v, Σi²·v) — the full decode→remap chain hash-gates
+    against the symbolic source-pixel formula sr=H−1−(ocol+ox),
+    sc=W−1−(orow+oy)."""
+    from python_prtree_spark.operators.multimodal import augment_checksums
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return augment_checksums(formula_tiles(ids), 8, 8)
+
+
+def _q_image_dedup_ahash(spark, sf_dir):
+    """Exact image dedup by average-hash: customers map to a content pool
+    of 400 formula tiles (content id = c_custkey % 400), so the corpus
+    holds REAL duplicate images under distinct keys. aHash (integer
+    grayscale → 8×8 NN downsample → mean threshold) is computed ONCE per
+    distinct content blob, broadcast back to the keyed corpus, and
+    clusters are counted with a single window over the 64-bit hash
+    (split into two positive 32-bit halves). → (image_key, hash_hi,
+    hash_lo, n_cluster, canon_key)."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.multimodal import image_ahash
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("image_key"),
+        (F.col("c_custkey") % 400).cast("long").alias("image_id"),
+    )
+    tiles = formula_tiles(cust.select("image_id").distinct(),
+                          id_col="image_id")
+    hashed = image_ahash(tiles)
+    keyed = cust.join(F.broadcast(hashed), "image_id")
+    wcl = Window.partitionBy("hash_hi", "hash_lo")
+    return keyed.select(
+        "image_key", "hash_hi", "hash_lo",
+        F.count(F.lit(1)).over(wcl).cast("long").alias("n_cluster"),
+        F.min("image_key").over(wcl).cast("long").alias("canon_key"),
+    )
 
 
 def _q_raster_algebra(spark, sf_dir):
@@ -1774,13 +1844,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gistar": _q_gi_star,
         "heavy_hitters": _q_heavy_hitters,
         "mm_resize_nn": _q_mm_resize_nn,
+        "moran_lisa": _q_moran_lisa,
+        "mm_augment": _q_mm_augment,
+        "image_dedup_ahash": _q_image_dedup_ahash,
+        "group_quantiles": _q_group_quantiles,
+        "persist_compact": _q_persist_compact,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
         "persist_roundtrip": _q_persist_roundtrip,
         "persist_intersections": _q_persist_intersections,
         "persist_mutation": _q_persist_mutation,
         "persist_timetravel": _q_persist_timetravel,
-        "persist_compact": _q_persist_compact,
         "polygonize": _q_polygonize,
         "knn": _q_knn,
         "mutation_pipeline": _q_mutation,
@@ -2571,6 +2645,53 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
     * 1000000.0e0) AS BIGINT) AS gi_q
 FROM wz CROSS JOIN st
 """,
+        # Local Moran's I — same lattice skeleton as hotspot_gistar plus a
+        # conditional center-sum; the I expression mirrors
+        # operators/hotspot.local_moran VERBATIM (same IEEE op order).
+        "moran_lisa": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS sx,
+              CAST(sum(cnt * cnt) AS DOUBLE) AS sxx FROM g),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt,
+    CASE WHEN dx = 0 AND dy = 0 THEN cnt ELSE 0 END AS vc
+  FROM g CROSS JOIN o2
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, sum(cnt) AS fs, sum(vc) AS xi FROM s GROUP BY gx, gy),
+wz AS (
+  SELECT gx, gy, fs, xi,
+    CAST((least(gx + 1, 255) - greatest(gx - 1, 0) + 1)
+       * (least(gy + 1, 255) - greatest(gy - 1, 0) + 1) AS INT) AS w
+  FROM a)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  w, CAST(xi AS BIGINT) AS xi, CAST(fs AS BIGINT) AS fs,
+  CAST(floor(
+    ((CAST(xi AS DOUBLE) - (sx / 65536.0e0))
+     / (sxx / 65536.0e0 - (sx / 65536.0e0) * (sx / 65536.0e0)))
+    * ((CAST(fs AS DOUBLE) - CAST(xi AS DOUBLE))
+       - (sx / 65536.0e0) * (CAST(w AS DOUBLE) - 1.0e0))
+    * 1000000.0e0) AS BIGINT) AS moran_q
+FROM wz CROSS JOIN st
+""",
         "focal_sum": _FOCAL_SQL.replace("__AGG__", "sum(cnt)"),
         "focal_max": _FOCAL_SQL.replace("__AGG__", "max(cnt)"),
         "focal_count": _FOCAL_SQL.replace("__AGG__", "count(*)"),
@@ -2645,6 +2766,103 @@ SELECT id AS image_id, CAST(16 AS INT) AS ow, CAST(16 AS INT) AS oh,
   CAST(sum(i1 * val) AS BIGINT) AS s1,
   CAST(sum(i1 * i1 * val) AS BIGINT) AS s2
 FROM v GROUP BY id
+""",
+        # Augmentation-chain checksums — hflip→rot90CW→center-crop 8×8
+        # composes to the source-pixel remap sr=h-1-(ocol+ox),
+        # sc=w-1-(orow+oy) with ox=(h-8)//2, oy=(w-8)//2.
+        "mm_augment": """
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+r0 AS (SELECT *, unnest(range(8)) AS orow FROM t0),
+c0 AS (SELECT *, unnest(range(8)) AS ocol FROM r0),
+ch0 AS (SELECT *, unnest(range(3)) AS chn FROM c0),
+m AS (
+  SELECT id, lossy, chn,
+    h - 1 - (ocol + (h - 8) // 2) AS sr,
+    w - 1 - (orow + (w - 8) // 2) AS sc,
+    (orow * 8 + ocol) * 3 + chn + 1 AS i1
+  FROM ch0),
+v0 AS (SELECT id, i1, lossy,
+    (id*31 + sr*7 + sc*13 + chn*101) % 256 AS raw FROM m),
+v AS (SELECT id, i1,
+    CASE WHEN lossy THEN raw - raw % 2 ELSE raw END AS val FROM v0)
+SELECT id AS image_id, CAST(8 AS INT) AS cw, CAST(8 AS INT) AS ch,
+  CAST(sum(val) AS BIGINT) AS s0,
+  CAST(sum(i1 * val) AS BIGINT) AS s1,
+  CAST(sum(i1 * i1 * val) AS BIGINT) AS s2
+FROM v GROUP BY id
+""",
+        # aHash dedup — integer grayscale (299R+587G+114B)//1000, 8×8 NN
+        # downsample, mean threshold Σg//64; 64 bits as two positive
+        # 32-bit halves; customers key a 400-blob content pool so real
+        # duplicate images exist under distinct keys.
+        "image_dedup_ahash": """
+WITH cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS image_key,
+         CAST(c_custkey % 400 AS BIGINT) AS image_id
+  FROM customer),
+ids AS (SELECT DISTINCT image_id AS id FROM cust),
+t0 AS (
+  SELECT id,
+    [16,24,32][CAST(id % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(id % 3 AS INT) + 1] AS h,
+    ((id // 3) % 3 = 2) AS lossy
+  FROM ids),
+r0 AS (SELECT *, unnest(range(8)) AS rr FROM t0),
+c0 AS (SELECT *, unnest(range(8)) AS cc FROM r0),
+m AS (
+  SELECT id, lossy, rr * 8 + cc AS idx,
+    (rr * h) // 8 AS sr, (cc * w) // 8 AS sc
+  FROM c0),
+v0 AS (SELECT id, lossy, idx,
+    (id*31 + sr*7 + sc*13) % 256 AS r0v,
+    (id*31 + sr*7 + sc*13 + 101) % 256 AS g0v,
+    (id*31 + sr*7 + sc*13 + 202) % 256 AS b0v
+  FROM m),
+v1 AS (SELECT id, idx,
+    CASE WHEN lossy THEN r0v - r0v % 2 ELSE r0v END AS rv,
+    CASE WHEN lossy THEN g0v - g0v % 2 ELSE g0v END AS gv,
+    CASE WHEN lossy THEN b0v - b0v % 2 ELSE b0v END AS bv
+  FROM v0),
+gs AS (SELECT id, idx, (rv*299 + gv*587 + bv*114) // 1000 AS g FROM v1),
+mn AS (SELECT id, sum(g) // 64 AS m FROM gs GROUP BY id),
+hsh AS (
+  SELECT gs.id,
+    CAST(sum(CASE WHEN idx >= 32 AND g > m
+                  THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+         AS BIGINT) AS hash_hi,
+    CAST(sum(CASE WHEN idx < 32 AND g > m
+                  THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+         AS BIGINT) AS hash_lo
+  FROM gs JOIN mn ON gs.id = mn.id GROUP BY gs.id)
+SELECT image_key, hash_hi, hash_lo,
+  CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+    AS n_cluster,
+  CAST(min(image_key) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+    AS canon_key
+FROM cust JOIN hsh ON cust.image_id = hsh.id
+""",
+        # Exact nearest-rank quantiles over the (lang, n_chars) histogram;
+        # integer thousandth-ranks — target = (n*qm + 999) // 1000.
+        "group_quantiles": """
+WITH hist AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT g, v,
+    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM hist)
+SELECT g AS lang, CAST(max(n) AS BIGINT) AS n,
+  CAST(min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END)
+       AS BIGINT) AS q_500,
+  CAST(min(CASE WHEN cum >= (n * 900 + 999) // 1000 THEN v END)
+       AS BIGINT) AS q_900
+FROM cum GROUP BY g
 """,
         "mm_tile_caption": """
 WITH ids AS (SELECT unnest(range(0, 500)) AS id),

@@ -1,4 +1,4 @@
-"""Exact distributed heavy hitters (frequent-items mining) over a corpus.
+"""Exact distributed heavy hitters and order statistics over a corpus.
 
 The training-data-pipeline primitive behind stopword discovery, boilerplate
 detection, and vocabulary triage: every token whose GLOBAL occurrence count
@@ -77,3 +77,62 @@ def heavy_hitters(
         .where(F.col("n") >= threshold)
         .select("token", F.col("n").cast("long").alias("n"))
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float] = (0.5, 0.9),
+) -> DataFrame:
+    """EXACT per-group quantiles of a discrete (integer-valued) column —
+    the curation primitive behind per-language length cutoffs and
+    quality-score thresholds, where Spark's builtin percentile_approx is
+    approximate and rank-based exact methods sort every ROW.
+
+    Nearest-rank (type-1) definition: q-quantile = the smallest value v
+    whose cumulative count reaches ceil(q·n). q is taken in exact
+    thousandths (qm = round(q·1000); target = (n·qm + 999) div 1000 =
+    ceil(n·qm/1000) in pure integer arithmetic) so Spark and any ANSI-SQL
+    oracle compute the identical rank with no float thresholds.
+
+    Scale shape: the full data is touched by ONE map-side-combining
+    groupBy(group, value) histogram — for discrete domains (token counts,
+    char lengths, quality buckets) this collapses 100 TB of rows into
+    |groups|·|domain| cells. The cumulative scan then runs over the TINY
+    histogram (a window by group over distinct values), not the rows; no
+    row-level sort anywhere in the plan.
+
+    → (group, n, q_500, q_900, ...) one row per group, one long column
+    per requested quantile (name = q in thousandths)."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    qms = [int(round(q * 1000)) for q in qs]
+    if any(not 0 < qm <= 1000 for qm in qms):
+        raise ValueError(f"quantiles must be in (0, 1], got {list(qs)}")
+
+    hist = (
+        df.select(F.col(group_col).alias("g"),
+                  F.col(value_col).cast("long").alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("g")
+    cum = hist.select(
+        "g", "v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for qm in qms:
+        # 64-bit integer DIV, not double /, so the rank is exact at any n.
+        target = F.expr(f"(_n * {qm} + 999) DIV 1000")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col("v")))
+            .cast("long").alias(f"q_{qm}")
+        )
+    return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)

@@ -33,6 +33,103 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import DEFAULT_CONFIG, EngineConfig
 
 
+def local_moran(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Anselin local Moran's I (LISA cluster/outlier statistic), queen
+    contiguity (8 neighbors, self EXCLUDED), binary weights, over the full
+    lattice implied by ``cfg.level`` / px — the companion statistic to
+    :func:`gi_star` (Gi* finds hot/cold clusters; I_i additionally flags
+    spatial OUTLIERS: high cells in low neighborhoods and vice versa).
+
+    For cell i with value x_i, in-grid 3×3 window size W_i, window sum
+    S_i (incl. self), global n = (side·px)², x̄ = ΣX/n and population
+    variance s² = ΣX²/n − x̄²; the neighbor deviation sum needs no second
+    pass because Σ_{j∈N(i)} (x_j − x̄) = (S_i − x_i) − x̄·(W_i − 1):
+
+        I_i = ((x_i − x̄) / s²) · ((S_i − x_i) − x̄·(W_i − 1))
+
+    Emitted for the one-pixel dilation of the lit cells (everywhere else
+    I_i is the constant all-zero-window background). Same single-shuffle
+    shape as gi_star: sparse 9× fan-out, ONE pixel-key groupBy (the center
+    value rides along as a conditional sum — no self-join), broadcast
+    global moments. → (tile, r, c, w, xi, fs, moran_q) with
+    moran_q = floor(I_i·1e6), bit-exact vs the SQL oracle (identical IEEE
+    double op order over exactly-representable integer inputs).
+    """
+    side = 1 << cfg.level
+    grid = side * px
+    n_d = float(grid) * float(grid)
+
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    stats = src.agg(
+        F.sum("_v").cast("double").alias("_sx"),
+        F.sum(F.col("_v") * F.col("_v")).cast("double").alias("_sxx"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    fs = (
+        src.select("_gx", "_gy", "_v", F.explode(offsets).alias("_o"))
+        .select(
+            (F.col("_gx") + F.col("_o.dx")).alias("gx"),
+            (F.col("_gy") + F.col("_o.dy")).alias("gy"),
+            "_v",
+            # the (dx=0, dy=0) copy of each fan-out IS the center cell —
+            # summing it conditionally recovers x_i in the same groupBy.
+            F.when((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0), F.col("_v"))
+            .otherwise(F.lit(0)).alias("_vc"),
+        )
+        .where(
+            (F.col("gx") >= 0) & (F.col("gx") < grid)
+            & (F.col("gy") >= 0) & (F.col("gy") < grid)
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("_v").alias("fs"), F.sum("_vc").alias("xi"))
+    )
+    wx = (
+        F.least(F.col("gx") + 1, F.lit(grid - 1))
+        - F.greatest(F.col("gx") - 1, F.lit(0)) + 1
+    )
+    wy = (
+        F.least(F.col("gy") + 1, F.lit(grid - 1))
+        - F.greatest(F.col("gy") - 1, F.lit(0)) + 1
+    )
+    w = (wx * wy).cast("int")
+    # mirrored VERBATIM by the oracle SQL (same IEEE double op order).
+    n_lit = F.lit(n_d)
+    mean = F.col("_sx") / n_lit
+    var = F.col("_sxx") / n_lit - mean * mean
+    xi_d = F.col("xi").cast("double")
+    lag = (F.col("fs").cast("double") - xi_d) - mean * (
+        F.col("w").cast("double") - F.lit(1.0)
+    )
+    moran = ((xi_d - mean) / var) * lag
+    return (
+        fs.crossJoin(F.broadcast(stats))
+        .withColumn("w", w)
+        .select(
+            ((F.col("gx") / px).cast("long") * side
+             + (F.col("gy") / px).cast("long")).alias("tile"),
+            (F.col("gy") % px).cast("int").alias("r"),
+            (F.col("gx") % px).cast("int").alias("c"),
+            "w",
+            F.col("xi").cast("long").alias("xi"),
+            F.col("fs").cast("long").alias("fs"),
+            F.floor(moran * F.lit(1e6)).cast("long").alias("moran_q"),
+        )
+    )
+
+
 def gi_star(
     pixels_df: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,

@@ -30,6 +30,8 @@ __all__ = [
     "recompute_phash",
     "resize_images",
     "resize_nn_checksums",
+    "augment_checksums",
+    "image_ahash",
     "verify_roundtrip",
     "audio_features_stub",
     "video_frame_sample_stub",
@@ -161,6 +163,109 @@ def resize_nn_checksums(
     return df.select(id_col, bytes_col).mapInPandas(
         gen,
         schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
+    )
+
+
+def augment_checksums(
+    df: DataFrame,
+    crop_w: int = 8,
+    crop_h: int = 8,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Deterministic image-augmentation chain — horizontal flip → 90° CW
+    rotation → center crop — verified by the same exact integer witness as
+    :func:`resize_nn_checksums` (Σv, Σi·v, Σi²·v over the row-major
+    cropped pixels), so the whole binary path hash-gates symbolically.
+
+    The chain composes to one pure integer index remap of the source
+    (shape H×W): cropped output pixel (orow, ocol) reads source pixel
+
+        sr = H − 1 − (ocol + ox)      ox = (H − crop_w) // 2
+        sc = W − 1 − (orow + oy)      oy = (W − crop_h) // 2
+
+    (rotation swaps the axes, so the crop offsets come from the ROTATED
+    W×H frame) — reproducible verbatim in ANSI SQL. This is the standard
+    train-time augmentation shape: flips/rotations are index remaps, and
+    expressing them as remaps (rather than materialized intermediate
+    images) is exactly what you want at 100 TB — one decode, zero copies.
+
+    → (image_id, cw, ch, s0, s1, s2). Arrow-batched mapInPandas; REAL
+    engine decode (raw / PNG / lossy by magic bytes); zero exchanges."""
+    if crop_w < 1 or crop_h < 1:
+        raise ValueError(f"crop size must be >= 1, got {crop_w}x{crop_h}")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = decode_image(bytes(data))
+                h, w, _ = px.shape
+                if w < crop_h or h < crop_w:
+                    raise ValueError(
+                        f"image {iid} ({h}x{w}) smaller than rotated crop "
+                        f"{crop_h}x{crop_w}")
+                aug = np.rot90(px[:, ::-1, :], k=-1)  # hflip then 90° CW
+                oy = (aug.shape[0] - crop_h) // 2
+                ox = (aug.shape[1] - crop_w) // 2
+                v = (aug[oy:oy + crop_h, ox:ox + crop_w, :]
+                     .astype(np.int64).reshape(-1))
+                i1 = np.arange(1, v.size + 1, dtype=np.int64)
+                rows.append((
+                    iid, crop_w, crop_h,
+                    int(v.sum()), int((i1 * v).sum()),
+                    int((i1 * i1 * v).sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "cw", "ch", "s0", "s1", "s2"])
+
+    t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {t}, cw int, ch int, s0 long, s1 long, s2 long",
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint, fully integer so
+    it is bit-identical across engines: decode → integer-weight grayscale
+    g = (299R + 587G + 114B) // 1000 → 8×8 nearest-neighbor downsample
+    (floor map, same convention as :func:`resize_nn_checksums`) → mean
+    m = Σg // 64 → bit_{r·8+c} = (g > m). The 64 bits are returned as two
+    32-bit halves (hash_lo = bits 0..31, hash_hi = bits 32..63) to keep
+    every value positive in int64 on both engines.
+
+    Complements the DCT-based phash surface: aHash is the cheap first
+    pass of an image-dedup pipeline (exact groupBy on the hash collapses
+    re-encodes and resamples of the same content before any Hamming
+    stage). → (image_id, hash_hi, hash_lo); zero exchanges."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = decode_image(bytes(data)).astype(np.int64)
+                h, w, _ = px.shape
+                g = (px[..., 0] * 299 + px[..., 1] * 587
+                     + px[..., 2] * 114) // 1000
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                xs = (np.arange(8, dtype=np.int64) * w) // 8
+                s = g[ys[:, None], xs[None, :]]
+                m = int(s.sum()) // 64
+                bits = (s > m).reshape(-1).astype(np.int64)
+                idx = np.arange(32, dtype=np.int64)
+                lo = int((bits[:32] << idx).sum())
+                hi = int((bits[32:] << idx).sum())
+                rows.append((iid, hi, lo))
+            yield pd.DataFrame(rows, columns=[id_col, "hash_hi", "hash_lo"])
+
+    t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen, schema=f"{id_col} {t}, hash_hi long, hash_lo long",
     )
 
 

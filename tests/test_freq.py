@@ -58,3 +58,58 @@ def test_heavy_hitters_spread_across_partitions(spark):
 def test_heavy_hitters_rejects_bad_threshold(spark):
     with pytest.raises(ValueError):
         heavy_hitters(_docs(spark, ["x"]), 0)
+
+
+def _nearest_rank(values, qm):
+    sv = sorted(values)
+    target = (len(sv) * qm + 999) // 1000
+    return sv[target - 1]
+
+
+@pytest.mark.parametrize("seed", [1, 9])
+def test_group_quantiles_exact_nearest_rank(spark, seed):
+    import numpy as np
+
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 4, 800),
+        "v": rng.integers(0, 60, 800),
+    })
+    out = group_quantiles(
+        spark.createDataFrame(pdf), "g", "v", [0.5, 0.9, 1.0]
+    ).toPandas().set_index("g")
+    for g, sub in pdf.groupby("g"):
+        row = out.loc[g]
+        assert row["n"] == len(sub)
+        for q, qm in [(0.5, 500), (0.9, 900), (1.0, 1000)]:
+            assert row[f"q_{qm}"] == _nearest_rank(sub["v"], qm), (g, q)
+        # q=1.0 is the exact max
+        assert row["q_1000"] == sub["v"].max()
+
+
+def test_group_quantiles_ties_and_single_value(spark):
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"],
+        "v": [7, 7, 7, 7, 7, 3],
+    })
+    out = group_quantiles(
+        spark.createDataFrame(pdf), "g", "v", [0.5]
+    ).toPandas().set_index("g")
+    assert out.loc["a"]["q_500"] == 7 and out.loc["a"]["n"] == 5
+    assert out.loc["b"]["q_500"] == 3 and out.loc["b"]["n"] == 1
+
+
+def test_group_quantiles_rejects_bad_qs(spark):
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    df = spark.createDataFrame(pd.DataFrame({"g": [1], "v": [1]}))
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", [])
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", [0.0])
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", [1.5])

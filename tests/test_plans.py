@@ -742,6 +742,63 @@ def test_heavy_hitters_plan_prune_then_broadcast_semi(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_local_moran_plan_pure_jvm_broadcast_moments(spark):
+    """local_moran: same contract as gi_star — sparse fan-out + ONE
+    pixel-key groupBy, broadcast moments, zero Python stages (the center
+    value rides the groupBy as a conditional sum, no self-join)."""
+    import pandas as pd
+
+    from python_prtree_spark import EngineConfig, Extent
+    from python_prtree_spark.operators.hotspot import local_moran
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [1, 2], "c": [3, 4],
+                      "cnt": [5, 6]}),
+        "tile long, r int, c int, cnt long",
+    )
+    cfg = EngineConfig(extent=Extent(0, 0, 100, 100), level=2, strategy="sql")
+    plan = explain_str(local_moran(df, cfg, px=4))
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_group_quantiles_plan_histogram_only(spark):
+    """group_quantiles: the rows are touched by ONE partial-aggregating
+    histogram groupBy; the cumulative window runs over the (group, value)
+    histogram, never the rows — no Python stages, no row-level sort
+    beyond the tiny histogram's window sort."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 2], "v": [3, 4]}), "g long, v long")
+    plan = explain_str(group_quantiles(df, "g", "v", [0.5, 0.9]))
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+    # map-side combine before the shuffle: a partial aggregate node
+    # appears under the first exchange
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_augment_and_ahash_plan_no_exchange(spark):
+    """augment_checksums / image_ahash: one Arrow-batched map stage per
+    input split — ZERO exchanges."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.multimodal import (
+        augment_checksums,
+        image_ahash,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [0], "bytes": [b""]}),
+        "image_id long, bytes binary",
+    )
+    assert "Exchange" not in explain_str(augment_checksums(df, 8, 8))
+    assert "Exchange" not in explain_str(image_ahash(df))
+
+
 def test_resize_nn_plan_no_exchange(spark):
     """resize_nn_checksums: one Arrow-batched map stage per input split —
     ZERO exchanges (embarrassingly parallel thumbnailing)."""
