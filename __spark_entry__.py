@@ -663,6 +663,74 @@ def _q_group_quantiles(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 power iterations, damping 85/100) over a
+    deterministic 3-out-regular link graph on the documents table (node
+    = md5-free row_number rank, out-edges 1+(src·k+c) mod N for
+    (k,c) ∈ {(7,1),(13,2),(31,3)}) — every score an exact int64 in 1e12
+    units, bit-identical to the unrolled SQL oracle."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.graph import pagerank
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    r = d.select(
+        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("src")
+    )
+    edges = None
+    for k, c in ((7, 1), (13, 2), (31, 3)):
+        ek = r.select(
+            "src", (1 + (F.col("src") * k + c) % n).cast("long").alias("dst")
+        )
+        edges = ek if edges is None else edges.union(ek)
+    return pagerank(edges, n_iter=3)
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled DuckDB twin of _q_pagerank (same integer ops per round)."""
+    sql = """
+WITH d AS (SELECT row_number() OVER (ORDER BY doc_id) AS src FROM documents),
+k AS (SELECT count(*) AS nn,
+             1000000000000 // count(*) AS init,
+             ((100 - 85) * (1000000000000 // count(*))) // 100 AS base
+      FROM documents),
+e AS (
+  SELECT src, 1 + (src * 7 + 1) % nn AS dst FROM d CROSS JOIN k
+  UNION ALL
+  SELECT src, 1 + (src * 13 + 2) % nn FROM d CROSS JOIN k
+  UNION ALL
+  SELECT src, 1 + (src * 31 + 3) % nn FROM d CROSS JOIN k),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+s0 AS (SELECT node, init AS score_q FROM nodes CROSS JOIN k)"""
+    for i in range(n_iter):
+        sql += f""",
+i{i} AS (
+  SELECT e.dst AS node, sum(s{i}.score_q // deg.dg) AS infl
+  FROM e JOIN deg ON e.src = deg.src JOIN s{i} ON e.src = s{i}.node
+  GROUP BY e.dst),
+s{i + 1} AS (
+  SELECT nodes.node,
+    base + (85 * coalesce(infl, 0)) // 100 AS score_q
+  FROM nodes CROSS JOIN k LEFT JOIN i{i} ON nodes.node = i{i}.node)"""
+    return sql + f"""
+SELECT node, CAST(score_q AS BIGINT) AS score_q FROM s{n_iter}
+"""
+
+
+def _q_token_drift(spark, sf_dir):
+    """Corpus-drift detection between the English slice and the rest of
+    the documents table: top-100 tokens by |per-token KL contribution|
+    (add-one smoothing over the joint vocabulary, floor(c·1e12)
+    quantization, token tie-break) — one conditional-sum groupBy, one
+    broadcast totals row, distributed TakeOrdered."""
+    from python_prtree_spark.functions.text import token_drift
+
+    d = _read(spark, sf_dir, "documents")
+    return token_drift(d, (F.col("lang") == "en"), k=100)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exact per-language quota sample of documents (40 per lang, md5
     rank) — deterministic membership, reproducible across engines; rank
@@ -947,6 +1015,22 @@ def _q_image_dedup_ahash(spark, sf_dir):
         F.count(F.lit(1)).over(wcl).cast("long").alias("n_cluster"),
         F.min("image_key").over(wcl).cast("long").alias("canon_key"),
     )
+
+
+def _q_mm_bilinear(spark, sf_dir):
+    """Fixed-point bilinear 12×12 thumbnails over the formula-tile corpus
+    (REAL decode) — Q4 fractional coordinates, /256 weight normalization,
+    every intermediate an exact int64, reduced to the Σv/Σi·v/Σi²·v
+    witness so smooth resampling hash-gates symbolically."""
+    from python_prtree_spark.operators.multimodal import (
+        resize_bilinear_checksums,
+    )
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return resize_bilinear_checksums(formula_tiles(ids), 12, 12)
 
 
 def _q_raster_algebra(spark, sf_dir):
@@ -1848,6 +1932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_augment": _q_mm_augment,
         "image_dedup_ahash": _q_image_dedup_ahash,
         "group_quantiles": _q_group_quantiles,
+        "mm_bilinear": _q_mm_bilinear,
+        "token_drift": _q_token_drift,
+        "pagerank": _q_pagerank,
         "persist_compact": _q_persist_compact,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
@@ -2391,6 +2478,34 @@ WITH toks AS (
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM toks GROUP BY token HAVING count(*) >= 40
 """,
+        "pagerank": _pagerank_oracle_sql(3),
+        # KL drift — p/q/ln in the same literal IEEE order as token_drift;
+        # |kl_q| DESC + token tie-break makes the top-100 engine-exact.
+        "token_drift": f"""
+WITH toks AS (
+  SELECT (lang = 'en') AS a, unnest({RAW_TOKENS_SQL}) AS token
+  FROM documents),
+counts AS (
+  SELECT token,
+    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+  FROM toks GROUP BY token),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts),
+sc AS (
+  SELECT token, ca, cb,
+    CAST(floor(
+      ((CAST(ca AS DOUBLE) + 1.0e0)
+       / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+      * ln(((CAST(ca AS DOUBLE) + 1.0e0)
+            / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+           / ((CAST(cb AS DOUBLE) + 1.0e0)
+              / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))))
+      * 1000000000000.0e0) AS BIGINT) AS kl_q
+  FROM counts CROSS JOIN tot)
+SELECT token, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+       kl_q
+FROM sc ORDER BY abs(kl_q) DESC, token ASC LIMIT 100
+""",
         "tfidf_topk": f"""
 WITH toks AS (
   SELECT doc_id, unnest({RAW_TOKENS_SQL}) AS t FROM documents),
@@ -2791,6 +2906,55 @@ v0 AS (SELECT id, i1, lossy,
 v AS (SELECT id, i1,
     CASE WHEN lossy THEN raw - raw % 2 ELSE raw END AS val FROM v0)
 SELECT id AS image_id, CAST(8 AS INT) AS cw, CAST(8 AS INT) AS ch,
+  CAST(sum(val) AS BIGINT) AS s0,
+  CAST(sum(i1 * val) AS BIGINT) AS s1,
+  CAST(sum(i1 * i1 * val) AS BIGINT) AS s2
+FROM v GROUP BY id
+""",
+        # Fixed-point bilinear — Q4 coords s16 = max(0, (8(2o+1)size)//out
+        # − 8), corners (y0..y1, x0..x1), weights /256; all int64-exact.
+        "mm_bilinear": """
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+r0 AS (SELECT *, unnest(range(12)) AS orow FROM t0),
+c0 AS (SELECT *, unnest(range(12)) AS ocol FROM r0),
+ch0 AS (SELECT *, unnest(range(3)) AS chn FROM c0),
+ax AS (
+  SELECT id, lossy, chn, w, h,
+    greatest((8 * (2 * orow + 1) * h) // 12 - 8, 0) AS sy16,
+    greatest((8 * (2 * ocol + 1) * w) // 12 - 8, 0) AS sx16,
+    (orow * 12 + ocol) * 3 + chn + 1 AS i1
+  FROM ch0),
+crd AS (
+  SELECT id, lossy, chn, i1,
+    sy16 // 16 AS y0, least(sy16 // 16 + 1, h - 1) AS y1, sy16 % 16 AS fy,
+    sx16 // 16 AS x0, least(sx16 // 16 + 1, w - 1) AS x1, sx16 % 16 AS fx
+  FROM ax),
+cor AS (
+  SELECT id, i1, fy, fx,
+    CASE WHEN lossy THEN ((id*31 + y0*7 + x0*13 + chn*101) % 256)
+           - ((id*31 + y0*7 + x0*13 + chn*101) % 256) % 2
+         ELSE (id*31 + y0*7 + x0*13 + chn*101) % 256 END AS v00,
+    CASE WHEN lossy THEN ((id*31 + y0*7 + x1*13 + chn*101) % 256)
+           - ((id*31 + y0*7 + x1*13 + chn*101) % 256) % 2
+         ELSE (id*31 + y0*7 + x1*13 + chn*101) % 256 END AS v10,
+    CASE WHEN lossy THEN ((id*31 + y1*7 + x0*13 + chn*101) % 256)
+           - ((id*31 + y1*7 + x0*13 + chn*101) % 256) % 2
+         ELSE (id*31 + y1*7 + x0*13 + chn*101) % 256 END AS v01,
+    CASE WHEN lossy THEN ((id*31 + y1*7 + x1*13 + chn*101) % 256)
+           - ((id*31 + y1*7 + x1*13 + chn*101) % 256) % 2
+         ELSE (id*31 + y1*7 + x1*13 + chn*101) % 256 END AS v11
+  FROM crd),
+v AS (
+  SELECT id, i1,
+    ((16 - fx) * (16 - fy) * v00 + fx * (16 - fy) * v10
+     + (16 - fx) * fy * v01 + fx * fy * v11) // 256 AS val
+  FROM cor)
+SELECT id AS image_id, CAST(12 AS INT) AS ow, CAST(12 AS INT) AS oh,
   CAST(sum(val) AS BIGINT) AS s0,
   CAST(sum(i1 * val) AS BIGINT) AS s1,
   CAST(sum(i1 * i1 * val) AS BIGINT) AS s2

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
-    "langid_col", "pii_cols", "bm25_scores", "tfidf_topk", "STOPWORDS",
+    "langid_col", "pii_cols", "bm25_scores", "tfidf_topk", "token_drift",
+    "STOPWORDS",
     "BPE_SPLIT_RE",
     "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
 ]
@@ -179,6 +180,72 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(doc_id, "term", "tf", "df", "score_q",
                 F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def token_drift(
+    docs: "DataFrame",
+    label: str | Column,
+    k: int = 100,
+    text: str = "text",
+    quantize_scale: int = 10**12,
+) -> "DataFrame":
+    """Corpus-drift detection: per-token KL-divergence contributions
+    between slice A (``label`` true) and slice B (false) of a corpus —
+    the "what changed in my data mix" primitive run before/after a crawl
+    refresh or between train/val splits. Add-one smoothing over the
+    joint vocabulary V:
+
+        p_t = (cnt_A(t)+1) / (n_A+V)     q_t = (cnt_B(t)+1) / (n_B+V)
+        c_t = p_t · ln(p_t / q_t)        (Σ c_t = KL(P ‖ Q))
+
+    Top-k tokens by |c_t| (both enrichment and depletion drive drift),
+    tie-broken by token — engine-independent, so the selection
+    hash-gates. Scores quantized floor(c_t·1e12); ln/division are the
+    same correctly-rounded IEEE ops in Spark and DuckDB (the tfidf/bm25
+    precedent).
+
+    Plan: tokens explode once into ONE map-side-combined groupBy(token)
+    with conditional slice sums (no join between slices); the three
+    totals are one scalar aggregate (the tfidf/bm25 driver-side scalar
+    contract — keeps the returned plan at a single exchange); the global
+    top-k is a distributed TakeOrdered, never a full sort.
+    → (token, cnt_a, cnt_b, kl_q)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lab = F.col(label) if isinstance(label, str) else label
+    toks = docs.select(
+        lab.alias("_a"), F.explode(tokens_col(text)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("_cb"),
+    )
+    # three scalar totals, collected once (the tfidf n_docs / bm25 avgdl
+    # driver-side scalar contract) — keeps the RETURNED plan at exactly
+    # one exchange instead of re-deriving the token groupBy for a
+    # single-row aggregate. Partial-aggregated two-level countDistinct.
+    na, nb, v = toks.agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)),
+        F.countDistinct("token"),
+    ).collect()[0]
+    # mirrored VERBATIM by the SQL oracle (same IEEE double op order)
+    p = (F.col("_ca").cast("double") + F.lit(1.0)) / (
+        F.lit(float(na)) + F.lit(float(v)))
+    q = (F.col("_cb").cast("double") + F.lit(1.0)) / (
+        F.lit(float(nb)) + F.lit(float(v)))
+    kl_q = F.floor(p * F.log(p / q) * F.lit(float(quantize_scale)))
+    return (
+        counts
+        .select(
+            "token",
+            F.col("_ca").cast("long").alias("cnt_a"),
+            F.col("_cb").cast("long").alias("cnt_b"),
+            kl_q.cast("long").alias("kl_q"),
+        )
+        .orderBy(F.abs(F.col("kl_q")).desc(), F.col("token").asc())
+        .limit(k)
     )
 
 

@@ -1,0 +1,99 @@
+"""Fixed-point PageRank over an edge list — exact across engines.
+
+The graph-centrality primitive of a web-corpus curation pipeline (link
+authority as a quality prior, crawl frontier ranking). Joins the
+connected-components operator (components.py) as the second member of
+the graph family.
+
+Reference parity note: the reference engine (atksh/python_prtree) has no
+graph surface; this belongs to the training-data-pipeline extension
+family (SURVEY.md §2.1b).
+
+Determinism: every quantity is an int64 — scores are held in SCALE
+units, per-edge shares use integer division by the sender's out-degree,
+damping is the integer pair (d_num, d_den). No float exists anywhere,
+so Spark and any ANSI-SQL oracle produce bit-identical scores at every
+iteration. (Integer division makes total mass decay by a few units per
+round — the standard trade for cross-engine exactness; rankings are
+unaffected.)
+
+Scale shape: out-degrees are ONE groupBy, then each iteration is one
+shuffle — an edge-key join from the current scores plus a dst-key
+groupBy, with a left join back onto the node set so sink-only nodes
+keep their base mass. K iterations = K passes over the EDGE list (the
+unavoidable cost of power iteration); scores stay node-sized. No driver
+loop over data — the Python for-loop only builds the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    d_num: int = 85,
+    d_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank in pure int64 fixed point.
+
+    Nodes are the union of sources and destinations. With N nodes and
+    out-degree deg(u):
+
+        score_0(v)   = SCALE // N
+        base         = ((d_den − d_num) · (SCALE // N)) // d_den
+        share_k(u)   = score_k(u) // deg(u)            (per out-edge)
+        score_{k+1}(v) = base + (d_num · Σ_{u→v} share_k(u)) // d_den
+
+    Multi-edges contribute once per edge; sink nodes (no out-edges)
+    simply stop forwarding mass (their in-mass still accrues).
+
+    → (node, score_q) — score_q in SCALE units, bit-exact vs SQL.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < d_num < d_den:
+        raise ValueError(f"need 0 < d_num < d_den, got {d_num}/{d_den}")
+
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    n = nodes.count()  # scalar contract (tfidf n_docs / bm25 avgdl)
+    init = SCALE // n
+    base = ((d_den - d_num) * init) // d_den
+
+    scores = nodes.select("node", F.lit(init).cast("long").alias("score_q"))
+    for _ in range(n_iter):
+        # 64-bit integer DIV (not double /): bit-exact vs the SQL oracle
+        inflow = (
+            e.join(deg, on="_s")
+            .join(scores, on=F.col("_s") == F.col("node"))
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("score_q DIV _deg").alias("_sh"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_sh").alias("_in"))
+        )
+        scores = (
+            nodes.join(inflow, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({d_num} * coalesce(_in, 0)) DIV {d_den}")
+                ).cast("long").alias("score_q"),
+            )
+        )
+    return scores

@@ -32,6 +32,7 @@ __all__ = [
     "resize_nn_checksums",
     "augment_checksums",
     "image_ahash",
+    "resize_bilinear_checksums",
     "verify_roundtrip",
     "audio_features_stub",
     "video_frame_sample_stub",
@@ -223,6 +224,75 @@ def augment_checksums(
     return df.select(id_col, bytes_col).mapInPandas(
         gen,
         schema=f"{id_col} {t}, cw int, ch int, s0 long, s1 long, s2 long",
+    )
+
+
+def resize_bilinear_checksums(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Bilinear thumbnail resize in FIXED-POINT integer arithmetic (Q4
+    fractional coordinates, /256 weight normalization) — real smooth
+    resampling whose every intermediate is an exact int64, so the whole
+    decode→interpolate chain is bit-identical across engines and
+    hash-gates against a symbolic SQL oracle via the same Σv/Σi·v/Σi²·v
+    witness as :func:`resize_nn_checksums`.
+
+    Coordinate convention (align_corners=False, the PIL/TF default):
+    src = (out + 0.5)·size/out_size − 0.5, held in 1/16ths:
+
+        s16 = max(0, (8·(2·out + 1)·size) // out_size − 8)
+        i0 = s16 // 16,  f = s16 % 16,  i1 = min(i0 + 1, size − 1)
+        v = ((16−fx)(16−fy)·v00 + fx(16−fy)·v10
+             + (16−fx)fy·v01 + fx·fy·v11) // 256
+
+    Floor-division truncation is the SAME floor in numpy and ANSI SQL
+    (all operands non-negative). → (image_id, ow, oh, s0, s1, s2);
+    Arrow-batched mapInPandas, REAL engine decode, zero exchanges."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output size must be >= 1, got {out_w}x{out_h}")
+
+    def _axis(n_out: int, n_src: int):
+        s16 = (8 * (2 * np.arange(n_out, dtype=np.int64) + 1) * n_src
+               ) // n_out - 8
+        s16 = np.maximum(s16, 0)
+        i0 = s16 // 16
+        f = s16 % 16
+        i1 = np.minimum(i0 + 1, n_src - 1)
+        return i0, i1, f
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = decode_image(bytes(data)).astype(np.int64)
+                h, w, _ = px.shape
+                y0, y1, fy = _axis(out_h, h)
+                x0, x1, fx = _axis(out_w, w)
+                fyc, fxc = fy[:, None, None], fx[None, :, None]
+                v = (
+                    (16 - fxc) * (16 - fyc) * px[y0[:, None], x0[None, :], :]
+                    + fxc * (16 - fyc) * px[y0[:, None], x1[None, :], :]
+                    + (16 - fxc) * fyc * px[y1[:, None], x0[None, :], :]
+                    + fxc * fyc * px[y1[:, None], x1[None, :], :]
+                ) // 256
+                v = v.reshape(-1)
+                i1_ = np.arange(1, v.size + 1, dtype=np.int64)
+                rows.append((
+                    iid, out_w, out_h,
+                    int(v.sum()), int((i1_ * v).sum()),
+                    int((i1_ * i1_ * v).sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ow", "oh", "s0", "s1", "s2"])
+
+    t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
     )
 
 

@@ -131,3 +131,92 @@ def test_image_ahash_brightness_invariance(spark):
     ham = bin((hi0 ^ hi1) & 0xFFFFFFFF).count("1") + bin(
         (lo0 ^ lo1) & 0xFFFFFFFF).count("1")
     assert ham <= 4, ham
+
+
+def _bilinear_fixed(px, ow, oh):
+    """Driver-side twin of resize_bilinear_checksums' kernel."""
+    px = px.astype(np.int64)
+    h, w, _ = px.shape
+
+    def axis(n_out, n_src):
+        s16 = (8 * (2 * np.arange(n_out, dtype=np.int64) + 1) * n_src
+               ) // n_out - 8
+        s16 = np.maximum(s16, 0)
+        return s16 // 16, np.minimum(s16 // 16 + 1, n_src - 1), s16 % 16
+
+    y0, y1, fy = axis(oh, h)
+    x0, x1, fx = axis(ow, w)
+    fyc, fxc = fy[:, None, None], fx[None, :, None]
+    return (
+        (16 - fxc) * (16 - fyc) * px[y0[:, None], x0[None, :], :]
+        + fxc * (16 - fyc) * px[y0[:, None], x1[None, :], :]
+        + (16 - fxc) * fyc * px[y1[:, None], x0[None, :], :]
+        + fxc * fyc * px[y1[:, None], x1[None, :], :]
+    ) // 256
+
+
+@pytest.mark.parametrize("fmt", ["raw", "png", "lossy"])
+def test_bilinear_checksums_match_numpy(spark, fmt):
+    from python_prtree_spark.operators.multimodal import (
+        resize_bilinear_checksums,
+    )
+
+    rng = np.random.default_rng(13)
+    imgs, exp = [], {}
+    for iid, (h, w) in enumerate([(12, 16), (24, 32), (16, 16), (9, 7)]):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if fmt == "lossy":
+            px = px - px % 2
+        imgs.append((iid, encode_image(px, fmt)))
+        v = _bilinear_fixed(px, 12, 12).reshape(-1)
+        i1 = np.arange(1, v.size + 1, dtype=np.int64)
+        exp[iid] = (int(v.sum()), int((i1 * v).sum()), int((i1 * i1 * v).sum()))
+    got = {
+        r["image_id"]: (r["s0"], r["s1"], r["s2"])
+        for r in resize_bilinear_checksums(
+            _img_df(spark, imgs), 12, 12).collect()
+    }
+    assert got == exp
+
+
+def test_bilinear_identity_at_same_size(spark):
+    """out == src dims: s16 = 16·o exactly (zero fraction), so the
+    fixed-point kernel reduces to the identity — no smoothing loss."""
+    from python_prtree_spark.operators.multimodal import (
+        resize_bilinear_checksums,
+    )
+
+    rng = np.random.default_rng(14)
+    px = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    got = resize_bilinear_checksums(
+        _img_df(spark, [(0, encode_image(px, "raw"))]), 12, 10).collect()[0]
+    v = px.astype(np.int64).reshape(-1)
+    i1 = np.arange(1, v.size + 1, dtype=np.int64)
+    assert (got["s0"], got["s1"], got["s2"]) == (
+        int(v.sum()), int((i1 * v).sum()), int((i1 * i1 * v).sum()))
+
+
+def test_bilinear_close_to_float_reference(spark):
+    """Q4 fixed point tracks true float bilinear within quantization
+    error (< 16 levels per axis => a few units per pixel)."""
+    rng = np.random.default_rng(15)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    fixed = _bilinear_fixed(px, 12, 12).astype(np.float64)
+    h, w = 24, 32
+
+    def faxis(n_out, n_src):
+        s = (np.arange(n_out) + 0.5) * n_src / n_out - 0.5
+        s = np.clip(s, 0, n_src - 1)
+        i0 = np.floor(s).astype(int)
+        i1 = np.minimum(i0 + 1, n_src - 1)
+        return i0, i1, s - i0
+
+    y0, y1, fy = faxis(12, h)
+    x0, x1, fx = faxis(12, w)
+    fyc, fxc = fy[:, None, None], fx[None, :, None]
+    pf = px.astype(np.float64)
+    ref = ((1 - fxc) * (1 - fyc) * pf[y0[:, None], x0[None, :], :]
+           + fxc * (1 - fyc) * pf[y0[:, None], x1[None, :], :]
+           + (1 - fxc) * fyc * pf[y1[:, None], x0[None, :], :]
+           + fxc * fyc * pf[y1[:, None], x1[None, :], :])
+    assert np.abs(fixed - ref).max() <= 24  # Q4 quantization bound

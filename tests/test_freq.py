@@ -113,3 +113,65 @@ def test_group_quantiles_rejects_bad_qs(spark):
         group_quantiles(df, "g", "v", [0.0])
     with pytest.raises(ValueError):
         group_quantiles(df, "g", "v", [1.5])
+
+
+def test_token_drift_matches_python_kl(spark):
+    import math
+
+    from python_prtree_spark.functions.text import token_drift
+
+    texts_a = ["apple apple banana", "apple cherry", "apple banana"]
+    texts_b = ["banana cherry", "cherry date", "date date cherry"]
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": texts_a + texts_b,
+        "is_a": [True] * 3 + [False] * 3,
+    })
+    got = token_drift(
+        spark.createDataFrame(pdf), "is_a", k=10
+    ).toPandas().set_index("token")
+
+    ca = Counter(" ".join(texts_a).split())
+    cb = Counter(" ".join(texts_b).split())
+    vocab = sorted(set(ca) | set(cb))
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    exp = {}
+    for t in vocab:
+        p = (ca.get(t, 0) + 1.0) / (na + v)
+        q = (cb.get(t, 0) + 1.0) / (nb + v)
+        exp[t] = (ca.get(t, 0), cb.get(t, 0),
+                  math.floor(p * math.log(p / q) * 1e12))
+    assert set(got.index) == set(vocab)  # k=10 > vocab: all tokens emitted
+    for t in vocab:
+        row = got.loc[t]
+        assert (row["cnt_a"], row["cnt_b"], row["kl_q"]) == exp[t], t
+    # 'apple' is A-enriched (positive contribution), 'date' depleted
+    assert got.loc["apple"]["kl_q"] > 0
+    assert got.loc["date"]["kl_q"] < 0
+
+
+def test_token_drift_topk_boundary_deterministic(spark):
+    from python_prtree_spark.functions.text import token_drift
+
+    # A-enriched tokens carry larger |c| than B-enriched ones (p·ln(p/q)
+    # is asymmetric: (2/6)·ln2 > (1/6)·ln2), so the A pair {aa, zz} fills
+    # k=2 — and the selection is deterministic across runs.
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["zz aa", "mm qq"],
+        "is_a": [True, False],
+    })
+    out = token_drift(spark.createDataFrame(pdf), "is_a", k=2).toPandas()
+    assert len(out) == 2
+    assert sorted(out["token"]) == ["aa", "zz"]
+    out2 = token_drift(spark.createDataFrame(pdf), "is_a", k=2).toPandas()
+    assert sorted(out2["token"]) == ["aa", "zz"]
+
+
+def test_token_drift_rejects_bad_k(spark):
+    from python_prtree_spark.functions.text import token_drift
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["x"], "is_a": [True]}))
+    with pytest.raises(ValueError):
+        token_drift(df, "is_a", k=0)

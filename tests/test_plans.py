@@ -799,6 +799,57 @@ def test_augment_and_ahash_plan_no_exchange(spark):
     assert "Exchange" not in explain_str(image_ahash(df))
 
 
+def test_token_drift_plan_single_groupby_takeordered(spark):
+    """token_drift: ONE hash exchange (the conditional-sum token groupBy
+    — no join between slices), broadcast totals, and a distributed
+    TakeOrdered for the top-k (never a global sort)."""
+    import pandas as pd
+
+    from python_prtree_spark.functions.text import token_drift
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b", "b c"], "is_a": [True, False]}),
+        "text string, is_a boolean",
+    )
+    import re
+
+    plan = explain_str(token_drift(df, "is_a", k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pagerank_plan_jvm_only_no_cartesian(spark):
+    """pagerank: K iterations of edge-key join + dst groupBy + node left
+    join — pure JVM columns (integer DIV), no Python stages, no
+    cartesian product; the driver for-loop only builds the plan."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1], "dst": [1, 0]}), "src long, dst long")
+    plan = explain_str(pagerank(df, n_iter=2))
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bilinear_plan_no_exchange(spark):
+    """resize_bilinear_checksums: one Arrow-batched map stage — ZERO
+    exchanges (embarrassingly parallel resampling)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.multimodal import (
+        resize_bilinear_checksums,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [0], "bytes": [b""]}),
+        "image_id long, bytes binary",
+    )
+    assert "Exchange" not in explain_str(resize_bilinear_checksums(df, 8, 8))
+
+
 def test_resize_nn_plan_no_exchange(spark):
     """resize_nn_checksums: one Arrow-batched map stage per input split —
     ZERO exchanges (embarrassingly parallel thumbnailing)."""
