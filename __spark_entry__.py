@@ -663,6 +663,97 @@ def _q_group_quantiles(spark, sf_dir):
     )
 
 
+def _q_hexbin(spark, sf_dir):
+    """Hexagonal-bin density of the customer point cloud (pointy-top
+    hexes, circumradius 4.0 plane units): cell assignment is a pure
+    projection — argmin over the 3×3 candidate window via F.least on
+    (dist², q, r) structs, no cube-rounding float round() — then ONE
+    map-side-combined groupBy."""
+    from python_prtree_spark.functions.geo import hex_cell_cols
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("x"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("y"),
+    )
+    hq, hr = hex_cell_cols(F.col("x"), F.col("y"), 4.0)
+    return (
+        pts.select(hq, hr)
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    )
+
+
+def _hexbin_oracle_sql(size: float = 4.0) -> str:
+    """DuckDB twin of _q_hexbin: identical pre-multiplied double
+    literals, identical candidate argmin order (d2, q, r)."""
+    from python_prtree_spark.functions.geo import SQRT3
+
+    s15 = repr(1.5 * size)       # rf divisor literal, as Spark computes it
+    sq3s = repr(SQRT3 * size)    # qf divisor / cx factor literal
+    cands = ",\n    ".join(
+        f"ROW(qf + {dq}, rf + {dr})" for dq in (-1, 0, 1) for dr in (-1, 0, 1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+    CAST((c_custkey * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS x,
+    CAST((c_custkey * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS y
+  FROM customer),
+f AS (
+  SELECT id, x, y,
+    CAST(floor(y / {s15}) AS BIGINT) AS rf,
+    CAST(floor(x / {sq3s}
+         - CAST(CAST(floor(y / {s15}) AS BIGINT) AS DOUBLE) / 2.0)
+      AS BIGINT) AS qf
+  FROM pts),
+c0 AS (
+  SELECT id, x, y, unnest([{cands}]) AS cell FROM f),
+d AS (
+  SELECT id, x, y,
+    CAST(cell[1] AS BIGINT) AS q, CAST(cell[2] AS BIGINT) AS r
+  FROM c0),
+sc AS (
+  SELECT id, q, r,
+    (x - {sq3s} * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0))
+      * (x - {sq3s} * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0))
+    + (y - {s15} * CAST(r AS DOUBLE))
+      * (y - {s15} * CAST(r AS DOUBLE)) AS d2
+  FROM d),
+pick AS (
+  SELECT id, q, r,
+    row_number() OVER (PARTITION BY id ORDER BY d2, q, r) AS rn
+  FROM sc)
+SELECT q AS hq, r AS hr, CAST(count(*) AS BIGINT) AS n_points
+FROM pick WHERE rn = 1 GROUP BY q, r
+"""
+
+
+def _q_retention(spark, sf_dir):
+    """Retention triangle over the events stream: users cohorted by
+    first-seen day, exact per-(cohort, day-offset) active-user counts —
+    two partial-aggregated entity-key stages + one co-keyed join + the
+    tiny pair groupBy; pure integer epoch arithmetic."""
+    from python_prtree_spark.operators.cohort import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"),
+                             period_sec=86400)
+
+
+def _q_skyline(spark, sf_dir):
+    """Exact per-brand 2-D skyline over the part table — each brand's
+    non-dominated cheap-but-large frontier (minimize p_retailprice,
+    maximize p_size). Two-phase: per-partition per-group sort-scan local
+    skyline (provable superset) through the capped knn-style toPandas
+    gate, exact driver finish — the full table is scanned exactly once."""
+    from python_prtree_spark.operators.skyline import skyline
+
+    p = _read(spark, sf_dir, "part")
+    return skyline(p, x="p_retailprice", y="p_size", id_col="p_partkey",
+                   group_col="p_brand")
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (3 power iterations, damping 85/100) over a
     deterministic 3-out-regular link graph on the documents table (node
@@ -1676,6 +1767,24 @@ def _q_trajectory(spark, sf_dir):
     return trajectory_stats(pings)
 
 
+def _q_od_matrix(spark, sf_dir):
+    """Origin–destination trip matrix over the events stream: per
+    (user, day) the first/last ping tiles (zoom-6 web-mercator, ordered
+    by (ts, event_id)) define a trip; trips aggregate to per-O/D-pair
+    flow counts. One (entity, period) window shuffle + one
+    map-side-combined pair groupBy."""
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pings = ev.select(
+        "user_id", "ts", "event_id",
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    return od_matrix(pings, zoom=6, period_sec=86400)
+
+
 def _q_geo_distance_pairs(spark, sf_dir):
     """Geodesic self-join: all unordered customer-point pairs within
     250 km great-circle distance (id_a < id_b), the query_intersections
@@ -1904,12 +2013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints_exact": _q_fingerprints_exact,
         "dedup_components": _q_dedup_components,
         "mm_tile_caption": _q_mm_tile_caption,
-        # rows-only (approximate / image-decode — no ANSI-SQL twin)
+        # rows-only (approximate / image-decode — no ANSI-SQL twin);
+        # dedup_simhash / mm_phash_verify / mm_codec_roundtrip rotated to
+        # the back (r1-r3 green, each with an in-window exact twin)
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash,
         "ann_ivf": _q_ann_ivf,
-        "mm_phash_verify": _q_mm_phash,
-        "mm_codec_roundtrip": _q_mm_roundtrip,
         # --- (2) new in r5 ---
         "persist_roundtrip_3d": _q_persist_roundtrip_3d,
         "point_query_3d": _q_point_query_3d,
@@ -1935,6 +2043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bilinear": _q_mm_bilinear,
         "token_drift": _q_token_drift,
         "pagerank": _q_pagerank,
+        "od_matrix": _q_od_matrix,
+        "skyline": _q_skyline,
+        "retention_cohorts": _q_retention,
+        "hexbin": _q_hexbin,
         "persist_compact": _q_persist_compact,
         # --- (3) veterans touched by r5 diffs ---
         "pii_scrub": _q_pii_scrub,
@@ -1952,6 +2064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersections_3d": _q_intersections_3d,
         "intersections_4d": _q_intersections_4d,
         # --- (3b) core-representative veterans kept inside the window ---
+        "dedup_simhash": _q_simhash,
+        "mm_phash_verify": _q_mm_phash,
+        "mm_codec_roundtrip": _q_mm_roundtrip,
         "batch_query_sql": _q_batch_sql,
         "point_query": _q_point_query,
         "intersections_sql": _q_intersections_sql,
@@ -2479,6 +2594,35 @@ SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM toks GROUP BY token HAVING count(*) >= 40
 """,
         "pagerank": _pagerank_oracle_sql(3),
+        "hexbin": _hexbin_oracle_sql(4.0),
+        # Retention — integer epoch-day cohorts; (user, day) distinct
+        # makes the final count(*) the distinct-user count.
+        "retention_cohorts": """
+WITH b AS (
+  SELECT user_id AS e,
+    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS p
+  FROM events),
+c AS (SELECT e, min(p) AS cp FROM b GROUP BY e),
+a AS (SELECT DISTINCT e, p FROM b)
+SELECT cp AS cohort_p, CAST(a.p - c.cp AS BIGINT) AS offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN c ON a.e = c.e
+GROUP BY cp, a.p - c.cp
+""",
+        # Skyline — dominance is a pure set predicate; NOT EXISTS twin.
+        "skyline": """
+WITH p AS (
+  SELECT CAST(p_brand AS VARCHAR) AS grp,
+         CAST(p_partkey AS BIGINT) AS id,
+         CAST(p_retailprice AS DOUBLE) AS x,
+         CAST(p_size AS DOUBLE) AS y
+  FROM part)
+SELECT grp, id, x, y FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.grp = a.grp AND b.x <= a.x AND b.y >= a.y
+    AND (b.x < a.x OR b.y > a.y))
+""",
         # KL drift — p/q/ln in the same literal IEEE order as token_drift;
         # |kl_q| DESC + token tie-break makes the top-100 engine-exact.
         "token_drift": f"""
@@ -2562,6 +2706,38 @@ j AS (
 SELECT q.qid AS qid, j.event_id AS match_id, j.us AS match_ts_us,
   j.vq AS match_vq
 FROM q LEFT JOIN j ON j.qid = q.qid AND j.rk = 1
+""",
+        # OD matrix — same tile math as st_cube; first/last ping of each
+        # (user, day) trip by the identical (ts, event_id) window order.
+        "od_matrix": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 941083987) % 360000 AS DOUBLE)/1000.0 - 180.0 AS lng,
+    CAST((event_id * 824633721) % 166000 AS DOUBLE)/1000.0 - 83.0 AS lat
+  FROM events),
+t AS (
+  SELECT user_id AS e,
+    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS p,
+    ts, event_id,
+    greatest(0, least(63, CAST(floor((lng + 180.0) / 360.0 * 64.0) AS BIGINT))) AS tx,
+    greatest(0, least(63, CAST(floor(
+      (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0
+    ) AS BIGINT))) AS ty
+  FROM g),
+r AS (
+  SELECT e, p, tx, ty,
+    row_number() OVER (PARTITION BY e, p ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY e, p) AS n
+  FROM t),
+trips AS (
+  SELECT e, p,
+    min(CASE WHEN rn = 1 THEN tx END) AS o_tx,
+    min(CASE WHEN rn = 1 THEN ty END) AS o_ty,
+    min(CASE WHEN rn = n THEN tx END) AS d_tx,
+    min(CASE WHEN rn = n THEN ty END) AS d_ty
+  FROM r GROUP BY e, p)
+SELECT o_tx, o_ty, d_tx, d_ty, CAST(count(*) AS BIGINT) AS flows
+FROM trips GROUP BY o_tx, o_ty, d_tx, d_ty
 """,
         "st_cube": """
 WITH g AS (

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "geohash_col",
+    "hex_cell_cols",
     "lnglat_tile_cols",
     "tile_id_col",
     "quadkey_col",
@@ -37,6 +38,48 @@ __all__ = [
     "lnglat_tiles_np",
     "quadkey_np",
 ]
+
+# sqrt(3) as one fixed double literal — Spark and any SQL oracle parse
+# the identical value, so hex-center coordinates agree bit-for-bit
+SQRT3 = 1.7320508075688772
+
+
+def hex_cell_cols(
+    x: Column, y: Column, size: float
+) -> tuple[Column, Column]:
+    """Pointy-top hexagonal binning: → (hq, hr) axial cell coordinates
+    of the hexagon (circumradius ``size``) containing the point — i.e.
+    the NEAREST hex center under Euclidean distance (the hexagons are
+    the Voronoi cells of the center lattice).
+
+    Center of axial (q, r): (size·√3·(q + r/2), size·1.5·r). Instead of
+    the classic cube-rounding (whose float round() semantics differ
+    across engines), the cell is chosen by exact argmin over the 3×3
+    candidate window around the floored axial transform — a pure column
+    expression: nine (dist², q, r) structs reduced by F.least (struct
+    ordering = lexicographic, so equidistant boundary points tie-break
+    to the smallest (q, r) — deterministic and oracle-reproducible).
+    Zero shuffles; every arithmetic step is a fixed IEEE double
+    sequence mirrored literally in the SQL twin."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    s = float(size)
+    rf = F.floor(y / F.lit(1.5 * s)).cast("long")
+    qf = F.floor(
+        x / F.lit(SQRT3 * s) - rf.cast("double") / F.lit(2.0)
+    ).cast("long")
+    cands = []
+    for dq in (-1, 0, 1):
+        for dr in (-1, 0, 1):
+            q = qf + F.lit(dq)
+            r = rf + F.lit(dr)
+            cx = F.lit(s * SQRT3) * (
+                q.cast("double") + r.cast("double") / F.lit(2.0))
+            cy = F.lit(s * 1.5) * r.cast("double")
+            d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+            cands.append(F.struct(d2.alias("d"), q.alias("q"), r.alias("r")))
+    best = F.least(*cands)
+    return best["q"].alias("hq"), best["r"].alias("hr")
 
 _MAX_ZOOM = 30  # tile ids stay < 2^60, safely inside a long
 

@@ -24,7 +24,73 @@ from pyspark.sql import functions as F
 
 from python_prtree_spark.operators.distance import EARTH_RADIUS_KM
 
-__all__ = ["trajectory_stats"]
+__all__ = ["trajectory_stats", "od_matrix"]
+
+
+def od_matrix(
+    pings_df: DataFrame,
+    zoom: int,
+    period_sec: int = 86400,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Origin–destination flow matrix — the trip-table primitive of
+    transport/mobility analytics (OD matrices in GTFS/telco studies):
+    per (entity, period) the FIRST ping's tile is the origin and the
+    LAST ping's tile the destination (ordered by (ts, id) — the id
+    breaks timestamp ties deterministically), then trips aggregate into
+    per-(origin, destination) flow counts.
+
+    Plan: ONE shuffle on the (entity, period) trip key — both the
+    row_number and the per-trip count ride the same window sort — then
+    one map-side-combined groupBy on the O/D cell pair. Same skew
+    posture as trajectory_stats: a trip's row count is one entity's
+    pings per period, never corpus-scale; hot O/D cell pairs are
+    aggregation skew, which partial aggregation absorbs.
+
+    → (o_tx, o_ty, d_tx, d_ty, flows) — slippy tiles at ``zoom``;
+    flows = number of (entity, period) trips (long)."""
+    from python_prtree_spark.functions.geo import lnglat_tile_cols
+
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    tx, ty = lnglat_tile_cols(F.col(lng), F.col(lat), zoom)
+    period = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(int(period_sec) * 1_000_000)
+        )
+    ).cast("long")
+    w = Window.partitionBy("_e", "_p").orderBy("_ts", "_id")
+    wall = Window.partitionBy("_e", "_p")
+    rows = (
+        pings_df.select(
+            F.col(entity_col).alias("_e"),
+            period.alias("_p"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            tx.alias("_tx"),
+            ty.alias("_ty"),
+        )
+        .select(
+            "_e", "_p", "_tx", "_ty",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+    )
+    trips = rows.groupBy("_e", "_p").agg(
+        F.min(F.when(F.col("_rn") == 1, F.col("_tx"))).alias("o_tx"),
+        F.min(F.when(F.col("_rn") == 1, F.col("_ty"))).alias("o_ty"),
+        F.min(F.when(F.col("_rn") == F.col("_n"), F.col("_tx"))).alias("d_tx"),
+        F.min(F.when(F.col("_rn") == F.col("_n"), F.col("_ty"))).alias("d_ty"),
+    )
+    return (
+        trips.groupBy("o_tx", "o_ty", "d_tx", "d_ty")
+        .agg(F.count(F.lit(1)).cast("long").alias("flows"))
+    )
 
 
 def trajectory_stats(

@@ -161,3 +161,69 @@ def test_geohash_vs_bisection_reference(spark):
     g12 = {r["pid"]: r["g"] for r in df.select(
         "pid", geohash_col(F.col("lng"), F.col("lat"), 12).alias("g")).collect()}
     assert all(g12[i].startswith(g5[i]) for i in range(300))
+
+
+def _hex_brute(x, y, s):
+    """Nearest pointy-top hex center (circumradius s), (d2, q, r) order."""
+    from python_prtree_spark.functions.geo import SQRT3
+
+    r0 = int(math.floor(y / (1.5 * s)))
+    q0 = int(math.floor(x / (SQRT3 * s) - r0 / 2))
+    best = None
+    for q in range(q0 - 3, q0 + 4):
+        for r in range(r0 - 3, r0 + 4):
+            cx, cy = s * SQRT3 * (q + r / 2.0), s * 1.5 * r
+            key = ((x - cx) ** 2 + (y - cy) ** 2, q, r)
+            if best is None or key < best:
+                best = key
+    return best[1], best[2]
+
+
+@pytest.mark.parametrize("size", [1.0, 7.0])
+def test_hex_cells_match_nearest_center(spark, size):
+    import pandas as pd
+
+    from python_prtree_spark.functions.geo import hex_cell_cols
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "x": rng.uniform(-50, 50, 500), "y": rng.uniform(-50, 50, 500)})
+    hq, hr = hex_cell_cols(F.col("x"), F.col("y"), size)
+    got = spark.createDataFrame(pdf).select("x", "y", hq, hr).collect()
+    for r in got:
+        assert (r["hq"], r["hr"]) == _hex_brute(r["x"], r["y"], size), r
+
+
+def test_hex_cells_boundary_ties_lexicographic(spark):
+    """Exact midpoints between two centers tie on distance; the struct
+    least picks the smaller (q, r) — same rule as the SQL twin."""
+    import pandas as pd
+
+    from python_prtree_spark.functions.geo import SQRT3, hex_cell_cols
+
+    s = 4.0
+    pts = [(s * SQRT3 * 0.5, 0.0), (s * SQRT3, 0.75 * s), (0.0, 0.75 * s)]
+    pdf = pd.DataFrame(pts, columns=["x", "y"])
+    hq, hr = hex_cell_cols(F.col("x"), F.col("y"), s)
+    got = spark.createDataFrame(pdf).select("x", "y", hq, hr).collect()
+    for r in got:
+        assert (r["hq"], r["hr"]) == _hex_brute(r["x"], r["y"], s), r
+
+
+def test_hex_cells_pure_projection_plan(spark):
+    import pandas as pd
+
+    from python_prtree_spark.functions.geo import hex_cell_cols
+    from python_prtree_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [0.0], "y": [0.0]}))
+    plan = explain_str(df.select(*hex_cell_cols(F.col("x"), F.col("y"), 2.0)))
+    assert "Exchange" not in plan and "pythonUDF" not in plan, plan
+
+
+def test_hex_cells_rejects_bad_size():
+    from python_prtree_spark.functions.geo import hex_cell_cols
+
+    with pytest.raises(ValueError):
+        hex_cell_cols(F.lit(0.0), F.lit(0.0), 0.0)

@@ -144,3 +144,93 @@ def test_trajectory_stream_equals_batch(spark, tmp_path):
     assert last == batch
     # multiple batches actually touched each user (cumulative rows grew)
     assert len(emitted) > len(last)
+
+
+def _od_oracle(rows, zoom, period_sec):
+    """rows: (user, sec, event_id, lng, lat) -> {(o_tx,o_ty,d_tx,d_ty): n}"""
+    n_tiles = 1 << zoom
+
+    def tile(g, t):
+        tx = max(0, min(n_tiles - 1, math.floor((g + 180.0) / 360.0 * n_tiles)))
+        lat_r = math.radians(t)
+        ty = max(0, min(n_tiles - 1, math.floor(
+            (1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r))
+             / math.pi) / 2.0 * n_tiles)))
+        return tx, ty
+
+    base = dt.datetime(2024, 1, 1)
+    trips = {}
+    for u, s, i, g, t in rows:
+        epoch = (base + dt.timedelta(seconds=float(s))
+                 - dt.datetime(1970, 1, 1)).total_seconds()
+        p = math.floor(epoch * 1_000_000 / (period_sec * 1_000_000))
+        trips.setdefault((u, p), []).append((s, i, g, t))
+    flows = {}
+    for pings in trips.values():
+        pings.sort()
+        o = tile(pings[0][2], pings[0][3])
+        d = tile(pings[-1][2], pings[-1][3])
+        key = (*o, *d)
+        flows[key] = flows.get(key, 0) + 1
+    return flows
+
+
+def test_od_matrix_random_vs_oracle(spark):
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(u), float(s), int(i), float(g), float(t))
+        for i, (u, s, g, t) in enumerate(zip(
+            rng.integers(0, 12, 200),
+            rng.uniform(0, 5 * 86400, 200),
+            rng.uniform(-179, 179, 200),
+            rng.uniform(-80, 80, 200),
+        ))
+    ]
+    got = {
+        (r["o_tx"], r["o_ty"], r["d_tx"], r["d_ty"]): r["flows"]
+        for r in od_matrix(_df(spark, rows), zoom=6, period_sec=86400).collect()
+    }
+    assert got == _od_oracle(rows, 6, 86400)
+
+
+def test_od_matrix_single_ping_trip_is_self_loop(spark):
+    """A (user, period) with one ping has origin == destination."""
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    rows = [(1, 10.0, 0, 10.0, 20.0)]
+    out = od_matrix(_df(spark, rows), zoom=6, period_sec=86400).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["o_tx"], r["o_ty"]) == (r["d_tx"], r["d_ty"])
+    assert r["flows"] == 1
+
+
+def test_od_matrix_tiebreak_on_event_id(spark):
+    """Two pings at the SAME timestamp: event_id orders them, so the
+    lower id is the origin and the higher the destination."""
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    rows = [(1, 50.0, 2, 100.0, 0.0), (1, 50.0, 1, -100.0, 0.0)]
+    r = od_matrix(_df(spark, rows), zoom=6, period_sec=86400).collect()[0]
+    assert r["o_tx"] < 32 < r["d_tx"]  # west origin, east destination
+
+
+def test_od_matrix_plan_two_shuffles_no_python(spark):
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    df = _df(spark, [(1, 0.0, 0, 0.0, 0.0)])
+    out = od_matrix(df, zoom=6)
+    assert_no_cartesian(out)
+    plan = explain_str(out)
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_od_matrix_rejects_bad_period(spark):
+    import pytest
+
+    from python_prtree_spark.operators.trajectory import od_matrix
+
+    with pytest.raises(ValueError):
+        od_matrix(_df(spark, [(1, 0.0, 0, 0.0, 0.0)]), zoom=6, period_sec=0)
