@@ -1984,13 +1984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) long-green veterans rotate to the back (their evidence lives in
     prior CORRECTNESS_r*.json files and tools/check_oracles.py runs).
     r5 rotation: the 24 entries the r4 driver never reached (10
-    never-checked r4 operators first, then 14 whose last green row is
-    r3, including the 5 rows-only entries) lead; then the 14 r5-new
-    entries (every one locally hash-verified via tools/check_oracles.py,
-    FAILURES 0); then veterans touched by r5 diffs (pii cascade-count,
-    persisted-store/nd-mutate paths, components early-exit, knn A/B
-    scrutiny); veterans green in BOTH r3 and r4 rotate past position 50
-    (their evidence lives in prior CORRECTNESS files)."""
+    never-checked r4 operators first, then those whose last green row
+    is r3) lead, followed by the 29 r5-new entries (every one locally
+    hash-verified via tools/check_oracles.py, FAILURES 0) — together
+    they fill the 50-slot window exactly; dedup_simhash /
+    mm_phash_verify / mm_codec_roundtrip (r1-r3 green rows-only forms
+    whose exact twins stay in-window) and all veterans green in BOTH r3
+    and r4 rotate past position 50 (their evidence lives in prior
+    CORRECTNESS files and every-round check_oracles runs)."""
     return {
         # --- (1) never driver-checked (registered r4, positions 51-60) ---
         "line_density": _q_line_density,

@@ -114,8 +114,13 @@ def group_quantiles(
         raise ValueError(f"quantiles must be in (0, 1], got {list(qs)}")
 
     hist = (
+        # try_cast: null AND NaN values become null and are excluded
+        # (not ranked) — Spark windows sort nulls FIRST and ANSI SQL
+        # engines LAST, so ranking them would make the cumulative counts
+        # engine-dependent (and NaN.cast(long) throws under ANSI)
         df.select(F.col(group_col).alias("g"),
-                  F.col(value_col).cast("long").alias("v"))
+                  F.col(value_col).try_cast("long").alias("v"))
+        .where(F.col("v").isNotNull())
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

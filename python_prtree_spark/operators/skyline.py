@@ -68,7 +68,14 @@ def skyline(
     ]
     if group_col is not None:
         cols.insert(0, F.col(group_col).cast("string").alias("grp"))
-    pts = df.select(*cols)
+    pts = df.select(*cols).where(
+        # null/NaN coordinates are excluded up front: NULL comparisons
+        # make NOT EXISTS keep such rows while pandas sort/groupby drops
+        # them — excluding both sides keeps the operator a pure set
+        # function of the well-defined points
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+        & ~F.isnan("x") & ~F.isnan("y")
+    )
     schema = ("grp string, " if group_col is not None else "") + \
         "id long, x double, y double"
 

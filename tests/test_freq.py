@@ -175,3 +175,14 @@ def test_token_drift_rejects_bad_k(spark):
         pd.DataFrame({"text": ["x"], "is_a": [True]}))
     with pytest.raises(ValueError):
         token_drift(df, "is_a", k=0)
+
+
+def test_group_quantiles_ignores_null_values(spark):
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    pdf = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 3.0, None]})
+    out = group_quantiles(
+        spark.createDataFrame(pdf), "g", "v", [0.5, 1.0]
+    ).toPandas().set_index("g")
+    assert out.loc["a"]["n"] == 2
+    assert out.loc["a"]["q_500"] == 1 and out.loc["a"]["q_1000"] == 3

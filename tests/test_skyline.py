@@ -91,3 +91,13 @@ def test_skyline_plan_single_scan_no_shuffle_before_prune(spark):
     # correctness instead: a 1-row frame is its own skyline
     out = skyline(df, "x", "y", "id").toPandas()
     assert len(out) == 1 and out.iloc[0]["id"] == 0
+
+
+def test_skyline_ignores_null_and_nan_points(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "x": [1.0, np.nan, 2.0, None],
+        "y": [5.0, 9.0, None, 9.0],
+    })
+    got = skyline(spark.createDataFrame(pdf), "x", "y", "id").toPandas()
+    assert sorted(got["id"]) == [0]
