@@ -186,3 +186,45 @@ def test_group_quantiles_ignores_null_values(spark):
     ).toPandas().set_index("g")
     assert out.loc["a"]["n"] == 2
     assert out.loc["a"]["q_500"] == 1 and out.loc["a"]["q_1000"] == 3
+
+
+def test_heavy_hitters_stream_equals_batch(spark, tmp_path):
+    """heavy_hitters_stream over an actual file stream == the same
+    windowed aggregate in batch over the same rows, and the plan runs as
+    a real streaming query with a memory sink."""
+    import datetime as dt
+    import shutil
+
+    from python_prtree_spark.streaming.freq import heavy_hitters_stream
+
+    src = str(tmp_path / "docs")
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(200):
+        # token w<i%7> trends in hour i%3
+        rows.append((base + dt.timedelta(hours=i % 3, minutes=i % 50),
+                     f"w{i % 7} w{i % 7} filler{i}"))
+    pdf = pd.DataFrame(rows, columns=["ts", "text"])
+    sdf = spark.createDataFrame(pdf, "ts timestamp, text string")
+    sdf.write.parquet(src)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    q = (
+        heavy_hitters_stream(stream, threshold=5, window="1 hour")
+        .writeStream.format("memory").queryName("hh_mem")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["t_bucket"], r["token"]): r["n"]
+        for r in spark.sql("SELECT * FROM hh_mem").collect()
+    }
+    exp = {
+        (r["t_bucket"], r["token"]): r["n"]
+        for r in heavy_hitters_stream(sdf, threshold=5, window="1 hour").collect()
+    }
+    assert got == exp and len(got) > 5
+    # every emitted count clears the threshold; fillers never trend
+    assert all(n >= 5 for n in got.values())
+    assert not any(t.startswith("filler") for _, t in got)
+    shutil.rmtree(src, ignore_errors=True)
