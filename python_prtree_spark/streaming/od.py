@@ -1,0 +1,107 @@
+"""Streaming origin–destination trip accumulation — the stateful twin of
+operators/trajectory.od_matrix (same two-form pattern as sessionization /
+trajectory: a window/aggregate batch op, plus the incremental operator
+the batch form cannot express over an unbounded stream).
+
+``od_trips_stream`` keeps one tiny state row per (entity, period) trip —
+the (ts, id, tile) of the EARLIEST and LATEST ping seen so far — and
+emits the updated trip row per micro-batch that touched it. Unlike the
+trajectory fold, first/last extraction is ORDER-INDEPENDENT (a pure
+lexicographic (ts, id) min/max), so out-of-order and cross-micro-batch
+arrival need no per-group sort at all. State is O(live trips), never
+O(pings); the flow matrix is a downstream groupBy over each trip's last
+emitted row.
+
+Contract linking the two (tested): after a bounded stream drains, the
+LAST emitted row per (entity, period) carries exactly the (origin,
+destination) tiles batch ``od_matrix`` computes, so the aggregated flow
+counts agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["od_trips_stream"]
+
+OD_TRIP_SCHEMA = (
+    "user_id long, period long, o_tx long, o_ty long, d_tx long, d_ty long"
+)
+_STATE_SCHEMA = (
+    "f_us long, f_id long, f_tx long, f_ty long, "
+    "l_us long, l_id long, l_tx long, l_ty long"
+)
+
+
+def od_trips_stream(
+    pings: DataFrame,
+    zoom: int,
+    period_sec: int = 86400,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Streaming per-(entity, period) trip endpoints: one updated
+    (origin, destination) row per trip per micro-batch that touched it
+    (append mode). Works on a streaming OR batch DataFrame."""
+    import pandas as pd
+
+    from python_prtree_spark.functions.geo import lnglat_tile_cols
+
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+
+    def fn(key, pdfs, state):
+        e, p = int(key[0]), int(key[1])
+        if state.exists:
+            f_us, f_id, f_tx, f_ty, l_us, l_id, l_tx, l_ty = state.get
+            first = (f_us, f_id, f_tx, f_ty)
+            last = (l_us, l_id, l_tx, l_ty)
+        else:
+            first = last = None
+        touched = False
+        for pdf in pdfs:
+            for us, i, tx, ty in zip(
+                pdf["_us"].to_numpy(), pdf[id_col].to_numpy(),
+                pdf["_tx"].to_numpy(), pdf["_ty"].to_numpy(),
+            ):
+                touched = True
+                row = (int(us), int(i), int(tx), int(ty))
+                if first is None or row[:2] < first[:2]:
+                    first = row
+                if last is None or row[:2] > last[:2]:
+                    last = row
+        state.update(first + last)
+        if touched:
+            yield pd.DataFrame(
+                [(e, p, first[2], first[3], last[2], last[3])],
+                columns=["user_id", "period",
+                         "o_tx", "o_ty", "d_tx", "d_ty"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tx, ty = lnglat_tile_cols(F.col(lng), F.col(lat), zoom)
+    period = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(int(period_sec) * 1_000_000)
+        )
+    ).cast("long")
+    prepped = pings.select(
+        F.col(entity_col).alias("user_id"),
+        period.alias("period"),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        tx.alias("_tx"), ty.alias("_ty"),
+    )
+    return prepped.groupBy("user_id", "period").applyInPandasWithState(
+        fn,
+        outputStructType=OD_TRIP_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

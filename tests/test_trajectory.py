@@ -234,3 +234,63 @@ def test_od_matrix_rejects_bad_period(spark):
 
     with pytest.raises(ValueError):
         od_matrix(_df(spark, [(1, 0.0, 0, 0.0, 0.0)]), zoom=6, period_sec=0)
+
+
+def test_od_trips_stream_equals_batch(spark, tmp_path):
+    """Stream≡batch contract: after a SHUFFLED (out-of-order) stream
+    drains, the LAST emitted row per (entity, period) carries the batch
+    od_matrix origin/destination tiles, so the aggregated flows match."""
+    import os
+
+    import pandas as pd
+
+    from python_prtree_spark.operators.trajectory import od_matrix
+    from python_prtree_spark.streaming.od import od_trips_stream
+
+    rng = np.random.default_rng(29)
+    n = 240
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 4 * 86400, n), unit="s"),
+        "user_id": rng.integers(0, 6, n),
+        "lng": rng.uniform(-170, 170, n),
+        "lat": rng.uniform(-80, 80, n),
+    })
+    # deliberately NOT time-ordered: min/max folding is order-independent
+    pdf = pdf.sample(frac=1.0, random_state=1).reset_index(drop=True)
+
+    src = str(tmp_path / "od_in")
+    os.makedirs(src)
+    for i, lo in enumerate(range(0, n, 80)):
+        spark.createDataFrame(pdf.iloc[lo:lo + 80]).coalesce(1).write.parquet(
+            f"{src}/t={i:02d}")
+    schema = "event_id long, ts timestamp, user_id long, lng double, lat double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/t=*")
+    )
+    emitted = []
+    q = (
+        od_trips_stream(stream, zoom=6, period_sec=86400)
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "od_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    last = {}
+    for r in emitted:  # foreachBatch order = micro-batch order
+        last[(r["user_id"], r["period"])] = (
+            r["o_tx"], r["o_ty"], r["d_tx"], r["d_ty"])
+    flows = {}
+    for od in last.values():
+        flows[od] = flows.get(od, 0) + 1
+    batch = {
+        (r["o_tx"], r["o_ty"], r["d_tx"], r["d_ty"]): r["flows"]
+        for r in od_matrix(
+            spark.createDataFrame(pdf, schema), zoom=6, period_sec=86400
+        ).collect()
+    }
+    assert flows == batch and len(flows) > 10
