@@ -31,7 +31,7 @@ __all__ = [
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
-    "contour_cases",
+    "contour_cases", "cost_distance",
 ]
 
 
@@ -1010,4 +1010,125 @@ def raster_convolve(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         F.col("v").cast("long").alias("v"),
+    )
+
+
+def cost_distance(
+    pixels_df: DataFrame,
+    sources_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    max_rounds: int = 256,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Least-accumulated-cost distance over a sparse cost surface —
+    ArcGIS "Cost Distance" / GRASS ``r.cost``: for every lit cell, the
+    minimum total cost of a 4-connected path from any source cell.
+    Unlit cells are impassable; a hop a→b costs cost(a) + cost(b)
+    (twice the classic midpoint average — monotone-equivalent and
+    integer-exact; costs must be >= 1).
+
+    pixels_df: sparse (tile, r, c, cost) rows (rasterize_counts keying);
+    sources_df: (tile, r, c) rows naming the source cells (must be lit).
+
+    → (tile, r, c, dist) for every REACHED cell; dist = 0 at sources.
+    Unreachable lit cells are absent (walls of unlit cells block).
+
+    Distributed shape — frontier Bellman-Ford (the delta-relaxation
+    pattern of geo_knn's expanding rounds and components' star rounds):
+    each round fans out ONLY the cells improved last round to their 4
+    neighbors (the shuffle is the halo exchange, exactly like
+    focal_stats), one groupBy-min combines offers, one join applies
+    them; rounds proceed until no cell improves. Rounds = hop-diameter
+    of the optimal-path forest; every frame is localCheckpoint-ed per
+    round so lineage stays O(1). The driver loop carries no pixel data
+    — only the per-round improved-count scalar."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    side = 1 << cfg.level
+    grid = side * px
+
+    def to_g(df, *extra):
+        return df.select(
+            ((F.col(tile_col) / side).cast("long") * px + F.col("c"))
+            .alias("gx"),
+            ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+            *extra,
+        )
+
+    cells = to_g(pixels_df, F.col(value_col).cast("long").alias("cost"))
+    bad = cells.where(F.col("cost") < 1).count()
+    if bad:
+        raise ValueError(f"{bad} cells have cost < 1 (must be >= 1)")
+    src = to_g(sources_df).withColumn("dist", F.lit(0).cast("long"))
+    # state: every lit cell with its current best dist (null = unseen)
+    state = (
+        cells.join(src.select("gx", "gy", "dist"), ["gx", "gy"], "left")
+        .localCheckpoint()
+    )
+    n_src = state.where(F.col("dist").isNotNull()).count()
+    if n_src == 0:
+        raise ValueError("no source cell is lit on the cost surface")
+    frontier = state.where(F.col("dist").isNotNull())
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+    ])
+    for _ in range(max_rounds):
+        offers = (
+            frontier.select(
+                "gx", "gy", (F.col("dist") + F.col("cost")).alias("_out"),
+                F.explode(offsets).alias("_o"),
+            )
+            .select(
+                (F.col("gx") + F.col("_o.dx")).alias("gx"),
+                (F.col("gy") + F.col("_o.dy")).alias("gy"),
+                "_out",
+            )
+            .where(
+                (F.col("gx") >= 0) & (F.col("gx") < grid)
+                & (F.col("gy") >= 0) & (F.col("gy") < grid)
+            )
+            .groupBy("gx", "gy")
+            .agg(F.min("_out").alias("_in"))
+        )
+        nxt = (
+            state.join(offers, ["gx", "gy"], "left")
+            .select(
+                "gx", "gy", "cost",
+                F.when(
+                    F.col("_in").isNotNull()
+                    & (
+                        F.col("dist").isNull()
+                        | (F.col("_in") + F.col("cost") < F.col("dist"))
+                    ),
+                    F.col("_in") + F.col("cost"),
+                ).otherwise(F.col("dist")).alias("dist"),
+                (
+                    F.col("_in").isNotNull()
+                    & (
+                        F.col("dist").isNull()
+                        | (F.col("_in") + F.col("cost") < F.col("dist"))
+                    )
+                ).alias("_improved"),
+            )
+            .localCheckpoint()
+        )
+        improved = nxt.where(F.col("_improved")).count()
+        state = nxt.drop("_improved")
+        if improved == 0:
+            break
+        frontier = nxt.where(F.col("_improved")).drop("_improved")
+    else:
+        raise RuntimeError(
+            f"cost_distance did not converge in {max_rounds} rounds; "
+            f"raise max_rounds (optimal-path hop diameter exceeds it)")
+    return state.where(F.col("dist").isNotNull()).select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        F.col("dist").cast("long").alias("dist"),
     )
