@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, functions as F
 def heavy_hitters(
     docs: DataFrame,
     threshold: int,
-    doc_id: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
     """All tokens (whitespace tokenization, same tokens_col as tfidf/bm25)
@@ -112,6 +111,17 @@ def group_quantiles(
     qms = [int(round(q * 1000)) for q in qs]
     if any(not 0 < qm <= 1000 for qm in qms):
         raise ValueError(f"quantiles must be in (0, 1], got {list(qs)}")
+    # discrete-domain contract, enforced loudly: a fractional column
+    # would silently truncate through the long cast and return
+    # exact-looking but wrong answers — route continuous columns to
+    # operators/qsketch.quantile_sketch instead
+    vt = df.schema[value_col].dataType.simpleString()
+    if vt in ("float", "double") or vt.startswith("decimal"):
+        raise ValueError(
+            f"group_quantiles needs an integer-valued column, got {vt} "
+            f"for {value_col!r}; for continuous domains use "
+            f"quantile_sketch (operators/qsketch.py), or cast explicitly "
+            f"if the values are known integral")
 
     hist = (
         # try_cast: null AND NaN values become null and are excluded

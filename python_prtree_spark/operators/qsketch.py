@@ -56,16 +56,23 @@ class QuantileSketch:
             raise ValueError(f"q must be in (0, 1], got {q}")
         if self.n == 0:
             raise ValueError("empty sketch")
+        import math
+
         import numpy as np
 
-        target = max(1, -(-self.n * int(round(q * 1000)) // 1000))
+        # rank straight from q (no thousandth rounding: tiny q must map
+        # to its true rank, not silently clamp to the minimum)
+        target = max(1, min(self.n, math.ceil(q * self.n)))
         i = int(np.searchsorted(self._cum, target, side="left"))
         i = min(i, len(self.values) - 1)
         return float(self.values[i])
 
 
 def _fold_partition(vals, k):
-    """Fold a 1-D float array into (levels, buffers, compactions)."""
+    """Fold a 1-D float array into (levels, buffers, compactions) —
+    fully vectorized: level 0 consumes the data in k-sized numpy slices
+    (identical grouping to a one-at-a-time fill that compacts at k), and
+    every compaction is one np.sort + a stride slice."""
     import numpy as np
 
     levels: list[list[float]] = [[]]
@@ -80,13 +87,15 @@ def _fold_partition(vals, k):
             levels.append([])
         levels[lvl + 1].extend(survivors.tolist())
         n_compact[lvl] = n_compact.get(lvl, 0) + 1
-        if len(levels[lvl + 1]) >= k:
+        while len(levels[lvl + 1]) >= k:
             compact(lvl + 1)
 
-    for v in vals:
-        levels[0].append(float(v))
-        if len(levels[0]) >= k:
-            compact(0)
+    data = np.asarray(vals, dtype=np.float64)
+    n_full = len(data) // k
+    for i in range(n_full):
+        levels[0] = data[i * k:(i + 1) * k].tolist()
+        compact(0)
+    levels[0] = data[n_full * k:].tolist()
     return levels, n_compact
 
 

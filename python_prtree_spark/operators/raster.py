@@ -1058,10 +1058,14 @@ def cost_distance(
         )
 
     cells = to_g(pixels_df, F.col(value_col).cast("long").alias("cost"))
-    bad = cells.where(F.col("cost") < 1).count()
+    # NULL costs would silently null-propagate into impassable walls —
+    # reject them as loudly as sub-1 costs
+    bad = cells.where(F.col("cost").isNull() | (F.col("cost") < 1)).count()
     if bad:
-        raise ValueError(f"{bad} cells have cost < 1 (must be >= 1)")
-    src = to_g(sources_df).withColumn("dist", F.lit(0).cast("long"))
+        raise ValueError(f"{bad} cells have cost < 1 or NULL (must be >= 1)")
+    # duplicate source rows would multiply state rows through the join
+    src = to_g(sources_df).distinct() \
+        .withColumn("dist", F.lit(0).cast("long"))
     # state: every lit cell with its current best dist (null = unseen)
     state = (
         cells.join(src.select("gx", "gy", "dist"), ["gx", "gy"], "left")
@@ -1076,7 +1080,10 @@ def cost_distance(
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
     ])
-    for _ in range(max_rounds):
+    # max_rounds bounds RELAXATION rounds; the +1 allows the final
+    # improved==0 confirmation round, so a path forest of hop-diameter
+    # exactly max_rounds still converges instead of raising
+    for _ in range(max_rounds + 1):
         offers = (
             frontier.select(
                 "gx", "gy", (F.col("dist") + F.col("cost")).alias("_out"),
@@ -1123,8 +1130,9 @@ def cost_distance(
         frontier = nxt.where(F.col("_improved")).drop("_improved")
     else:
         raise RuntimeError(
-            f"cost_distance did not converge in {max_rounds} rounds; "
-            f"raise max_rounds (optimal-path hop diameter exceeds it)")
+            f"cost_distance did not converge in {max_rounds} relaxation "
+            f"rounds; raise max_rounds (optimal-path hop diameter "
+            f"exceeds it)")
     return state.where(F.col("dist").isNotNull()).select(
         ((F.col("gx") / px).cast("long") * side
          + (F.col("gy") / px).cast("long")).alias("tile"),

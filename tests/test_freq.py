@@ -180,12 +180,20 @@ def test_token_drift_rejects_bad_k(spark):
 def test_group_quantiles_ignores_null_values(spark):
     from python_prtree_spark.operators.freq import group_quantiles
 
-    pdf = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 3.0, None]})
-    out = group_quantiles(
-        spark.createDataFrame(pdf), "g", "v", [0.5, 1.0]
-    ).toPandas().set_index("g")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("a", None)], "g string, v long")
+    out = group_quantiles(df, "g", "v", [0.5, 1.0]).toPandas().set_index("g")
     assert out.loc["a"]["n"] == 2
     assert out.loc["a"]["q_500"] == 1 and out.loc["a"]["q_1000"] == 3
+
+
+def test_group_quantiles_rejects_fractional_column(spark):
+    from python_prtree_spark.operators.freq import group_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"], "v": [2.9]}))  # double column
+    with pytest.raises(ValueError, match="quantile_sketch"):
+        group_quantiles(df, "g", "v", [0.5])
 
 
 def test_heavy_hitters_stream_equals_batch(spark, tmp_path):

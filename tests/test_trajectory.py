@@ -273,7 +273,11 @@ def test_od_trips_stream_equals_batch(spark, tmp_path):
     )
     emitted = []
     q = (
-        od_trips_stream(stream, zoom=6, period_sec=86400)
+        # watermark wider than the (shuffled) data span: no row is late,
+        # so stream == batch exactly; the eviction timeout path is still
+        # exercised on every state update
+        od_trips_stream(stream, zoom=6, period_sec=86400,
+                        watermark="10 days")
         .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
         .option("checkpointLocation", str(tmp_path / "od_chk"))
         .trigger(availableNow=True)
