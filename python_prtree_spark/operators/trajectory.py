@@ -19,12 +19,100 @@ anywhere in the plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_prtree_spark.operators.distance import EARTH_RADIUS_KM
 
-__all__ = ["trajectory_stats", "od_matrix"]
+__all__ = ["trajectory_stats", "od_matrix", "trajectory_simplify"]
+
+
+def trajectory_simplify(
+    pings_df: DataFrame,
+    epsilon_m: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Douglas–Peucker track simplification — the compaction step every
+    mobility pipeline runs before storing/serving GPS tracks (movingpandas
+    ``MinDistanceGeneralizer`` / PostGIS ``ST_Simplify`` shape): per
+    entity, drop pings whose perpendicular deviation from the kept
+    polyline is under ``epsilon_m`` meters.
+
+    Geometry: each entity's track is projected once into a local
+    equirectangular frame (meters east/north of its first ping, the
+    standard small-track approximation: x = Δlng·cos(lat₀), y = Δlat,
+    both scaled by meters-per-degree), and classic stack-based DP runs on
+    that plane. Endpoints are always kept; ``epsilon_m = 0`` keeps every
+    ping that is not exactly collinear.
+
+    Scale shape: identical to trajectory_stats — ONE shuffle on the
+    entity key; each group is one entity's task-sized history, processed
+    by an Arrow-batched applyInPandas kernel whose per-segment distance
+    math is vectorized numpy (the stack recursion is O(track length) in
+    the worst case, per entity, in one task). No driver involvement.
+
+    → the kept pings: (entity, ts, id, lng, lat), sorted order NOT
+    guaranteed (it's a DataFrame)."""
+    import numpy as np
+    import pandas as pd
+
+    if epsilon_m < 0:
+        raise ValueError(f"epsilon_m must be >= 0, got {epsilon_m}")
+    m_per_deg = EARTH_RADIUS_KM * 1000.0 * math.pi / 180.0
+
+    def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_us", id_col], kind="stable").reset_index(
+            drop=True)
+        n = len(pdf)
+        if n <= 2:
+            return pdf.drop(columns=["_us"])
+        lat0 = float(pdf[lat].iloc[0])
+        x = (pdf[lng].to_numpy() - float(pdf[lng].iloc[0])) \
+            * math.cos(math.radians(lat0)) * m_per_deg
+        y = (pdf[lat].to_numpy() - lat0) * m_per_deg
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            seg = slice(a + 1, b)
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            L2 = dx * dx + dy * dy
+            if L2 == 0.0:
+                d = np.hypot(x[seg] - x[a], y[seg] - y[a])
+            else:
+                # perpendicular distance to the INFINITE line a-b (the
+                # classic DP criterion)
+                d = np.abs(dy * (x[seg] - x[a]) - dx * (y[seg] - y[a])) \
+                    / math.sqrt(L2)
+            i = int(np.argmax(d))
+            if d[i] > epsilon_m:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return pdf[keep].drop(columns=["_us"])
+
+    prepped = pings_df.select(
+        F.col(entity_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(lng), F.col(lat),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in prepped.schema.fields if f.name != "_us"
+    )
+    return prepped.groupBy(entity_col).applyInPandas(simplify, schema=schema)
 
 
 def od_matrix(

@@ -7,6 +7,7 @@ import datetime as dt
 import math
 
 import numpy as np
+import pytest
 
 from python_prtree_spark.operators.distance import EARTH_RADIUS_KM
 from python_prtree_spark.operators.trajectory import trajectory_stats
@@ -298,3 +299,106 @@ def test_od_trips_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert flows == batch and len(flows) > 10
+
+
+def _dp_reference(pts, eps):
+    """Stack-based DP on pre-projected (x, y) meters; returns kept idx."""
+    import math as _m
+
+    n = len(pts)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        dx, dy = bx - ax, by - ay
+        L = _m.hypot(dx, dy)
+        best, bi = -1.0, -1
+        for i in range(a + 1, b):
+            px_, py_ = pts[i]
+            if L == 0.0:
+                d = _m.hypot(px_ - ax, py_ - ay)
+            else:
+                d = abs(dy * (px_ - ax) - dx * (py_ - ay)) / L
+            if d > best:
+                best, bi = d, i
+        if best > eps:
+            keep[bi] = True
+            stack.append((a, bi))
+            stack.append((bi, b))
+    return {i for i, k in enumerate(keep) if k}
+
+
+def _project(lngs, lats):
+    import math as _m
+
+    from python_prtree_spark.operators.distance import EARTH_RADIUS_KM
+
+    mdeg = EARTH_RADIUS_KM * 1000.0 * _m.pi / 180.0
+    lat0, lng0 = lats[0], lngs[0]
+    return [
+        ((g - lng0) * _m.cos(_m.radians(lat0)) * mdeg, (t - lat0) * mdeg)
+        for g, t in zip(lngs, lats)
+    ]
+
+
+@pytest.mark.parametrize("eps", [0.0, 500.0, 50_000.0])
+def test_trajectory_simplify_matches_reference(spark, eps):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for u in range(5):
+        base_lng, base_lat = rng.uniform(-100, 100), rng.uniform(-60, 60)
+        for i in range(40):
+            rows.append((u, float(i * 60), u * 100 + i,
+                         base_lng + rng.uniform(-0.05, 0.05),
+                         base_lat + rng.uniform(-0.05, 0.05)))
+    got = trajectory_simplify(_df_pings(spark, rows), eps).collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["user_id"], set()).add(r["event_id"])
+    for u in range(5):
+        sub = sorted((r for r in rows if r[0] == u), key=lambda r: (r[1], r[2]))
+        pts = _project([r[3] for r in sub], [r[4] for r in sub])
+        exp = {sub[i][2] for i in _dp_reference(pts, eps)}
+        assert kept[u] == exp, (u, eps)
+
+
+def _df_pings(spark, rows):
+    return spark.createDataFrame(
+        [
+            (int(u), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+             int(i), float(g), float(t))
+            for u, s, i, g, t in rows
+        ],
+        "user_id long, ts timestamp, event_id long, lng double, lat double",
+    )
+
+
+def test_trajectory_simplify_endpoints_and_collinear(spark):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    # perfectly collinear equator track: everything but endpoints drops
+    rows = [(1, float(i), i, float(i) * 0.01, 0.0) for i in range(10)]
+    got = trajectory_simplify(_df_pings(spark, rows), 1.0).collect()
+    assert sorted(r["event_id"] for r in got) == [0, 9]
+    # a sharp detour survives any small epsilon
+    rows[5] = (1, 5.0, 5, 0.05, 0.5)  # ~55 km off the line
+    got2 = trajectory_simplify(_df_pings(spark, rows), 1000.0).collect()
+    assert 5 in {r["event_id"] for r in got2}
+    # short tracks pass through untouched
+    short = [(2, 0.0, 0, 1.0, 1.0), (2, 1.0, 1, 2.0, 2.0)]
+    got3 = trajectory_simplify(_df_pings(spark, short), 1e9).collect()
+    assert len(got3) == 2
+
+
+def test_trajectory_simplify_rejects_bad_epsilon(spark):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    with pytest.raises(ValueError):
+        trajectory_simplify(_df_pings(spark, [(1, 0.0, 0, 0.0, 0.0)]), -1.0)
