@@ -685,6 +685,71 @@ def _q_hexbin(spark, sf_dir):
     )
 
 
+def _traj_simplify_oracle_sql(eps_deg: float) -> str:
+    """DuckDB twin of _q_traj_simplify: a recursive-CTE Douglas–Peucker.
+
+    Each recursion level takes every live segment (ent, a, b), finds its
+    splitter k = argmax deviation over the EXACT int64 cross products
+    (ties → lowest idx, numpy argmax's first-max rule) via a NOT-EXISTS
+    anti-join against the base point table, keeps it only when the
+    shared-double threshold fires — CAST(|cross|)²  >  eps2·CAST(L2)
+    (or CAST(d2) > eps2 on a degenerate zero-length chord, the kernel's
+    distance-to-point fallback) — and fans out its two children with a
+    LATERAL VALUES. Kept pings are the union of all segment endpoints.
+    Terminates because children are strictly shorter and each (a, b)
+    range is created at most once per entity."""
+    eps2 = repr((eps_deg * 1e6) * (eps_deg * 1e6))
+
+    def cross(p):
+        # exact BIGINT |cross product| of point p against chord pa→pb
+        return (f"abs((pb.y-pa.y)*({p}.x-pa.x) - (pb.x-pa.x)*({p}.y-pa.y))")
+
+    def d2(p):
+        return f"(({p}.x-pa.x)*({p}.x-pa.x) + (({p}.y-pa.y)*({p}.y-pa.y)))"
+
+    L2 = "((pb.x-pa.x)*(pb.x-pa.x) + (pb.y-pa.y)*(pb.y-pa.y))"
+
+    def score(p):
+        return f"CASE WHEN {L2} = 0 THEN {d2(p)} ELSE {cross(p)} END"
+
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT user_id AS ent, event_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS BIGINT) - 1 AS idx,
+    CAST(floor((CAST((event_id * 941083987) % 360000 AS DOUBLE)/1000.0
+                - 180.0) * 1000000.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor((CAST((event_id * 824633721) % 166000 AS DOUBLE)/1000.0
+                - 83.0) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+segs(ent, a, b) AS (
+  SELECT ent, MIN(idx), MAX(idx) FROM p GROUP BY ent
+  UNION ALL
+  SELECT q.ent, u.lo, u.hi FROM (
+    SELECT s.ent, s.a, s.b, k.idx AS m
+    FROM segs s
+    JOIN p pa ON pa.ent = s.ent AND pa.idx = s.a
+    JOIN p pb ON pb.ent = s.ent AND pb.idx = s.b
+    JOIN p k  ON k.ent = s.ent AND k.idx > s.a AND k.idx < s.b
+    WHERE CASE WHEN {L2} = 0
+            THEN CAST({d2('k')} AS DOUBLE) > {eps2}
+            ELSE CAST({cross('k')} AS DOUBLE) * CAST({cross('k')} AS DOUBLE)
+                 > {eps2} * CAST({L2} AS DOUBLE) END
+      AND NOT EXISTS (
+        SELECT 1 FROM p m
+        WHERE m.ent = s.ent AND m.idx > s.a AND m.idx < s.b
+          AND ({score('m')} > {score('k')}
+               OR ({score('m')} = {score('k')} AND m.idx < k.idx))
+      )
+  ) q, LATERAL (VALUES (q.a, q.m), (q.m, q.b)) u(lo, hi)
+)
+SELECT p.ent AS user_id, p.event_id
+FROM (SELECT ent, a AS idx FROM segs
+      UNION SELECT ent, b FROM segs) kept
+JOIN p ON p.ent = kept.ent AND p.idx = kept.idx
+"""
+
+
 def _hexbin_oracle_sql(size: float = 4.0) -> str:
     """DuckDB twin of _q_hexbin: identical pre-multiplied double
     literals, identical candidate argmin order (d2, q, r)."""
@@ -1975,6 +2040,96 @@ def _q_mm_roundtrip(spark, sf_dir):
     return verify_roundtrip(imgs).select("image_id", "fmt", "ok")
 
 
+# Douglas–Peucker tolerance for the gated entry, in DEGREES (the
+# units="coords" / PostGIS-ST_Simplify convention). The kernel and the
+# oracle share the squared-microdegree literal computed EXACTLY like
+# operators/trajectory.py does: (eps*1e6)*(eps*1e6).
+TRAJ_SIMPLIFY_EPS_DEG = 25.0
+
+
+def _q_traj_simplify(spark, sf_dir):
+    """Douglas–Peucker track compaction over the events pings (the same
+    event_id-derived lng/lat as trajectory_stats), run in units='coords'
+    fixed point: keep/drop decisions are exact int64 cross products
+    compared through shared IEEE-double expressions, so the kept-ping
+    set is bit-reproducible and the recursive-CTE DuckDB oracle replays
+    the identical argmax + threshold choices. Output: the kept
+    (user_id, event_id) pings."""
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pings = ev.select(
+        "user_id", "ts", "event_id",
+        (((k * 941083987) % 360000).cast("double") / 1000.0 - 180.0).alias("lng"),
+        (((k * 824633721) % 166000).cast("double") / 1000.0 - 83.0).alias("lat"),
+    )
+    kept = trajectory_simplify(pings, TRAJ_SIMPLIFY_EPS_DEG, units="coords")
+    return kept.select("user_id", "event_id")
+
+
+def _q_qsketch_exact(spark, sf_dir):
+    """Recall-1 twin of the mergeable quantile sketch (the
+    ann_ivf_exhaustive pattern): with k above any partition's row count
+    there are ZERO compactions, the certified rank error is exactly 0,
+    and every nearest-rank quantile is the true order statistic — which
+    the oracle reads with row_number over lineitem. The compaction
+    regime's certified error bound is pytest-verified
+    (tests/test_qsketch.py) since an approximation cannot hash-gate."""
+    from python_prtree_spark.operators.qsketch import quantile_sketch
+
+    li = _read(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(li, "l_extendedprice", k=1 << 20)
+    if sk.max_rank_err != 0:
+        raise ValueError(
+            f"exact-twin config compacted (err={sk.max_rank_err}); raise k")
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    rows = [(q, sk.quantile(q)) for q in qs]
+    return spark.createDataFrame(rows, "q double, qvalue double")
+
+
+def _q_cost_distance(spark, sf_dir):
+    """Cost-distance over a 20-cell corridor whose hop costs come from
+    lineitem quantities: 1×N is the one topology where least cost has a
+    closed form (a window cumsum), so this entry hash-gates the kernel's
+    grid keying, source seeding, hop-cost arithmetic, wall impassability
+    and convergence; detour/steering logic on 2-D surfaces is
+    pytest-verified against a driver-side Dijkstra
+    (tests/test_cost_distance.py). The corridor crosses a tile boundary
+    (gx 15→16) and the wall at idx 3 strands cells 0–2 (absent rows)."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.raster import cost_distance
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    corridor = (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            (F.col("rn") - 1).alias("idx"),
+            ((F.floor("l_quantity").cast("long") % 9) + 1).alias("cnt"),
+        )
+        .where(F.col("idx") != 3)  # the wall: unlit = impassable
+    )
+    pixels = corridor.select(
+        ((F.col("idx") / 16).cast("long") * 16).alias("tile"),
+        F.lit(3).alias("r"),
+        (F.col("idx") % 16).cast("int").alias("c"),
+        "cnt",
+    )
+    sources = pixels.where(
+        (F.col("tile") == 0) & (F.col("c") == 10)).select("tile", "r", "c")
+    out = cost_distance(pixels, sources, CFG, px=16, max_rounds=32)
+    return out.select(
+        F.col("tile").cast("long").alias("tile"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2077,7 +2232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "tile_assignment": _q_tile_assignment,
         "distance_join": _q_distance_join,
-        # ---------------- position 51+: green in BOTH r3 and r4 ----------
+        # ---------------- position 51+ ----------------------------------
+        # registered late in r5 (after the 50-slot window was already
+        # full of never-checked entries): first in line for the r6
+        # window; locally hash-verified via tools/check_oracles.py
+        "trajectory_simplify": _q_traj_simplify,
+        "quantile_sketch_exact": _q_qsketch_exact,
+        "cost_distance_line": _q_cost_distance,
+        # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
         "batch_query_counts": _q_batch_counts,
@@ -2595,6 +2757,51 @@ SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM toks GROUP BY token HAVING count(*) >= 40
 """,
         "pagerank": _pagerank_oracle_sql(3),
+        "trajectory_simplify": _traj_simplify_oracle_sql(TRAJ_SIMPLIFY_EPS_DEG),
+        "quantile_sketch_exact": """
+WITH v AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+n AS (SELECT count(*) AS n FROM v),
+qs(q) AS (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99))
+SELECT qs.q AS q, r.v AS qvalue
+FROM qs, n
+JOIN r ON r.rk = greatest(1, least(n.n, CAST(ceil(qs.q * n.n) AS BIGINT)))
+""",
+        "cost_distance_line": """
+WITH corridor AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx,
+      (CAST(floor(l_quantity) AS BIGINT) % 9) + 1 AS cost
+    FROM lineitem)
+  WHERE idx < 20),
+s AS (  -- inclusive prefix sums over ALL 20 cells (wall included: every
+        -- formula below differences S at indices >= 9, so it cancels)
+  SELECT idx, cost, sum(cost) OVER (ORDER BY idx) AS cum FROM corridor),
+src AS (SELECT cum AS s10 FROM s WHERE idx = 10),
+s9 AS (SELECT cum AS s9 FROM s WHERE idx = 9),
+d AS (
+  SELECT idx,
+    CASE
+      WHEN idx = 10 THEN 0
+      -- rightward: sum of hop costs (c_i + c_{i+1}) for i in 10..idx-1
+      --          = (S(idx-1) - S(9)) + (S(idx) - S(10));  S(idx-1) = cum-cost
+      WHEN idx > 10 THEN
+        ((cum - cost) - (SELECT s9 FROM s9))
+        + (cum - (SELECT s10 FROM src))
+      -- leftward: hops i in idx..9 = (S(9) - S(idx-1)) + (S(10) - S(idx))
+      ELSE
+        ((SELECT s9 FROM s9) - (cum - cost))
+        + ((SELECT s10 FROM src) - cum)
+    END AS dist
+  FROM s
+  WHERE idx > 3)  -- wall at 3: idx 0-2 unreachable, wall itself unlit
+SELECT CAST((idx // 16) * 16 AS BIGINT) AS tile,
+  CAST(3 AS BIGINT) AS r, CAST(idx % 16 AS BIGINT) AS c,
+  CAST(dist AS BIGINT) AS dist
+FROM d
+""",
         "hexbin": _hexbin_oracle_sql(4.0),
         # Retention — integer epoch-day cohorts; (user, day) distinct
         # makes the final count(*) the distinct-user count.

@@ -37,6 +37,7 @@ def trajectory_simplify(
     id_col: str = "event_id",
     lng: str = "lng",
     lat: str = "lat",
+    units: str = "meters",
 ) -> DataFrame:
     """Douglas–Peucker track simplification — the compaction step every
     mobility pipeline runs before storing/serving GPS tracks (movingpandas
@@ -51,6 +52,20 @@ def trajectory_simplify(
     that plane. Endpoints are always kept; ``epsilon_m = 0`` keeps every
     ping that is not exactly collinear.
 
+    ``units`` picks the geometry frame:
+
+    - ``"meters"`` (default): the equirectangular meter frame above;
+      float math, tolerance in meters.
+    - ``"coords"``: raw coordinate space (the PostGIS ``ST_Simplify``
+      convention — tolerance in layer units, here DEGREES), with
+      coordinates quantized to integer MICRODEGREES and every keep/drop
+      decision made on exact int64 cross products compared through
+      shared IEEE-double expressions. That makes the kept set
+      bit-reproducible across engines (numpy vs a SQL oracle evaluating
+      the identical expressions), which is what lets the driver
+      hash-gate this operator; the quantization error (≤ 0.11 m) is far
+      below any useful tolerance.
+
     Scale shape: identical to trajectory_stats — ONE shuffle on the
     entity key; each group is one entity's task-sized history, processed
     by an Arrow-batched applyInPandas kernel whose per-segment distance
@@ -64,7 +79,52 @@ def trajectory_simplify(
 
     if epsilon_m < 0:
         raise ValueError(f"epsilon_m must be >= 0, got {epsilon_m}")
+    if units not in ("meters", "coords"):
+        raise ValueError(f"units must be 'meters' or 'coords', got {units!r}")
     m_per_deg = EARTH_RADIUS_KM * 1000.0 * math.pi / 180.0
+    # shared-literal discipline: the oracle embeds repr() of this exact
+    # product, so both sides compare against the identical double
+    eps2 = (epsilon_m * 1e6) * (epsilon_m * 1e6)
+
+    def simplify_coords(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_us", id_col], kind="stable").reset_index(
+            drop=True)
+        n = len(pdf)
+        if n <= 2:
+            return pdf.drop(columns=["_us"])
+        # integer microdegrees; floor(v*1e6 + 0.5) is round-half-up in
+        # BOTH numpy and SQL (never Python round(): banker's rounding)
+        x = np.floor(pdf[lng].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        y = np.floor(pdf[lat].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            seg = slice(a + 1, b)
+            dx = int(x[b]) - int(x[a])
+            dy = int(y[b]) - int(y[a])
+            L2 = dx * dx + dy * dy  # ≤ ~2.6e17, exact in int64
+            if L2 == 0:
+                # degenerate chord: deviation = distance to the point
+                score = (x[seg] - x[a]) ** 2 + (y[seg] - y[a]) ** 2
+                i = int(np.argmax(score))  # ties → first, as the oracle
+                split = float(score[i]) > eps2
+            else:
+                # |cross| orders deviations exactly (sqrt(L2) is a
+                # per-segment constant); the threshold test squares the
+                # chosen |cross| in doubles — the oracle's expression
+                score = np.abs(dy * (x[seg] - x[a]) - dx * (y[seg] - y[a]))
+                i = int(np.argmax(score))
+                split = float(score[i]) * float(score[i]) > eps2 * float(L2)
+            if split:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return pdf[keep].drop(columns=["_us"])
 
     def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_us", id_col], kind="stable").reset_index(
@@ -100,6 +160,9 @@ def trajectory_simplify(
                 stack.append((a, m))
                 stack.append((m, b))
         return pdf[keep].drop(columns=["_us"])
+
+    if units == "coords":
+        simplify = simplify_coords
 
     prepped = pings_df.select(
         F.col(entity_col),

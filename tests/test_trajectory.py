@@ -402,3 +402,83 @@ def test_trajectory_simplify_rejects_bad_epsilon(spark):
 
     with pytest.raises(ValueError):
         trajectory_simplify(_df_pings(spark, [(1, 0.0, 0, 0.0, 0.0)]), -1.0)
+
+
+def _dp_reference_coords(lngs, lats, eps_deg):
+    """Pure-python-int DP twin of units='coords': exact integer cross
+    products, the shared-double threshold expression, first-max ties."""
+    import math as _m
+
+    xs = [int(_m.floor(g * 1e6 + 0.5)) for g in lngs]
+    ys = [int(_m.floor(t * 1e6 + 0.5)) for t in lats]
+    eps2 = (eps_deg * 1e6) * (eps_deg * 1e6)
+    n = len(xs)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        dx, dy = xs[b] - xs[a], ys[b] - ys[a]
+        L2 = dx * dx + dy * dy
+        best, bi = -1, -1
+        for i in range(a + 1, b):
+            if L2 == 0:
+                s = (xs[i] - xs[a]) ** 2 + (ys[i] - ys[a]) ** 2
+            else:
+                s = abs(dy * (xs[i] - xs[a]) - dx * (ys[i] - ys[a]))
+            if s > best:
+                best, bi = s, i
+        split = (float(best) > eps2 if L2 == 0
+                 else float(best) * float(best) > eps2 * float(L2))
+        if split:
+            keep[bi] = True
+            stack.append((a, bi))
+            stack.append((bi, b))
+    return {i for i, k in enumerate(keep) if k}
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.02, 5.0])
+def test_trajectory_simplify_coords_matches_reference(spark, eps):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for u in range(4):
+        base_lng, base_lat = rng.uniform(-100, 100), rng.uniform(-60, 60)
+        for i in range(35):
+            rows.append((u, float(i * 60), u * 100 + i,
+                         base_lng + rng.uniform(-3.0, 3.0),
+                         base_lat + rng.uniform(-3.0, 3.0)))
+    got = trajectory_simplify(_df_pings(spark, rows), eps,
+                              units="coords").collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["user_id"], set()).add(r["event_id"])
+    for u in range(4):
+        sub = sorted((r for r in rows if r[0] == u), key=lambda r: (r[1], r[2]))
+        exp = {sub[i][2] for i in
+               _dp_reference_coords([r[3] for r in sub],
+                                    [r[4] for r in sub], eps)}
+        assert kept[u] == exp, (u, eps)
+
+
+def test_trajectory_simplify_coords_degenerate_chord(spark):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    # identical endpoints: deviation must fall back to point distance,
+    # so the far loop apex survives any eps below its distance
+    rows = [(1, 0.0, 0, 10.0, 10.0), (1, 1.0, 1, 10.0, 10.000001),
+            (1, 2.0, 2, 12.0, 10.0), (1, 3.0, 3, 10.0, 10.0)]
+    got = trajectory_simplify(_df_pings(spark, rows), 1.0,
+                              units="coords").collect()
+    assert {r["event_id"] for r in got} == {0, 2, 3}
+
+
+def test_trajectory_simplify_rejects_bad_units(spark):
+    from python_prtree_spark.operators.trajectory import trajectory_simplify
+
+    with pytest.raises(ValueError):
+        trajectory_simplify(_df_pings(spark, [(1, 0.0, 0, 0.0, 0.0)]),
+                            1.0, units="feet")
