@@ -14,6 +14,7 @@ registered without an oracle → the driver records rows-only checks.
 
 from __future__ import annotations
 
+import math
 import tempfile
 from collections.abc import Callable
 
@@ -747,6 +748,56 @@ SELECT p.ent AS user_id, p.event_id
 FROM (SELECT ent, a AS idx FROM segs
       UNION SELECT ent, b FROM segs) kept
 JOIN p ON p.ent = kept.ent AND p.idx = kept.idx
+"""
+
+
+def _traj_hausdorff_oracle_sql(tau_deg: float) -> str:
+    """DuckDB twin of _q_traj_hausdorff: identical microdegree
+    quantization, identical integer bbox margin and candidate
+    condition, exact int64 min/max phase, shared-double final filter."""
+    tau2 = repr((tau_deg * 1e6) * (tau_deg * 1e6))
+    m = int(math.floor(tau_deg * 1e6)) + 1
+    return f"""
+WITH pts AS (
+  SELECT DISTINCT user_id AS ent,
+    CAST(floor(((CAST(((user_id % 12) * 2654435761) % 300000 AS DOUBLE)
+                 / 1000.0 - 150.0)
+                + (CAST((event_id * 941083987) % 4000 AS DOUBLE)
+                   / 1000.0 - 2.0)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor(((CAST(((user_id % 12) * 824633721) % 120000 AS DOUBLE)
+                 / 1000.0 - 60.0)
+                + (CAST((event_id * 715225741) % 4000 AS DOUBLE)
+                   / 1000.0 - 2.0)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+box AS (
+  SELECT ent, MIN(x) AS xmin, MAX(x) AS xmax,
+         MIN(y) AS ymin, MAX(y) AS ymax
+  FROM pts GROUP BY ent),
+cand AS (
+  SELECT a.ent AS ea, b.ent AS eb FROM box a JOIN box b
+  ON a.ent < b.ent
+ AND a.xmin >= b.xmin - {m} AND a.xmax <= b.xmax + {m}
+ AND a.ymin >= b.ymin - {m} AND a.ymax <= b.ymax + {m}
+ AND b.xmin >= a.xmin - {m} AND b.xmax <= a.xmax + {m}
+ AND b.ymin >= a.ymin - {m} AND b.ymax <= a.ymax + {m}),
+d AS (
+  SELECT c.ea, c.eb, pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS b_y,
+    (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+  FROM cand c
+  JOIN pts pa ON pa.ent = c.ea
+  JOIN pts pb ON pb.ent = c.eb),
+da AS (
+  SELECT ea, eb, MAX(nn) AS h FROM (
+    SELECT ea, eb, ax, ay, MIN(d2) AS nn FROM d GROUP BY ea, eb, ax, ay)
+  GROUP BY ea, eb),
+db AS (
+  SELECT ea, eb, MAX(nn) AS h FROM (
+    SELECT ea, eb, bx, b_y, MIN(d2) AS nn FROM d GROUP BY ea, eb, bx, b_y)
+  GROUP BY ea, eb)
+SELECT da.ea AS entity_a, da.eb AS entity_b,
+  CAST(greatest(da.h, db.h) AS BIGINT) AS haus_d2
+FROM da JOIN db ON da.ea = db.ea AND da.eb = db.eb
+WHERE CAST(greatest(da.h, db.h) AS DOUBLE) <= {tau2}
 """
 
 
@@ -2068,6 +2119,40 @@ def _q_traj_simplify(spark, sf_dir):
     return kept.select("user_id", "event_id")
 
 
+# Hausdorff similarity threshold for the gated entry, in degrees
+TRAJ_HAUSDORFF_TAU_DEG = 1.5
+
+
+def _q_traj_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join over localized synthetic tracks: each
+    user's pings scatter ±2° around one of 12 shared centers
+    (user_id%12-derived), so same-center pairs are Hausdorff-close and
+    cross-center pairs are pruned by the bbox prefilter — the entry
+    gates both the candidate pruning and the exact min/max phase. All
+    geometry is int64 microdegrees; the oracle replays it verbatim."""
+    from python_prtree_spark.operators.trajectory import (
+        trajectory_hausdorff_join,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.col("event_id")
+    u = F.col("user_id")
+    pings = ev.select(
+        "user_id",
+        (
+            ((((u % 12) * 2654435761) % 300000).cast("double") / 1000.0
+             - 150.0)
+            + (((k * 941083987) % 4000).cast("double") / 1000.0 - 2.0)
+        ).alias("lng"),
+        (
+            ((((u % 12) * 824633721) % 120000).cast("double") / 1000.0
+             - 60.0)
+            + (((k * 715225741) % 4000).cast("double") / 1000.0 - 2.0)
+        ).alias("lat"),
+    )
+    return trajectory_hausdorff_join(pings, TRAJ_HAUSDORFF_TAU_DEG)
+
+
 def _q_qsketch_exact(spark, sf_dir):
     """Recall-1 twin of the mergeable quantile sketch (the
     ann_ivf_exhaustive pattern): with k above any partition's row count
@@ -2237,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full of never-checked entries): first in line for the r6
         # window; locally hash-verified via tools/check_oracles.py
         "trajectory_simplify": _q_traj_simplify,
+        "trajectory_hausdorff": _q_traj_hausdorff,
         "quantile_sketch_exact": _q_qsketch_exact,
         "cost_distance_line": _q_cost_distance,
         # ---------------- green in BOTH r3 and r4 ------------------------
@@ -2758,6 +2844,8 @@ FROM toks GROUP BY token HAVING count(*) >= 40
 """,
         "pagerank": _pagerank_oracle_sql(3),
         "trajectory_simplify": _traj_simplify_oracle_sql(TRAJ_SIMPLIFY_EPS_DEG),
+        "trajectory_hausdorff":
+            _traj_hausdorff_oracle_sql(TRAJ_HAUSDORFF_TAU_DEG),
         "quantile_sketch_exact": """
 WITH v AS (
   SELECT l_extendedprice AS v FROM lineitem

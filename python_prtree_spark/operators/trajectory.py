@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from python_prtree_spark.operators.distance import EARTH_RADIUS_KM
 
-__all__ = ["trajectory_stats", "od_matrix", "trajectory_simplify"]
+__all__ = [
+    "trajectory_stats",
+    "od_matrix",
+    "trajectory_simplify",
+    "trajectory_hausdorff_join",
+]
 
 
 def trajectory_simplify(
@@ -273,4 +278,114 @@ def trajectory_stats(
         F.count("_hop").alias("n_hops"),
         F.coalesce(F.sum("_hop"), F.lit(0)).cast("long").alias("total_m"),
         F.coalesce(F.max("_hop"), F.lit(0)).cast("long").alias("max_m"),
+    )
+
+
+def trajectory_hausdorff_join(
+    pings_df: DataFrame,
+    tau_deg: float,
+    entity_col: str = "user_id",
+    lng: str = "lng",
+    lat: str = "lat",
+) -> DataFrame:
+    """Trajectory-similarity self-join: entity pairs whose point sets
+    are within symmetric discrete Hausdorff distance ``tau_deg`` — the
+    similarity predicate of trajectory clustering / carpool detection /
+    map-matching QA pipelines (PostGIS ``ST_HausdorffDist``,
+    movingpandas ``TrajectoryCollection`` similarity).
+
+    Geometry is the units='coords' planar frame of trajectory_simplify:
+    integer microdegrees, exact int64 squared distances, thresholds
+    evaluated through shared IEEE-double expressions — so results
+    hash-gate against a SQL oracle.
+
+    Distributed shape (the dedup candidate→verify discipline):
+
+    1. distinct (entity, x, y) points — exact-duplicate collapse, the
+       same degenerate-skew guard as embedding_near_dup's;
+    2. per-entity bbox (one groupBy; entities ≪ pings, so the bbox
+       frame is a broadcast-sized dim);
+    3. candidate pairs by the NECESSARY condition H ≤ τ ⇒ each bbox
+       lies inside the other expanded by τ (pure-integer margin
+       ``ceil(τ·1e6)`` — a safe superset), ordered a < b once;
+    4. exact phase: point-pair rows per candidate (the pair-key
+       shuffle), each row exploded to its two probe sides, then
+       min-per-probe-point → max-per-side → max-per-pair — three
+       map-side-combinable groupBys, zero UDFs, zero driver state;
+    5. final filter H² ≤ τ² on the exact integer H².
+
+    Worst case is Σ_pairs |A|·|B| point rows — the candidate prefilter
+    is what bounds it, exactly like LSH banding bounds the minhash
+    verify phase. → (entity_a, entity_b, haus_d2) with haus_d2 in
+    squared microdegrees."""
+    if tau_deg < 0:
+        raise ValueError(f"tau_deg must be >= 0, got {tau_deg}")
+    # shared-literal discipline: the oracle embeds repr() of this product
+    tau2 = (tau_deg * 1e6) * (tau_deg * 1e6)
+    margin = int(math.floor(tau_deg * 1e6)) + 1  # integer-safe superset
+
+    pts = pings_df.select(
+        F.col(entity_col).alias("ent"),
+        F.floor(F.col(lng) * 1e6 + 0.5).cast("long").alias("x"),
+        F.floor(F.col(lat) * 1e6 + 0.5).cast("long").alias("y"),
+    ).distinct()
+    box = pts.groupBy("ent").agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+    )
+    a, b = box.alias("a"), box.alias("b")
+    m = F.lit(margin)
+    cand = a.join(
+        b,
+        (F.col("a.ent") < F.col("b.ent"))
+        # bbox(A) ⊆ expand(bbox(B), τ)  AND  bbox(B) ⊆ expand(bbox(A), τ)
+        & (F.col("a.xmin") >= F.col("b.xmin") - m)
+        & (F.col("a.xmax") <= F.col("b.xmax") + m)
+        & (F.col("a.ymin") >= F.col("b.ymin") - m)
+        & (F.col("a.ymax") <= F.col("b.ymax") + m)
+        & (F.col("b.xmin") >= F.col("a.xmin") - m)
+        & (F.col("b.xmax") <= F.col("a.xmax") + m)
+        & (F.col("b.ymin") >= F.col("a.ymin") - m)
+        & (F.col("b.ymax") <= F.col("a.ymax") + m),
+    ).select(
+        F.col("a.ent").alias("ea"), F.col("b.ent").alias("eb"))
+    pp = (
+        cand.join(pts.alias("pa"), F.col("ea") == F.col("pa.ent"))
+        .join(pts.alias("pb"), F.col("eb") == F.col("pb.ent"))
+        .select(
+            "ea", "eb",
+            F.col("pa.x").alias("ax"), F.col("pa.y").alias("ay"),
+            F.col("pb.x").alias("bx"), F.col("pb.y").alias("by"),
+            (
+                (F.col("pa.x") - F.col("pb.x"))
+                * (F.col("pa.x") - F.col("pb.x"))
+                + (F.col("pa.y") - F.col("pb.y"))
+                * (F.col("pa.y") - F.col("pb.y"))
+            ).alias("d2"),
+        )
+    )
+    sides = pp.select(
+        "ea", "eb", "d2",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("s"),
+                     F.col("ax").alias("px"), F.col("ay").alias("py")),
+            F.struct(F.lit(1).alias("s"),
+                     F.col("bx").alias("px"), F.col("by").alias("py")),
+        )).alias("probe"),
+    ).select("ea", "eb", "d2", "probe.s", "probe.px", "probe.py")
+    directed = (
+        sides.groupBy("ea", "eb", "s", "px", "py")
+        .agg(F.min("d2").alias("nn_d2"))
+        .groupBy("ea", "eb", "s")
+        .agg(F.max("nn_d2").alias("h_dir"))
+    )
+    return (
+        directed.groupBy("ea", "eb")
+        .agg(F.max("h_dir").alias("haus_d2"))
+        .where(F.col("haus_d2").cast("double") <= F.lit(tau2))
+        .select(
+            F.col("ea").alias("entity_a"),
+            F.col("eb").alias("entity_b"),
+            F.col("haus_d2"),
+        )
     )

@@ -863,3 +863,30 @@ def test_resize_nn_plan_no_exchange(spark):
     )
     plan = explain_str(resize_nn_checksums(df, 8, 8))
     assert "Exchange" not in plan, plan
+
+
+def test_trajectory_hausdorff_plan_jvm_exact_phase(spark):
+    """trajectory_hausdorff_join: the exact phase is pure-JVM hash
+    aggregation on pair keys (partial min/max map-side combines), the
+    point-pair joins are equi-joins (hash/SMJ), and the ONLY
+    nested-loop join is the entity-level bbox prefilter — a frame with
+    one row per entity, orders smaller than the ping data. No Python
+    stages anywhere."""
+    from python_prtree_spark.operators.trajectory import (
+        trajectory_hausdorff_join,
+    )
+
+    from pyspark.sql import functions as F
+
+    pings = spark.range(100).select(
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") * 0.01).alias("lng"),
+        (F.col("id") * 0.007).alias("lat"),
+    )
+    plan = explain_str(trajectory_hausdorff_join(pings, 0.5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the pair-key exact phase must hash-join, not nested-loop: every
+    # NestedLoop occurrence is the bbox-dim join (joins box-aggregated
+    # rows only, never the raw point frames)
+    assert plan.count("HashAggregate") >= 4, plan

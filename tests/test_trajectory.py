@@ -482,3 +482,83 @@ def test_trajectory_simplify_rejects_bad_units(spark):
     with pytest.raises(ValueError):
         trajectory_simplify(_df_pings(spark, [(1, 0.0, 0, 0.0, 0.0)]),
                             1.0, units="feet")
+
+
+def _hausdorff_reference(tracks, tau_deg):
+    """Brute-force symmetric Hausdorff over integer microdegrees."""
+    import math as _m
+
+    def quant(t):
+        return [(int(_m.floor(g * 1e6 + 0.5)), int(_m.floor(la * 1e6 + 0.5)))
+                for g, la in t]
+
+    q = {e: set(quant(t)) for e, t in tracks.items()}
+    tau2 = (tau_deg * 1e6) * (tau_deg * 1e6)
+    out = {}
+    for ea in sorted(q):
+        for eb in sorted(q):
+            if ea >= eb:
+                continue
+            h = 0
+            for src, dst in ((q[ea], q[eb]), (q[eb], q[ea])):
+                for (x, y) in src:
+                    nn = min((x - u) ** 2 + (y - v) ** 2 for u, v in dst)
+                    h = max(h, nn)
+            if float(h) <= tau2:
+                out[(ea, eb)] = h
+    return out
+
+
+def _df_tracks(spark, tracks):
+    rows = [(e, float(g), float(la))
+            for e, t in tracks.items() for g, la in t]
+    return spark.createDataFrame(rows, "user_id long, lng double, lat double")
+
+
+def test_trajectory_hausdorff_matches_reference(spark):
+    from python_prtree_spark.operators.trajectory import (
+        trajectory_hausdorff_join,
+    )
+
+    rng = np.random.default_rng(53)
+    tracks = {}
+    for e in range(6):
+        cx, cy = (e % 3) * 50.0 - 20.0, (e % 3) * 30.0 - 30.0
+        tracks[e] = [(cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1))
+                     for _ in range(25)]
+    got = {
+        (r["entity_a"], r["entity_b"]): r["haus_d2"]
+        for r in trajectory_hausdorff_join(
+            _df_tracks(spark, tracks), 1.2).collect()
+    }
+    assert got == _hausdorff_reference(tracks, 1.2)
+    assert got, "expected at least one similar pair"
+
+
+def test_trajectory_hausdorff_prunes_and_collapses(spark):
+    from python_prtree_spark.operators.trajectory import (
+        trajectory_hausdorff_join,
+    )
+
+    # two near-identical tracks + one far away; duplicates in track 2
+    tracks = {
+        1: [(0.0, 0.0), (0.5, 0.5), (1.0, 1.0)],
+        2: [(0.0, 0.1), (0.5, 0.6), (1.0, 1.1), (1.0, 1.1), (0.0, 0.1)],
+        3: [(80.0, 40.0), (80.5, 40.5)],
+    }
+    got = trajectory_hausdorff_join(_df_tracks(spark, tracks), 0.5).collect()
+    assert {(r["entity_a"], r["entity_b"]) for r in got} == {(1, 2)}
+    # H = max nearest dist = 0.1 deg = 100000 microdeg
+    assert got[0]["haus_d2"] == 100000 ** 2
+    # below the gap: nothing survives the final filter
+    got2 = trajectory_hausdorff_join(_df_tracks(spark, tracks), 0.05).collect()
+    assert got2 == []
+
+
+def test_trajectory_hausdorff_rejects_bad_tau(spark):
+    from python_prtree_spark.operators.trajectory import (
+        trajectory_hausdorff_join,
+    )
+
+    with pytest.raises(ValueError):
+        trajectory_hausdorff_join(_df_tracks(spark, {1: [(0, 0)]}), -0.1)
