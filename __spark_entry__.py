@@ -2119,6 +2119,24 @@ def _q_traj_simplify(spark, sf_dir):
     return kept.select("user_id", "event_id")
 
 
+def _q_mm_hist_eq(spark, sf_dir):
+    """Per-channel histogram equalization over the formula-tile image
+    corpus (REAL decode: raw / engine PNG / lossy by magic bytes), the
+    integer-floor CDF remap witnessed by exact Σv/Σi·v/Σi²·v checksums —
+    the whole decode→histogram→CDF→remap chain hash-gates against a
+    symbolic SQL oracle that rebuilds the histogram with a window
+    cumsum."""
+    from python_prtree_spark.operators.multimodal import (
+        hist_equalize_checksums,
+    )
+    from python_prtree_spark.sources.datagen import formula_tiles
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return hist_equalize_checksums(formula_tiles(ids))
+
+
 # Hausdorff similarity threshold for the gated entry, in degrees
 TRAJ_HAUSDORFF_TAU_DEG = 1.5
 
@@ -2323,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; locally hash-verified via tools/check_oracles.py
         "trajectory_simplify": _q_traj_simplify,
         "trajectory_hausdorff": _q_traj_hausdorff,
+        "mm_hist_equalize": _q_mm_hist_eq,
         "quantile_sketch_exact": _q_qsketch_exact,
         "cost_distance_line": _q_cost_distance,
         # ---------------- green in BOTH r3 and r4 ------------------------
@@ -2846,6 +2865,46 @@ FROM toks GROUP BY token HAVING count(*) >= 40
         "trajectory_simplify": _traj_simplify_oracle_sql(TRAJ_SIMPLIFY_EPS_DEG),
         "trajectory_hausdorff":
             _traj_hausdorff_oracle_sql(TRAJ_HAUSDORFF_TAU_DEG),
+        "mm_hist_equalize": """
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    [16,24,32][CAST(c_custkey % 3 AS INT) + 1] AS w,
+    [12,16,24][CAST(c_custkey % 3 AS INT) + 1] AS h,
+    ((c_custkey // 3) % 3 = 2) AS lossy
+  FROM customer),
+r0 AS (SELECT *, unnest(range(h)) AS r FROM t0),
+c0 AS (SELECT *, unnest(range(w)) AS c FROM r0),
+ch0 AS (SELECT *, unnest(range(3)) AS chn FROM c0),
+v0 AS (
+  SELECT id, w, h, r, c, chn,
+    CASE WHEN lossy
+      THEN ((id*31 + r*7 + c*13 + chn*101) % 256)
+           - ((id*31 + r*7 + c*13 + chn*101) % 256) % 2
+      ELSE (id*31 + r*7 + c*13 + chn*101) % 256 END AS val
+  FROM ch0),
+hist AS (SELECT id, chn, val, count(*) AS cnt
+         FROM v0 GROUP BY id, chn, val),
+cdf AS (SELECT id, chn, val,
+    sum(cnt) OVER (PARTITION BY id, chn ORDER BY val) AS cdf
+  FROM hist),
+stats AS (SELECT id, chn, MIN(cdf) AS cmin, MAX(cdf) AS n
+          FROM cdf GROUP BY id, chn),
+lut AS (
+  SELECT c.id, c.chn, c.val,
+    CASE WHEN s.n = s.cmin THEN c.val
+         ELSE ((c.cdf - s.cmin) * 255) // (s.n - s.cmin) END AS nval
+  FROM cdf c JOIN stats s ON s.id = c.id AND s.chn = c.chn),
+px AS (
+  SELECT v0.id, v0.w, v0.h,
+    (v0.r * v0.w + v0.c) * 3 + v0.chn + 1 AS i1, l.nval AS val
+  FROM v0 JOIN lut l
+    ON l.id = v0.id AND l.chn = v0.chn AND l.val = v0.val)
+SELECT id AS image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+  CAST(sum(val) AS BIGINT) AS s0,
+  CAST(sum(i1 * val) AS BIGINT) AS s1,
+  CAST(sum(i1 * i1 * val) AS BIGINT) AS s2
+FROM px GROUP BY id, w, h
+""",
         "quantile_sketch_exact": """
 WITH v AS (
   SELECT l_extendedprice AS v FROM lineitem

@@ -33,6 +33,7 @@ __all__ = [
     "augment_checksums",
     "image_ahash",
     "resize_bilinear_checksums",
+    "hist_equalize_checksums",
     "verify_roundtrip",
     "audio_features_stub",
     "video_frame_sample_stub",
@@ -293,6 +294,67 @@ def resize_bilinear_checksums(
     return df.select(id_col, bytes_col).mapInPandas(
         gen,
         schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
+    )
+
+
+def hist_equalize_checksums(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-channel histogram equalization (the contrast-normalization
+    step of an image-training-data pipeline; OpenCV ``equalizeHist``
+    applied channel-wise) in pure integer arithmetic, witnessed by the
+    same exact Σv/Σi·v/Σi²·v checksums as :func:`resize_nn_checksums`
+    so the decode→histogram→CDF→remap chain hash-gates against a
+    symbolic SQL oracle.
+
+    Remap convention (integer-floor variant of the textbook formula):
+
+        cdf(v)   = # pixels in the channel with value ≤ v
+        cdf_min  = cdf(first PRESENT value)
+        v'       = (cdf(v) − cdf_min) · 255 // (n − cdf_min)
+
+    with n = w·h pixels per channel; all operands non-negative, so the
+    floor division is the same floor in numpy and ANSI SQL. A constant
+    channel (n == cdf_min) passes through unchanged. Checksums run over
+    row-major (row, col, ch) order with 1-based index i.
+
+    → (image_id, w, h, s0, s1, s2). Arrow-batched mapInPandas, REAL
+    engine decode, zero exchanges — embarrassingly parallel."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = decode_image(bytes(data)).astype(np.int64)
+                h, w, _ = px.shape
+                n = h * w
+                out = np.empty_like(px)
+                for ch in range(3):
+                    v = px[:, :, ch]
+                    hist = np.bincount(v.reshape(-1), minlength=256)
+                    cdf = hist.cumsum()
+                    cmin = int(cdf[np.nonzero(hist)[0][0]])
+                    if n == cmin:
+                        out[:, :, ch] = v  # constant channel: identity
+                    else:
+                        lut = (cdf - cmin) * 255 // (n - cmin)
+                        out[:, :, ch] = lut[v]
+                vv = out.reshape(-1)
+                i1 = np.arange(1, vv.size + 1, dtype=np.int64)
+                rows.append((
+                    iid, w, h,
+                    int(vv.sum()), int((i1 * vv).sum()),
+                    int((i1 * i1 * vv).sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "w", "h", "s0", "s1", "s2"])
+
+    t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {t}, w int, h int, s0 long, s1 long, s2 long",
     )
 
 

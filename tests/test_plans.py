@@ -890,3 +890,20 @@ def test_trajectory_hausdorff_plan_jvm_exact_phase(spark):
     # NestedLoop occurrence is the bbox-dim join (joins box-aggregated
     # rows only, never the raw point frames)
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_hist_equalize_plan_no_exchange(spark):
+    """hist_equalize_checksums: one Arrow-batched map stage per split —
+    ZERO exchanges (the per-image histogram/CDF/remap is task-local)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.multimodal import (
+        hist_equalize_checksums,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [0], "bytes": [b""]}),
+        "image_id long, bytes binary",
+    )
+    plan = explain_str(hist_equalize_checksums(df))
+    assert "Exchange" not in plan, plan
