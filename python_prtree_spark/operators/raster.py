@@ -20,7 +20,7 @@ Output: (raster_id, poly_id) pairs, duplicate-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
@@ -31,7 +31,7 @@ __all__ = [
     "rasterize_tiles", "pyramid_level", "pyramid_level_values",
     "polygonize_regions", "raster_algebra", "zonal_histogram",
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
-    "contour_cases", "cost_distance",
+    "contour_cases", "cost_distance", "viewshed_los",
 ]
 
 
@@ -1139,4 +1139,96 @@ def cost_distance(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def viewshed_los(
+    pixels_df: DataFrame,
+    observer: tuple[int, int, int],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    max_radius: int | None = None,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Line-of-sight viewshed along the 8 principal rays from an
+    observer cell (the r.horizon / ArcGIS-viewshed family restricted to
+    axis+diagonal rays, where visibility is EXACT on the cell lattice):
+    a cell on a ray is visible iff its elevation angle from the observer
+    strictly exceeds the running maximum angle of every nearer cell on
+    the same ray — the classic horizon-scan recurrence.
+
+    pixels_df: sparse (tile, r, c, value) lit cells, value = elevation;
+    observer: (tile, r, c) of the observer cell (must be lit — its
+    elevation anchors the angles); unlit cells on a ray simply do not
+    occlude (sparse-raster convention). ``max_radius`` optionally caps
+    the chebyshev distance.
+
+    Fixed point: angle ordering uses slope_q = floor(1e6·Δelev / d)
+    with integer Δelev and d = chebyshev step count — the double
+    division is exact enough that floor is engine-independent (the
+    quotient sits on a 1/d lattice, d ≤ grid ≪ 2⁴⁴ below double ulp),
+    so comparisons hash-gate.
+
+    Distributed shape: one filter keeps only on-ray cells (≤ 8·grid of
+    them — rays are O(grid side), task-sized by construction), one
+    8-partition window does the prefix max per ray. The observer
+    elevation is the single driver-side scalar (the tfidf precedent).
+
+    → (tile, r, c, ray, d, slope_q, visible) for every lit on-ray cell
+    with d ≥ 1."""
+    side = 1 << cfg.level
+    grid = side * px
+    t0, r0, c0 = (int(v) for v in observer)
+    gx0 = (t0 // side) * px + c0
+    gy0 = (t0 % side) * px + r0
+    if not (0 <= gx0 < grid and 0 <= gy0 < grid):
+        raise ValueError(f"observer {observer} is outside the {grid} grid")
+
+    cells = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("elev"),
+    )
+    e0_rows = cells.where(
+        (F.col("gx") == gx0) & (F.col("gy") == gy0)).limit(2).collect()
+    if not e0_rows:
+        raise ValueError(f"observer cell {observer} is not lit")
+    if len(e0_rows) > 1:
+        raise ValueError(f"observer cell {observer} is lit more than once")
+    e0 = int(e0_rows[0]["elev"])
+
+    dx = F.col("gx") - F.lit(gx0)
+    dy = F.col("gy") - F.lit(gy0)
+    adx, ady = F.abs(dx), F.abs(dy)
+    d = F.greatest(adx, ady)
+    on_ray = ((dx == 0) | (dy == 0) | (adx == ady)) & (d > 0)
+    if max_radius is not None:
+        if max_radius < 1:
+            raise ValueError(f"max_radius must be >= 1, got {max_radius}")
+        on_ray = on_ray & (d <= max_radius)
+    ray = F.signum(dx).cast("int") * 3 + F.signum(dy).cast("int")
+    slope_q = F.floor(
+        (F.lit(1000000) * (F.col("elev") - F.lit(e0))) / d).cast("long")
+
+    w = (
+        Window.partitionBy("ray").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rays = cells.where(on_ray).select(
+        "gx", "gy",
+        ray.alias("ray"), d.alias("d"), slope_q.alias("slope_q"),
+    )
+    out = rays.select(
+        "gx", "gy", "ray", "d", "slope_q",
+        F.max("slope_q").over(w).alias("_hz"),
+    )
+    return out.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        "ray", "d", "slope_q",
+        (F.col("_hz").isNull() | (F.col("slope_q") > F.col("_hz")))
+        .alias("visible"),
     )
