@@ -2278,6 +2278,26 @@ def _q_viewshed(spark, sf_dir):
     )
 
 
+def _q_morphology_open(spark, sf_dir):
+    """Grayscale morphological OPENING (erode then dilate, diamond r=1
+    SE) of the supplier coverage raster — the despeckle primitive.
+    Hash-gates both morphology kernels end-to-end: the |SE| fan-out,
+    the full-support erosion membership (count == |SE| with zero-padded
+    borders), the grayscale min/max carry, and the chain keying (erode
+    output feeds dilate as value_col='v'). Witness geometry is
+    pytest-verified against a brute-force scan (tests/test_morphology.py)."""
+    from python_prtree_spark.operators.raster import (
+        morphology,
+        rasterize_counts,
+        structuring_element,
+    )
+
+    se = structuring_element("diamond", 1)
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    er = morphology(pxs, "erode", se, CFG, px=16)
+    return morphology(er, "dilate", se, CFG, px=16, value_col="v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2390,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_exact": _q_qsketch_exact,
         "cost_distance_line": _q_cost_distance,
         "viewshed": _q_viewshed,
+        "morphology_open": _q_morphology_open,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3025,6 +3046,44 @@ SELECT CAST((gx // 16) * 16 + (gy // 16) AS BIGINT) AS tile,
   CAST(CASE WHEN h IS NULL OR slope_q > h THEN 1 ELSE 0 END AS INT)
     AS visible
 FROM hz
+""",
+        # morphology — same coverage-counts lattice as the focal/slope
+        # templates; erode = min over the reflected SE with full-support
+        # membership (count == |SE|), dilate = max over the SE.
+        "morphology_open": f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+se(dx, dy) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)),
+er AS (
+  SELECT g.gx - dx AS gx, g.gy - dy AS gy, min(cnt) AS v
+  FROM g CROSS JOIN se
+  WHERE g.gx - dx >= 0 AND g.gx - dx < 256
+    AND g.gy - dy >= 0 AND g.gy - dy < 256
+  GROUP BY 1, 2 HAVING count(*) = 5),
+dl AS (
+  SELECT er.gx + dx AS gx, er.gy + dy AS gy, max(v) AS v
+  FROM er CROSS JOIN se
+  WHERE er.gx + dx >= 0 AND er.gx + dx < 256
+    AND er.gy + dy >= 0 AND er.gy + dy < 256
+  GROUP BY 1, 2)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM dl
 """,
         "hexbin": _hexbin_oracle_sql(4.0),
         # Retention — integer epoch-day cohorts; (user, day) distinct

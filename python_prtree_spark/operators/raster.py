@@ -32,6 +32,7 @@ __all__ = [
     "polygonize_regions", "raster_algebra", "zonal_histogram",
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
     "contour_cases", "cost_distance", "viewshed_los",
+    "morphology", "structuring_element",
 ]
 
 
@@ -1231,4 +1232,109 @@ def viewshed_los(
         "ray", "d", "slope_q",
         (F.col("_hz").isNull() | (F.col("slope_q") > F.col("_hz")))
         .alias("visible"),
+    )
+
+
+def structuring_element(shape: str = "square", radius: int = 1) -> list:
+    """Offsets of a classic structuring element: ``square`` (Chebyshev
+    ball, (2r+1)² offsets) or ``diamond`` (Manhattan ball, the von
+    Neumann neighborhood at r=1). Origin included, deterministic
+    (dx-major) order."""
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    if shape == "square":
+        keep = lambda dx, dy: True  # noqa: E731
+    elif shape == "diamond":
+        keep = lambda dx, dy: abs(dx) + abs(dy) <= radius  # noqa: E731
+    else:
+        raise ValueError(f"shape must be 'square' or 'diamond', got {shape!r}")
+    return [
+        (dx, dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if keep(dx, dy)
+    ]
+
+
+def morphology(
+    pixels_df: DataFrame,
+    op: str,
+    se: list | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Grayscale morphological ``dilate`` / ``erode`` over the sparse
+    tile mosaic with an arbitrary structuring element (the
+    scipy.ndimage.grey_dilation / GRASS r.grow family, generalizing
+    focal_stats' 3×3 max to any SE):
+
+    * ``dilate``: out(p) = max_{s in SE} in(p - s) over lit cells —
+      output covers the SE-dilation of the lit set (any lit cell in the
+      reflected SE window lights the output).
+    * ``erode``:  out(p) = min_{s in SE} in(p + s), defined ONLY where
+      every SE offset lands on a lit in-grid cell (zero-padding
+      convention: absent and off-grid cells are holes, so partially
+      supported positions are eroded away — the standard binary
+      erosion membership, carrying grayscale min values).
+
+    ``se``: iterable of (dx, dy) integer offsets (see
+    structuring_element); default 3×3 square.
+
+    open = erode → dilate, close = dilate → erode: chain two calls —
+    each output is on the same (tile, r, c, v) keying as its input
+    (feed the result back with value_col="v").
+
+    Scale shape: identical to focal_stats — each lit pixel emits |SE|
+    candidate positions (bounded fan-out of SPARSE input, pure column
+    arithmetic), ONE groupBy on the global pixel key aggregates; the
+    shuffle is the cross-tile halo exchange, no Arrow kernel, no
+    per-tile state. Erosion's full-support test is a count equality in
+    the same aggregate.
+
+    → (tile, r, c, v) sparse rows."""
+    if op not in ("dilate", "erode"):
+        raise ValueError(f"op must be 'dilate' or 'erode', got {op!r}")
+    se = structuring_element() if se is None else [
+        (int(dx), int(dy)) for dx, dy in se
+    ]
+    if not se or len(set(se)) != len(se):
+        raise ValueError("se must be a non-empty list of distinct offsets")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    # dilate reads in(p - s): a lit cell q supports position p = q + s;
+    # erode reads in(p + s): q supports p = q - s.
+    sgn = 1 if op == "dilate" else -1
+    offsets = F.array(*[
+        F.struct(F.lit(sgn * dx).alias("dx"), F.lit(sgn * dy).alias("dy"))
+        for dx, dy in se
+    ])
+    cand = src.select(
+        "_v", F.explode(offsets).alias("_o"),
+        (F.col("_gx") + F.col("_o.dx")).alias("gx"),
+        (F.col("_gy") + F.col("_o.dy")).alias("gy"),
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    )
+    agg = cand.groupBy("gx", "gy").agg(
+        F.max("_v").alias("_mx"),
+        F.min("_v").alias("_mn"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    if op == "erode":
+        agg = agg.where(F.col("_n") == len(se))
+    v = F.col("_mx") if op == "dilate" else F.col("_mn")
+    return agg.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        v.cast("long").alias("v"),
     )
