@@ -2298,6 +2298,48 @@ def _q_morphology_open(spark, sf_dir):
     return morphology(er, "dilate", se, CFG, px=16, value_col="v")
 
 
+def _q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation over a 21x21 lineitem-derived DEM: upstream
+    cell counts under steepest-descent drainage (diagonal sqrt(2)
+    distance honored via the exact cross-multiplied integer key
+    drop^2 * (2 cardinal | 1 diagonal), ties by the fixed E..NE
+    preference). Hash-gates the whole chain — the 8x halo fan-out, the
+    argmax-over-structs direction pick, and the topological-peeling
+    accumulation rounds (each edge shuffled exactly once) — against a
+    recursive-CTE path-count oracle; terrain geometry is additionally
+    pytest-verified against a brute-force witness (tests/test_flow.py)."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.raster import flow_accumulation
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    dem = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .where((F.col("rn") < 441) & (F.col("rn") % 19 != 7))
+        .select(
+            (F.lit(100) + F.col("rn") % 21).cast("long").alias("gx"),
+            (F.lit(100) + (F.col("rn") / 21).cast("long")).alias("gy"),
+            (F.floor("l_extendedprice").cast("long") % 97).alias("cnt"),
+        )
+    )
+    pixels = dem.select(
+        ((F.col("gx") / 16).cast("long") * 16
+         + (F.col("gy") / 16).cast("long")).alias("tile"),
+        (F.col("gy") % 16).cast("int").alias("r"),
+        (F.col("gx") % 16).cast("int").alias("c"),
+        "cnt",
+    )
+    out = flow_accumulation(pixels, CFG, px=16, max_rounds=128)
+    return out.select(
+        F.col("tile").cast("long").alias("tile"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col("acc").cast("long").alias("acc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2411,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance_line": _q_cost_distance,
         "viewshed": _q_viewshed,
         "morphology_open": _q_morphology_open,
+        "flow_accumulation": _q_flow_accumulation,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3046,6 +3089,43 @@ SELECT CAST((gx // 16) * 16 + (gy // 16) AS BIGINT) AS tile,
   CAST(CASE WHEN h IS NULL OR slope_q > h THEN 1 ELSE 0 END AS INT)
     AS visible
 FROM hz
+""",
+        # flow accumulation — edges = steepest strictly-lower D8
+        # neighbor (cross-multiplied integer slope key, dir tie-break);
+        # acc(v) = number of recursive path rows landing on v (every
+        # cell seeds one walker; UNION ALL keeps multiplicity, strict
+        # descent guarantees termination).
+        "flow_accumulation": """
+WITH RECURSIVE raw AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+    (CAST(floor(l_extendedprice) AS BIGINT) % 97) AS elev
+  FROM lineitem),
+block AS (
+  SELECT CAST(100 + (rn % 21) AS BIGINT) AS gx,
+         CAST(100 + (rn // 21) AS BIGINT) AS gy, elev
+  FROM raw WHERE rn < 441 AND (rn % 19) != 7),
+o(dx, dy, dir, m) AS (VALUES
+  (1, 0, 0, 2), (1, 1, 1, 1), (0, 1, 2, 2), (-1, 1, 3, 1),
+  (-1, 0, 4, 2), (-1, -1, 5, 1), (0, -1, 6, 2), (1, -1, 7, 1)),
+cand AS (
+  SELECT a.gx, a.gy, b.gx AS tgx, b.gy AS tgy,
+    row_number() OVER (PARTITION BY a.gx, a.gy
+      ORDER BY (a.elev - b.elev) * (a.elev - b.elev) * m DESC, dir ASC)
+      AS rk
+  FROM block a
+  CROSS JOIN o
+  JOIN block b ON b.gx = a.gx + dx AND b.gy = a.gy + dy
+  WHERE b.elev < a.elev),
+edges AS (SELECT gx, gy, tgx, tgy FROM cand WHERE rk = 1),
+paths AS (
+  SELECT gx AS cgx, gy AS cgy FROM block
+  UNION ALL
+  SELECT e.tgx, e.tgy FROM paths p
+  JOIN edges e ON e.gx = p.cgx AND e.gy = p.cgy)
+SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
+  CAST(cgy % 16 AS INT) AS r, CAST(cgx % 16 AS INT) AS c,
+  CAST(count(*) AS BIGINT) AS acc
+FROM paths GROUP BY 1, 2, 3
 """,
         # morphology — same coverage-counts lattice as the focal/slope
         # templates; erode = min over the reflected SE with full-support

@@ -33,6 +33,7 @@ __all__ = [
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
+    "flow_direction_d8", "flow_accumulation",
 ]
 
 
@@ -1337,4 +1338,188 @@ def morphology(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         v.cast("long").alias("v"),
+    )
+
+
+# D8 neighbor table: (dx, dy, dir). Preference order (the tie-break) is
+# the dir index: E, SE, S, SW, W, NW, N, NE. Steepest-descent compare is
+# exact in integers: slope^2 = drop^2 / d^2 with d^2 in {1, 2}, so the
+# cross-multiplied key drop^2 * (2 if cardinal else 1) orders identically.
+_D8 = [
+    (1, 0, 0), (1, 1, 1), (0, 1, 2), (-1, 1, 3),
+    (-1, 0, 4), (-1, -1, 5), (0, -1, 6), (1, -1, 7),
+]
+
+
+def flow_direction_d8(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """D8 steepest-descent flow direction over a sparse integer DEM —
+    GRASS ``r.watershed`` / ArcGIS Flow Direction: every lit cell drains
+    to the STRICTLY LOWER lit 8-neighbor with the steepest slope
+    (diagonal distance sqrt(2) honored exactly via the cross-multiplied
+    integer key drop^2 * (2 cardinal | 1 diagonal); ties broken by the
+    fixed E,SE,S,SW,W,NW,N,NE preference). Cells with no strictly lower
+    lit neighbor are pits/outlets: dir = -1.
+
+    Scale shape: focal-style 8x fan-out of the sparse input (each lit
+    cell offers its elevation to its 8 neighbor positions — the shuffle
+    is the halo exchange), one join against the cells' own elevations,
+    one groupBy argmax via max-over-structs. No Arrow kernel, no
+    per-tile state.
+
+    → (tile, r, c, dir, acc_tile, acc_r, acc_c) with the target cell's
+    keying alongside (nulls for pits), so accumulation / watershed
+    labeling can chain without recomputing."""
+    side = 1 << cfg.level
+    grid = side * px
+    cells = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("elev"),
+    )
+    # neighbor q at offset (dx,dy) FROM p receives q's elevation: emit
+    # from q to p = q - (dx,dy) so the receiver sees (dir, nelev).
+    offers = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(d).alias("dir"))
+        for dx, dy, d in _D8
+    ])
+    nbr = cells.select(
+        F.col("elev").alias("nelev"), F.explode(offers).alias("_o"),
+        (F.col("gx") - F.col("_o.dx")).alias("gx"),
+        (F.col("gy") - F.col("_o.dy")).alias("gy"),
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    ).select("gx", "gy", F.col("_o.dir").alias("dir"), "nelev")
+    drop = F.col("elev") - F.col("nelev")
+    cardinal = F.col("dir").isin(0, 2, 4, 6)
+    key = drop * drop * F.when(cardinal, F.lit(2)).otherwise(F.lit(1))
+    best = (
+        cells.join(nbr, ["gx", "gy"])
+        .where(F.col("nelev") < F.col("elev"))
+        .groupBy("gx", "gy")
+        .agg(F.max(F.struct(
+            key.alias("k"), (-F.col("dir")).alias("negdir"),
+        )).alias("_b"))
+        .select("gx", "gy", (-F.col("_b.negdir")).alias("dir"))
+    )
+    dirmap_x = F.array(*[F.lit(dx) for dx, _, _ in _D8])
+    dirmap_y = F.array(*[F.lit(dy) for _, dy, _ in _D8])
+    out = cells.join(best, ["gx", "gy"], "left").select(
+        "gx", "gy",
+        F.coalesce(F.col("dir"), F.lit(-1)).cast("int").alias("dir"),
+        F.when(F.col("dir").isNotNull(),
+               F.col("gx") + F.element_at(dirmap_x, F.col("dir") + 1))
+        .alias("tgx"),
+        F.when(F.col("dir").isNotNull(),
+               F.col("gy") + F.element_at(dirmap_y, F.col("dir") + 1))
+        .alias("tgy"),
+    )
+
+    def keyed(xc, yc):
+        return [
+            ((F.col(xc) / px).cast("long") * side
+             + (F.col(yc) / px).cast("long")),
+            (F.col(yc) % px).cast("int"),
+            (F.col(xc) % px).cast("int"),
+        ]
+
+    t, r, c = keyed("gx", "gy")
+    at, ar, ac = keyed("tgx", "tgy")
+    return out.select(
+        t.alias("tile"), r.alias("r"), c.alias("c"), "dir",
+        at.alias("acc_tile"), ar.alias("acc_r"), ac.alias("acc_c"),
+    )
+
+
+def flow_accumulation(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    max_rounds: int = 1024,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """D8 flow accumulation — ArcGIS Flow Accumulation / GRASS
+    ``r.watershed`` upstream cell counts: acc(p) = number of lit cells
+    (including p itself) whose steepest-descent D8 path passes through
+    p. Directions come from flow_direction_d8 (strict descent, so the
+    flow graph is an acyclic in-forest rooted at pits).
+
+    Distributed shape — TOPOLOGICAL PEELING, not mass-waving: each
+    round, exactly the cells whose every upstream neighbor has settled
+    push their FINAL count one hop downstream and retire. Every edge is
+    shuffled exactly once over the whole run (O(E) total volume — a
+    mass-per-hop scheme would move O(n * path-length) rows); rounds =
+    longest flow-path hop count, each a join + groupBy on the global
+    cell key with localCheckpoint keeping lineage O(1). The driver loop
+    carries only the frontier-size scalar (cost_distance precedent).
+
+    → (tile, r, c, acc); pits carry their full catchment size."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    side = 1 << cfg.level
+    dirs = flow_direction_d8(pixels_df, cfg, px, tile_col, value_col)
+    state = dirs.select(
+        ((F.col("tile") / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col("tile") % side) * px + F.col("r")).alias("gy"),
+        F.when(F.col("dir") >= 0,
+               (F.col("acc_tile") / side).cast("long") * px
+               + F.col("acc_c")).alias("tgx"),
+        F.when(F.col("dir") >= 0,
+               (F.col("acc_tile") % side) * px + F.col("acc_r"))
+        .alias("tgy"),
+    )
+    indeg = (
+        state.where(F.col("tgx").isNotNull())
+        .groupBy(F.col("tgx").alias("gx"), F.col("tgy").alias("gy"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    state = (
+        state.join(indeg, ["gx", "gy"], "left")
+        .select(
+            "gx", "gy", "tgx", "tgy",
+            F.coalesce(F.col("_w"), F.lit(0)).cast("long").alias("wait"),
+            F.lit(1).cast("long").alias("acc"),
+            F.lit(False).alias("settled"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        frontier = state.where(~F.col("settled") & (F.col("wait") == 0))
+        if frontier.limit(1).count() == 0:
+            break
+        pushes = (
+            frontier.where(F.col("tgx").isNotNull())
+            .groupBy(F.col("tgx").alias("gx"), F.col("tgy").alias("gy"))
+            .agg(F.sum("acc").alias("_m"), F.count(F.lit(1)).alias("_c"))
+        )
+        state = (
+            state.join(pushes, ["gx", "gy"], "left")
+            .select(
+                "gx", "gy", "tgx", "tgy",
+                (F.col("wait") - F.coalesce(F.col("_c"), F.lit(0)))
+                .alias("wait"),
+                (F.col("acc") + F.coalesce(F.col("_m"), F.lit(0)))
+                .alias("acc"),
+                (F.col("settled") | (F.col("wait") == 0)).alias("settled"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"flow_accumulation did not converge in {max_rounds} rounds; "
+            f"raise max_rounds (longest flow path exceeds it)")
+    return state.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        F.col("acc").cast("long").alias("acc"),
     )
