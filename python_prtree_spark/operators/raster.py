@@ -33,7 +33,7 @@ __all__ = [
     "zonal_majority", "focal_stats", "raster_convolve", "slope_d8",
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
-    "flow_direction_d8", "flow_accumulation",
+    "flow_direction_d8", "flow_accumulation", "watershed_basins",
 ]
 
 
@@ -1522,4 +1522,81 @@ def flow_accumulation(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         F.col("acc").cast("long").alias("acc"),
+    )
+
+
+def watershed_basins(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    max_rounds: int = 64,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Watershed delineation over a sparse integer DEM — GRASS
+    ``r.watershed`` basins / ArcGIS Basin: label every lit cell with the
+    pit/outlet its D8 steepest-descent path terminates at (directions
+    and tie-breaks exactly as flow_direction_d8; each basin is one pit's
+    catchment).
+
+    Distributed shape — POINTER DOUBLING (the large/small-star idea of
+    components.py applied to a functional graph): every cell keeps a
+    pointer that starts at its D8 target (pits point at themselves) and
+    each round jumps ptr <- ptr(ptr) via ONE self-join on the global
+    cell key, so after t rounds each pointer has skipped 2^t hops.
+    Rounds = ceil(log2(longest flow path)) — at a 100 TB grid with
+    million-hop river paths that is ~20 rounds, where per-hop peeling
+    (flow_accumulation's shape, right for O(E)-volume counting) would
+    need a million. localCheckpoint per round keeps lineage O(1); the
+    driver carries only the changed-count scalar.
+
+    → (tile, r, c, basin) with basin = the pit's global cell key
+    gy * (side * px) + gx — stable, join-able, decodable."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    side = 1 << cfg.level
+    grid = side * px
+    dirs = flow_direction_d8(pixels_df, cfg, px, tile_col, value_col)
+    state = dirs.select(
+        ((F.col("tile") / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col("tile") % side) * px + F.col("r")).alias("gy"),
+        F.when(F.col("dir") >= 0,
+               (F.col("acc_tile") / side).cast("long") * px + F.col("acc_c"))
+        .otherwise(
+            (F.col("tile") / side).cast("long") * px + F.col("c"))
+        .alias("pgx"),
+        F.when(F.col("dir") >= 0,
+               (F.col("acc_tile") % side) * px + F.col("acc_r"))
+        .otherwise((F.col("tile") % side) * px + F.col("r")).alias("pgy"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        hop = state.select(
+            F.col("gx").alias("pgx"), F.col("gy").alias("pgy"),
+            F.col("pgx").alias("ppgx"), F.col("pgy").alias("ppgy"),
+        )
+        nxt = (
+            state.join(hop, ["pgx", "pgy"])
+            .select(
+                "gx", "gy",
+                F.col("ppgx").alias("pgx"), F.col("ppgy").alias("pgy"),
+                ((F.col("ppgx") != F.col("pgx"))
+                 | (F.col("ppgy") != F.col("pgy"))).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.where(F.col("_chg")).count()
+        state = nxt.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"watershed_basins did not converge in {max_rounds} doubling "
+            f"rounds; raise max_rounds (longest flow path exceeds "
+            f"2^{max_rounds})")
+    return state.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        (F.col("pgy") * grid + F.col("pgx")).cast("long").alias("basin"),
     )

@@ -142,3 +142,57 @@ def test_max_rounds_raises(spark):
         flow_accumulation(_pix_df(spark, cells), CFG, px=PX, max_rounds=3)
     with pytest.raises(ValueError, match="max_rounds"):
         flow_accumulation(_pix_df(spark, cells), CFG, px=PX, max_rounds=0)
+
+
+def _brute_basins(cells):
+    dirs = _brute_dirs(cells)
+    out = {}
+    for p in cells:
+        cur = p
+        while dirs[cur][1] is not None:
+            cur = dirs[cur][1]
+        out[p] = cur[1] * 16 + cur[0]  # gy * grid + gx, grid = 16
+    return out
+
+
+def test_basins_vs_brute(spark):
+    from python_prtree_spark.operators.raster import watershed_basins
+
+    for cells in (_terrain(), _two_bowls()):
+        got = {
+            _gxy(row): row["basin"]
+            for row in watershed_basins(
+                _pix_df(spark, cells), CFG, px=PX).collect()
+        }
+        assert got == _brute_basins(cells)
+    assert len(set(got.values())) > 1  # two bowls -> multiple catchments
+
+
+def _two_bowls():
+    # two separate depressions split by the x=8 ridge
+    cells = {}
+    for x in range(16):
+        for y in range(16):
+            if (x * 3 + y * 7) % 31 == 0:
+                continue  # holes
+            cx = 3 if x < 8 else 12
+            cells[(x, y)] = (x - cx) * (x - cx) + (y - 8) * (y - 8) + (
+                x * y) % 2
+    return cells
+
+
+def test_basins_doubling_rounds(spark):
+    from python_prtree_spark.operators.raster import watershed_basins
+
+    # chain of length 8: pointer doubling needs ceil(log2(8)) = 3 rounds
+    # (+1 stable confirmation), so max_rounds=4 converges where per-hop
+    # walking would need 8.
+    cells = {(x, 2): 100 - x for x in range(9)}
+    got = {
+        _gxy(row): row["basin"]
+        for row in watershed_basins(
+            _pix_df(spark, cells), CFG, px=PX, max_rounds=4).collect()
+    }
+    assert set(got.values()) == {2 * 16 + 8}  # everyone drains to (8,2)
+    with pytest.raises(ValueError, match="max_rounds"):
+        watershed_basins(_pix_df(spark, cells), CFG, px=PX, max_rounds=0)
