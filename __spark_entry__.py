@@ -2380,6 +2380,56 @@ def _q_watershed(spark, sf_dir):
     )
 
 
+def _q_hough_lines(spark, sf_dir):
+    """Hough line transform of the supplier coverage raster (12 angles,
+    rho_bin=2, min 8 votes): every lit pixel votes into the (angle,
+    offset) accumulator through the SHARED Q12 fixed-point trig table
+    (hough_table — identical integer taps in the SQL twin), with a
+    power-of-two divisor making the rho floor engine-exact. Detection
+    behavior (axis lines surface as top bins, negative-rho angles) is
+    pytest-verified (tests/test_hough.py)."""
+    from python_prtree_spark.operators.raster import (
+        hough_lines,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return hough_lines(pxs, CFG, px=16, n_theta=12, rho_bin=2, min_votes=8)
+
+
+def _hough_oracle_sql() -> str:
+    from python_prtree_spark.operators.raster import hough_table
+
+    taps = ", ".join(f"({k}, {c}, {s})" for k, c, s in hough_table(12))
+    return f"""
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+t(k, cq, sq) AS (VALUES {taps}),
+v AS (
+  SELECT k AS theta_k,
+    CAST(floor((gx * cq + gy * sq) / 8192.0e0) AS BIGINT) AS rho_q,
+    count(*) AS votes, sum(cnt) AS wsum
+  FROM g CROSS JOIN t GROUP BY 1, 2)
+SELECT CAST(theta_k AS INT) AS theta_k, rho_q,
+  CAST(votes AS BIGINT) AS votes, CAST(wsum AS BIGINT) AS wsum
+FROM v WHERE votes >= 8
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2495,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphology_open": _q_morphology_open,
         "flow_accumulation": _q_flow_accumulation,
         "watershed_basins": _q_watershed,
+        "hough_lines": _q_hough_lines,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3168,6 +3219,7 @@ SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
   CAST(count(*) AS BIGINT) AS acc
 FROM paths GROUP BY 1, 2, 3
 """,
+        "hough_lines": _hough_oracle_sql(),
         # watershed — same DEM/edges as flow_accumulation; each cell's
         # walker follows edges to a cell with no out-edge (the pit);
         # basin key = pit_gy * 256 + pit_gx matches the operator.

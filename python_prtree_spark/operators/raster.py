@@ -34,6 +34,7 @@ __all__ = [
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
+    "hough_lines", "hough_table",
 ]
 
 
@@ -1599,4 +1600,93 @@ def watershed_basins(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         (F.col("pgy") * grid + F.col("pgx")).cast("long").alias("basin"),
+    )
+
+
+def hough_table(n_theta: int = 16, q: int = 4096) -> list:
+    """Fixed-point Hough angle table: (k, cos_q, sin_q) for theta_k =
+    k*pi/n_theta, k in [0, n_theta), with cos_q = round(q*cos) —
+    computed ONCE driver-side so Spark and any SQL twin share the exact
+    same integer taps (the shared-literal determinism pattern)."""
+    import math
+
+    if n_theta < 2:
+        raise ValueError(f"n_theta must be >= 2, got {n_theta}")
+    return [
+        (k,
+         int(round(q * math.cos(math.pi * k / n_theta))),
+         int(round(q * math.sin(math.pi * k / n_theta))))
+        for k in range(n_theta)
+    ]
+
+
+def hough_lines(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    n_theta: int = 16,
+    rho_bin: int = 1,
+    min_votes: int = 2,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Hough line transform over the sparse tile mosaic — the classic
+    straight-line detector (OpenCV HoughLines family): every lit pixel
+    votes for each of ``n_theta`` quantized line angles, the (angle,
+    offset) accumulator bins the votes, and bins with >= min_votes
+    survive. Line parametrization rho = x*cos(theta) + y*sin(theta)
+    in Q12 fixed point (hough_table): rho_q = floor((x*cos_q + y*sin_q)
+    / (4096 * rho_bin)) — all-integer dividend and a power-of-two
+    divisor make the floor engine-exact, so the accumulator hash-gates.
+
+    ``rho_bin`` must be a power of two (the dyadic-exactness guard);
+    votes are pixel counts, ``wsum`` additionally carries the summed
+    pixel values (weighted Hough).
+
+    Scale shape: bounded n_theta-x fan-out of the SPARSE input (pure
+    column arithmetic, no UDF), ONE groupBy on (theta_k, rho_q) — the
+    same focal discipline; the accumulator is tiny (n_theta * diag/
+    rho_bin bins) regardless of raster size, so the reduce side never
+    skews.
+
+    → (theta_k, rho_q, votes, wsum) ordered-free sparse accumulator."""
+    if rho_bin < 1 or (rho_bin & (rho_bin - 1)) != 0:
+        raise ValueError(f"rho_bin must be a power of two, got {rho_bin}")
+    if min_votes < 1:
+        raise ValueError(f"min_votes must be >= 1, got {min_votes}")
+    side = 1 << cfg.level
+    taps = hough_table(n_theta)
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    arr = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.lit(c).alias("cq"),
+                 F.lit(s).alias("sq"))
+        for k, c, s in taps
+    ])
+    div = F.lit(4096 * rho_bin)
+    votes = (
+        src.select("gx", "gy", "v", F.explode(arr).alias("_t"))
+        .select(
+            F.col("_t.k").alias("theta_k"),
+            F.floor(
+                (F.col("gx") * F.col("_t.cq") + F.col("gy") * F.col("_t.sq"))
+                / div
+            ).cast("long").alias("rho_q"),
+            "v",
+        )
+        .groupBy("theta_k", "rho_q")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.sum("v").alias("wsum"),
+        )
+        .where(F.col("votes") >= min_votes)
+    )
+    return votes.select(
+        F.col("theta_k").cast("int").alias("theta_k"),
+        "rho_q",
+        F.col("votes").cast("long").alias("votes"),
+        F.col("wsum").cast("long").alias("wsum"),
     )
