@@ -2430,6 +2430,43 @@ FROM v WHERE votes >= 8
 """
 
 
+def _q_glcm(spark, sf_dir):
+    """Symmetric gray-level co-occurrence matrix (Haralick texture) of
+    the 21x21 lineitem DEM (rich 97-level gray range) at offset (1, 0):
+    one self-join on the shifted global pixel key (the shuffle is the
+    halo exchange), one groupBy on the bounded (va, vb) pair key.
+    Exact integer counts; matrix symmetry and witness parity
+    pytest-verified (tests/test_glcm.py)."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.raster import glcm
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    dem = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .where((F.col("rn") < 441) & (F.col("rn") % 19 != 7))
+        .select(
+            (F.lit(100) + F.col("rn") % 21).cast("long").alias("gx"),
+            (F.lit(100) + (F.col("rn") / 21).cast("long")).alias("gy"),
+            (F.floor("l_extendedprice").cast("long") % 97).alias("cnt"),
+        )
+    )
+    pixels = dem.select(
+        ((F.col("gx") / 16).cast("long") * 16
+         + (F.col("gy") / 16).cast("long")).alias("tile"),
+        (F.col("gy") % 16).cast("int").alias("r"),
+        (F.col("gx") % 16).cast("int").alias("c"),
+        "cnt",
+    )
+    return glcm(pixels, (1, 0), True, CFG, px=16).select(
+        F.col("va").cast("long").alias("va"),
+        F.col("vb").cast("long").alias("vb"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2546,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": _q_flow_accumulation,
         "watershed_basins": _q_watershed,
         "hough_lines": _q_hough_lines,
+        "glcm_texture": _q_glcm,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3220,6 +3258,25 @@ SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
 FROM paths GROUP BY 1, 2, 3
 """,
         "hough_lines": _hough_oracle_sql(),
+        # GLCM — pair counts of (value, value-at-offset) where both lit;
+        # symmetric doubles via the reversed union, matching the operator.
+        "glcm_texture": """
+WITH raw AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+    (CAST(floor(l_extendedprice) AS BIGINT) % 97) AS elev
+  FROM lineitem),
+g AS (
+  SELECT CAST(100 + (rn % 21) AS BIGINT) AS gx,
+         CAST(100 + (rn // 21) AS BIGINT) AS gy, elev AS cnt
+  FROM raw WHERE rn < 441 AND (rn % 19) != 7),
+p0 AS (
+  SELECT a.cnt AS va, z.cnt AS vb
+  FROM g a JOIN g z ON z.gx = a.gx + 1 AND z.gy = a.gy),
+p AS (SELECT va, vb FROM p0 UNION ALL SELECT vb, va FROM p0)
+SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
+  CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY va, vb
+""",
         # watershed — same DEM/edges as flow_accumulation; each cell's
         # walker follows edges to a cell with no out-edge (the pit);
         # basin key = pit_gy * 256 + pit_gx matches the operator.

@@ -34,7 +34,7 @@ __all__ = [
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
-    "hough_lines", "hough_table",
+    "hough_lines", "hough_table", "glcm",
 ]
 
 
@@ -1690,3 +1690,55 @@ def hough_lines(
         F.col("votes").cast("long").alias("votes"),
         F.col("wsum").cast("long").alias("wsum"),
     )
+
+
+def glcm(
+    pixels_df: DataFrame,
+    offset: tuple[int, int] = (1, 0),
+    symmetric: bool = True,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Gray-level co-occurrence matrix over the sparse tile mosaic —
+    the Haralick texture primitive (scikit-image ``graycomatrix``):
+    count the (value-at-p, value-at-p+offset) pairs over all positions
+    where BOTH cells are lit. ``symmetric=True`` (the Haralick
+    convention) also counts the reversed pair, so the matrix is
+    symmetric and offset sign does not matter. Entropy / contrast /
+    homogeneity are one aggregation away from this output.
+
+    Quantization is the caller's job (chain raster_algebra) — glcm
+    counts raw integer values, so the result is exact.
+
+    Scale shape: ONE equi-join of the sparse raster with itself on the
+    offset-shifted global pixel key (co-partitioned hash join — the
+    shuffle is the halo exchange, across tile borders for free), then
+    one groupBy on the (va, vb) pair key. The matrix has at most
+    levels^2 rows regardless of raster size, so the reduce side is
+    tiny.
+
+    → (va, vb, n)."""
+    dx, dy = (int(v) for v in offset)
+    if (dx, dy) == (0, 0):
+        raise ValueError("offset must be non-zero")
+    side = 1 << cfg.level
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    right = src.select(
+        (F.col("gx") - F.lit(dx)).alias("gx"),
+        (F.col("gy") - F.lit(dy)).alias("gy"),
+        F.col("v").alias("vb"),
+    )
+    pairs = src.join(right, ["gx", "gy"]).select(
+        F.col("v").alias("va"), "vb",
+    )
+    if symmetric:
+        pairs = pairs.unionAll(
+            pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb")))
+    return pairs.groupBy("va", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
