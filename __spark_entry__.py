@@ -2467,6 +2467,29 @@ def _q_glcm(spark, sf_dir):
     )
 
 
+def _q_hog_blocks(spark, sf_dir):
+    """Block-pooled histogram of oriented gradients (HOG) of the
+    supplier coverage raster: Sobel gradients + 45-degree sectors from
+    slope_d8, pooled per 32x32-pixel block into per-sector pixel counts
+    and gradient energy (exact integer sum of squared magnitudes).
+    Hash-gates the full chain (convolutions, octant CASE, block keying);
+    edge-orientation behavior pytest-verified (tests/test_hog.py)."""
+    from python_prtree_spark.operators.raster import (
+        hog_blocks,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    out = hog_blocks(pxs, CFG, px=16, block=32)
+    return out.select(
+        F.col("bx").cast("long").alias("bx"),
+        F.col("by").cast("long").alias("by"),
+        F.col("d8").cast("int").alias("d8"),
+        F.col("n").cast("long").alias("n"),
+        F.col("energy").cast("long").alias("energy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2584,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed_basins": _q_watershed,
         "hough_lines": _q_hough_lines,
         "glcm_texture": _q_glcm,
+        "hog_blocks": _q_hog_blocks,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3648,6 +3672,19 @@ SELECT wx, wy, mcase FROM cases WHERE mcase BETWEEN 1 AND 14
             TAPS_X=_conv_taps_sql(_SOBEL_X),
             TAPS_Y=_conv_taps_sql(_SOBEL_Y),
         ),
+        # HOG — pool the slope_d8 lattice per 32x32 global-pixel block.
+        "hog_blocks": """
+SELECT CAST(((tile // 16) * 16 + c) // 32 AS BIGINT) AS bx,
+  CAST(((tile % 16) * 16 + r) // 32 AS BIGINT) AS by,
+  d8, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(slope2) AS BIGINT) AS energy
+FROM (""" + _SLOPE_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS_X=_conv_taps_sql(_SOBEL_X),
+            TAPS_Y=_conv_taps_sql(_SOBEL_Y),
+        ) + """) s
+GROUP BY 1, 2, 3
+""",
         # Gi* — same coverage lattice as the focal template; the z-score
         # expression mirrors operators/hotspot.gi_star VERBATIM (same IEEE
         # double op order), so floor(z*1e6) is bit-exact across engines.

@@ -34,7 +34,7 @@ __all__ = [
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
-    "hough_lines", "hough_table", "glcm",
+    "hough_lines", "hough_table", "glcm", "hog_blocks",
 ]
 
 
@@ -1742,3 +1742,45 @@ def glcm(
             pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb")))
     return pairs.groupBy("va", "vb").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def hog_blocks(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    block: int = 32,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Histogram of oriented gradients, block-pooled (the HOG descriptor
+    of Dalal-Triggs, integer-exact over the tile mosaic): Sobel
+    gradients and 45-degree orientation sectors from slope_d8, then per
+    ``block`` x ``block`` pixel window the per-sector pixel count and
+    gradient energy (sum of squared magnitudes — the no-sqrt exact
+    stand-in for HOG's magnitude weighting).
+
+    Scale shape: slope_d8's two bounded convolution fan-outs + one
+    align join, then ONE groupBy on the (block, sector) key — at most
+    (grid/block)^2 * 8 output rows regardless of raster size. Blocks
+    deliberately need no tile alignment: the global-pixel key makes
+    cross-tile blocks exact for free.
+
+    → (bx, by, d8, n, energy)."""
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
+    side = 1 << cfg.level
+    s = slope_d8(pixels_df, cfg, px, tile_col=tile_col, value_col=value_col)
+    gxp = (F.col("tile") / side).cast("long") * px + F.col("c")
+    gyp = (F.col("tile") % side) * px + F.col("r")
+    return (
+        s.select(
+            (gxp / block).cast("long").alias("bx"),
+            (gyp / block).cast("long").alias("by"),
+            "d8", "slope2",
+        )
+        .groupBy("bx", "by", "d8")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("slope2").cast("long").alias("energy"),
+        )
+    )
