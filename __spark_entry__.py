@@ -2490,6 +2490,28 @@ def _q_hog_blocks(spark, sf_dir):
     )
 
 
+def _q_harris(spark, sf_dir):
+    """Harris corner responses of the supplier coverage raster (k=1/16
+    box-window recipe, response scaled by 16 to stay in exact longs)
+    with local-max corner flags. Hash-gates the structure-tensor sums,
+    the 16*det - trace^2 arithmetic and the non-max-suppression join;
+    corner/edge discrimination pytest-verified (tests/test_harris.py)."""
+    from python_prtree_spark.operators.raster import (
+        harris_corners,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    out = harris_corners(pxs, CFG, px=16, threshold=0)
+    return out.select(
+        F.col("tile").cast("long").alias("tile"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col("r16").cast("long").alias("r16"),
+        F.col("corner").cast("int").alias("corner"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2608,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hough_lines": _q_hough_lines,
         "glcm_texture": _q_glcm,
         "hog_blocks": _q_hog_blocks,
+        "harris_corners": _q_harris,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3672,6 +3695,43 @@ SELECT wx, wy, mcase FROM cases WHERE mcase BETWEEN 1 AND 14
             TAPS_X=_conv_taps_sql(_SOBEL_X),
             TAPS_Y=_conv_taps_sql(_SOBEL_Y),
         ),
+        # Harris — slope lattice -> structure-tensor 3x3 sums ->
+        # 16*det - trace^2 -> 3x3 neighborhood max (ties kept).
+        "harris_corners": """
+WITH s AS (""" + _SLOPE_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS_X=_conv_taps_sql(_SOBEL_X),
+            TAPS_Y=_conv_taps_sql(_SOBEL_Y),
+        ) + """),
+p AS (
+  SELECT (tile // 16) * 16 + c AS x, (tile % 16) * 16 + r AS y,
+    gx * gx AS xx, gy * gy AS yy, gx * gy AS xy
+  FROM s),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT dx, unnest([-1, 0, 1]) AS dy FROM o),
+su AS (
+  SELECT p.x + dx AS x, p.y + dy AS y,
+    sum(xx) AS sxx, sum(yy) AS syy, sum(xy) AS sxy
+  FROM p CROSS JOIN o2
+  WHERE p.x + dx >= 0 AND p.x + dx < 256
+    AND p.y + dy >= 0 AND p.y + dy < 256
+  GROUP BY 1, 2),
+resp AS (
+  SELECT x, y,
+    16 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r16
+  FROM su),
+nm AS (
+  SELECT a.x + dx AS x, a.y + dy AS y, max(r16) AS mx
+  FROM resp a CROSS JOIN o2
+  WHERE a.x + dx >= 0 AND a.x + dx < 256
+    AND a.y + dy >= 0 AND a.y + dy < 256
+  GROUP BY 1, 2)
+SELECT CAST((x // 16) * 16 + (y // 16) AS BIGINT) AS tile,
+  CAST(y % 16 AS INT) AS r, CAST(x % 16 AS INT) AS c,
+  CAST(r16 AS BIGINT) AS r16,
+  CAST(CASE WHEN r16 >= mx AND r16 > 0 THEN 1 ELSE 0 END AS INT) AS corner
+FROM resp JOIN nm USING (x, y)
+""",
         # HOG — pool the slope_d8 lattice per 32x32 global-pixel block.
         "hog_blocks": """
 SELECT CAST(((tile // 16) * 16 + c) // 32 AS BIGINT) AS bx,

@@ -34,7 +34,7 @@ __all__ = [
     "contour_cases", "cost_distance", "viewshed_los",
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
-    "hough_lines", "hough_table", "glcm", "hog_blocks",
+    "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
 ]
 
 
@@ -1783,4 +1783,79 @@ def hog_blocks(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("slope2").cast("long").alias("energy"),
         )
+    )
+
+
+def harris_corners(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 0,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Harris corner detector over the sparse tile mosaic, integer-
+    exact (the OpenCV cornerHarris recipe with k = 1/16 and a box
+    window): Sobel gradients Ix, Iy (slope_d8's layers), structure-
+    tensor sums Sxx/Syy/Sxy over the 3x3 box, response scaled by 16 so
+    it stays in longs — r16 = 16*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 —
+    and a corner flag marking cells that are >= every 3x3 neighbor's
+    response (local maximum, ties kept) and > ``threshold``.
+
+    Scale shape: slope_d8's bounded fan-outs, then ONE 9x halo fan-out
+    carrying the (xx, yy, xy) product struct (not three separate focal
+    passes), one groupBy for the tensor sums, one more fan-out +
+    groupBy-max + join for non-max suppression. Everything stays in
+    whole-stage-codegen column arithmetic.
+
+    → (tile, r, c, r16, corner)."""
+    side = 1 << cfg.level
+    grid = side * px
+    s = slope_d8(pixels_df, cfg, px, tile_col=tile_col, value_col=value_col)
+    prods = s.select(
+        ((F.col("tile") / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col("tile") % side) * px + F.col("r")).alias("_gy"),
+        (F.col("gx") * F.col("gx")).alias("_xx"),
+        (F.col("gy") * F.col("gy")).alias("_yy"),
+        (F.col("gx") * F.col("gy")).alias("_xy"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+
+    def halo(df, *cols):
+        return df.select(
+            *cols, F.explode(offsets).alias("_o"),
+            (F.col("_gx") + F.col("_o.dx")).alias("gx"),
+            (F.col("_gy") + F.col("_o.dy")).alias("gy"),
+        ).where(
+            (F.col("gx") >= 0) & (F.col("gx") < grid)
+            & (F.col("gy") >= 0) & (F.col("gy") < grid)
+        )
+
+    sums = halo(prods, "_xx", "_yy", "_xy").groupBy("gx", "gy").agg(
+        F.sum("_xx").alias("sxx"),
+        F.sum("_yy").alias("syy"),
+        F.sum("_xy").alias("sxy"),
+    )
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    tr = F.col("sxx") + F.col("syy")
+    resp = sums.select(
+        "gx", "gy",
+        (F.lit(16) * det - tr * tr).cast("long").alias("r16"),
+    )
+    nmax = (
+        halo(resp.select(F.col("gx").alias("_gx"), F.col("gy").alias("_gy"),
+                         "r16"), "r16")
+        .groupBy("gx", "gy").agg(F.max("r16").alias("_mx"))
+    )
+    return resp.join(nmax, ["gx", "gy"]).select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        "r16",
+        ((F.col("r16") >= F.col("_mx"))
+         & (F.col("r16") > F.lit(int(threshold)))).alias("corner"),
     )
