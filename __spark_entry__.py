@@ -2512,6 +2512,34 @@ def _q_harris(spark, sf_dir):
     )
 
 
+def _q_region_shape(spark, sf_dir):
+    """Per-region shape descriptors (regionprops core) of the supplier
+    coverage raster: pixel count, rasterized perimeter (4n - 2 per
+    shared edge via one shifted equi-join), exact centroid numerators
+    and bbox per 4-connected region. Hash-gates label_regions + the
+    perimeter join against the recursive-CTE labeling oracle; known
+    shapes (squares, trominoes, isolated pixels) pytest-verified
+    (tests/test_regionprops.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        region_shape_stats,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    out = region_shape_stats(pxs, CFG, px=16, threshold=1)
+    return out.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("perim").cast("long").alias("perim"),
+        F.col("sgx").cast("long").alias("sgx"),
+        F.col("sgy").cast("long").alias("sgy"),
+        F.col("gx0").cast("int").alias("gx0"),
+        F.col("gy0").cast("int").alias("gy0"),
+        F.col("gx1").cast("int").alias("gx1"),
+        F.col("gy1").cast("int").alias("gy1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2631,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_texture": _q_glcm,
         "hog_blocks": _q_hog_blocks,
         "harris_corners": _q_harris,
+        "region_shape_stats": _q_region_shape,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3658,6 +3687,54 @@ SELECT comp AS region_id, CAST(count(*) AS BIGINT) AS n_px,
   CAST(max(gx) AS INT) AS gx1, CAST(max(gy) AS INT) AS gy1,
   CAST(sum(cnt) AS BIGINT) AS v_sum
 FROM k JOIN lab USING (k) GROUP BY comp
+""",
+        # regionprops — the polygonize labeling plus perimeter (shared
+        # east/south edges counted once) and centroid numerators.
+        "region_shape_stats": f"""
+WITH RECURSIVE b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT pxl.tile, pxl.r, pxl.c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxl.pxc AND pxl.pxc <= b.xmax
+                 AND b.ymin <= pxl.pyc AND pxl.pyc <= b.ymax
+  GROUP BY pxl.tile, pxl.r, pxl.c),
+k AS (
+  SELECT ((tile // 16) * 16 + c) * 256 + ((tile % 16) * 16 + r) AS k,
+    (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+  FROM counts WHERE cnt >= 1),
+e0 AS (
+  SELECT a.k AS ka, b2.k AS kb FROM k a JOIN k b2
+    ON (b2.gx = a.gx + 1 AND b2.gy = a.gy)
+    OR (b2.gx = a.gx AND b2.gy = a.gy + 1)),
+e AS (SELECT ka, kb FROM e0 UNION SELECT kb, ka FROM e0),
+rec(n2, l) AS (
+  SELECT k, k FROM k
+  UNION
+  SELECT e.ka, rec.l FROM e JOIN rec ON e.kb = rec.n2),
+lab AS (SELECT n2 AS k, min(l) AS comp FROM rec GROUP BY n2),
+st AS (
+  SELECT comp AS region_id, count(*) AS n_px,
+    sum(gx) AS sgx, sum(gy) AS sgy,
+    min(gx) AS gx0, min(gy) AS gy0, max(gx) AS gx1, max(gy) AS gy1
+  FROM k JOIN lab USING (k) GROUP BY comp),
+adj AS (
+  SELECT lab.comp AS region_id, count(*) AS n_adj
+  FROM e0 JOIN lab ON lab.k = e0.ka
+  GROUP BY lab.comp)
+SELECT CAST(st.region_id AS BIGINT) AS region_id,
+  CAST(n_px AS BIGINT) AS n_px,
+  CAST(4 * n_px - 2 * coalesce(n_adj, 0) AS BIGINT) AS perim,
+  CAST(sgx AS BIGINT) AS sgx, CAST(sgy AS BIGINT) AS sgy,
+  CAST(gx0 AS INT) AS gx0, CAST(gy0 AS INT) AS gy0,
+  CAST(gx1 AS INT) AS gx1, CAST(gy1 AS INT) AS gy1
+FROM st LEFT JOIN adj USING (region_id)
 """,
         "raster_sobel": _CONV_SQL_TMPL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,

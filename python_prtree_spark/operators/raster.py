@@ -35,6 +35,7 @@ __all__ = [
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
+    "label_regions", "region_shape_stats",
 ]
 
 
@@ -451,7 +452,7 @@ def pyramid_level_values(
     return grouped.applyInPandas(merge, schema="tile long, r int, c int, v long")
 
 
-def polygonize_regions(
+def label_regions(
     pixels_df: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     px: int = 16,
@@ -459,43 +460,16 @@ def polygonize_regions(
     tile_col: str = "tile",
     value_col: str = "cnt",
 ) -> DataFrame:
-    """Raster→vector extraction (GDAL ``polygonize`` analogue): group the
-    pixels with value >= threshold into 4-connected regions across the
-    WHOLE mosaic and emit one vector feature per region — the inverse
-    direction of zonal_stats, closing the raster<->vector loop.
+    """Per-pixel 4-connected region labels across the whole mosaic —
+    the labeling stage of polygonize_regions, exposed so shape
+    statistics / zonal chains can consume pixel-granular labels.
+    Same plan as polygonize_regions steps 1-3 (per-tile Arrow
+    min-propagation, border-only equi-joins, large/small-star CC);
+    region_id = smallest global pixel key (gx * grid + gy) in the
+    region, engine-independent.
 
-    pixels_df: sparse (tile, r, c, value) rows, one row per lit pixel
-    (rasterize_counts output shape); pixel (r, c) of tile (ix*side + iy)
-    has global grid coordinates gx = ix*px + c, gy = iy*px + r.
-
-    → (region_id, n_px, gx0, gy0, gx1, gy1, v_sum): region_id is the
-    smallest global pixel key (gx * side*px + gy) in the region —
-    deterministic and engine-independent, so a recursive-CTE SQL oracle
-    gates it exactly; bbox in global pixel coordinates; v_sum the exact
-    long sum of pixel values.
-
-    Distributed plan (the standard two-level connected-components shape —
-    pixel-local work stays in tiles, only REGION-level structure crosses
-    the wire):
-
-      1. per-tile Arrow kernel labels each tile's pixels by iterated
-         min-neighbor propagation on the px×px grid (O(px² · local
-         diameter) integer ops, no Python per-pixel loops) — emits one
-         row per lit pixel tagged with its LOCAL root key;
-      2. tile-border adjacency in pure JVM: only border-column/row pixels
-         join their neighbors in the adjacent tile (two equi-joins on
-         shifted coordinates — candidate volume is border pixels, not
-         the raster);
-      3. alternating large-star/small-star connected components over the
-         LOCAL-ROOT graph (operators/components.py — O(log² n) rounds,
-         nodes = local regions, orders of magnitude smaller than pixels);
-      4. final label = component of the local root (roots untouched by
-         any border edge keep themselves), then one map-side-combinable
-         groupBy for count/bbox/sum.
-
-    At 100 TB the pixel rows never shuffle more than once (stage-1 tile
-    grouping); everything after operates on region-granular rows.
-    """
+    → (gx, gy, v, region_id) one row per lit (>= threshold) pixel,
+    global pixel coordinates."""
     import numpy as np
     import pandas as pd
 
@@ -570,9 +544,57 @@ def polygonize_regions(
     final = F.coalesce(F.col("component"), F.col("root"))
     return (
         labeled.join(comp, labeled["root"] == comp["node"], "left")
-        .select(
-            final.alias("region_id"), "gx", "gy", "v",
-        )
+        .select("gx", "gy", "v", final.alias("region_id"))
+    )
+
+
+def polygonize_regions(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Raster→vector extraction (GDAL ``polygonize`` analogue): group the
+    pixels with value >= threshold into 4-connected regions across the
+    WHOLE mosaic and emit one vector feature per region — the inverse
+    direction of zonal_stats, closing the raster<->vector loop.
+
+    pixels_df: sparse (tile, r, c, value) rows, one row per lit pixel
+    (rasterize_counts output shape); pixel (r, c) of tile (ix*side + iy)
+    has global grid coordinates gx = ix*px + c, gy = iy*px + r.
+
+    → (region_id, n_px, gx0, gy0, gx1, gy1, v_sum): region_id is the
+    smallest global pixel key (gx * side*px + gy) in the region —
+    deterministic and engine-independent, so a recursive-CTE SQL oracle
+    gates it exactly; bbox in global pixel coordinates; v_sum the exact
+    long sum of pixel values.
+
+    Distributed plan (the standard two-level connected-components shape —
+    pixel-local work stays in tiles, only REGION-level structure crosses
+    the wire — see label_regions, which is steps 1-3):
+
+      1. per-tile Arrow kernel labels each tile's pixels by iterated
+         min-neighbor propagation on the px×px grid (O(px² · local
+         diameter) integer ops, no Python per-pixel loops) — emits one
+         row per lit pixel tagged with its LOCAL root key;
+      2. tile-border adjacency in pure JVM: only border-column/row pixels
+         join their neighbors in the adjacent tile (two equi-joins on
+         shifted coordinates — candidate volume is border pixels, not
+         the raster);
+      3. alternating large-star/small-star connected components over the
+         LOCAL-ROOT graph (operators/components.py — O(log² n) rounds,
+         nodes = local regions, orders of magnitude smaller than pixels);
+      4. final label = component of the local root (roots untouched by
+         any border edge keep themselves), then one map-side-combinable
+         groupBy for count/bbox/sum.
+
+    At 100 TB the pixel rows never shuffle more than once (stage-1 tile
+    grouping); everything after operates on region-granular rows.
+    """
+    return (
+        label_regions(pixels_df, cfg, px, threshold, tile_col, value_col)
         .groupBy("region_id")
         .agg(
             F.count(F.lit(1)).alias("n_px"),
@@ -580,6 +602,57 @@ def polygonize_regions(
             F.max("gx").alias("gx1"), F.max("gy").alias("gy1"),
             F.sum("v").alias("v_sum"),
         )
+    )
+
+
+def region_shape_stats(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Shape descriptors per 4-connected raster region (the
+    scikit-image ``regionprops`` core, integer-exact): pixel count,
+    rasterized PERIMETER (unit-square union boundary: 4*n minus 2 per
+    interior shared edge), exact centroid numerators sgx/sgy (centroid
+    = (sgx/n, sgy/n) — kept as integer sums so the row hash-gates), and
+    the bbox. Compactness (perimeter^2 / n, the isoperimetric ratio) is
+    one arithmetic step away from these columns.
+
+    Shared edges are counted with ONE self-join of the labeled pixels
+    on the (+1, 0)/(0, +1) shifted keys — maximal 4-connected regions
+    mean every adjacent lit pair is same-region by construction, so the
+    pair needs no label check. Scale shape: label_regions' two-level
+    CC, one pixel self-join, one region-key groupBy.
+
+    → (region_id, n_px, perim, sgx, sgy, gx0, gy0, gx1, gy1)."""
+    lab = label_regions(
+        pixels_df, cfg, px, threshold, tile_col, value_col
+    ).localCheckpoint(eager=False)
+    base = lab.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("gx").alias("sgx"), F.sum("gy").alias("sgy"),
+        F.min("gx").alias("gx0"), F.min("gy").alias("gy0"),
+        F.max("gx").alias("gx1"), F.max("gy").alias("gy1"),
+    )
+    here = lab.select("gx", "gy", "region_id")
+    # each lit pixel offers itself to its west and north neighbor
+    # positions; an equi-join hit IS a shared edge (one per pair)
+    nbr = lab.select((F.col("gx") - 1).alias("gx"), "gy").unionAll(
+        lab.select("gx", (F.col("gy") - 1).alias("gy")))
+    shared = (
+        here.join(nbr, ["gx", "gy"])
+        .groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("_adj"))
+    )
+    return base.join(shared, ["region_id"], "left").select(
+        "region_id", "n_px",
+        (F.lit(4) * F.col("n_px")
+         - F.lit(2) * F.coalesce(F.col("_adj"), F.lit(0)))
+        .cast("long").alias("perim"),
+        "sgx", "sgy", "gx0", "gy0", "gx1", "gy1",
     )
 
 
