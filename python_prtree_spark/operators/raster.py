@@ -35,7 +35,7 @@ __all__ = [
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
-    "label_regions", "region_shape_stats",
+    "label_regions", "region_shape_stats", "variogram",
 ]
 
 
@@ -1931,4 +1931,67 @@ def harris_corners(
         "r16",
         ((F.col("r16") >= F.col("_mx"))
          & (F.col("r16") > F.lit(int(threshold)))).alias("corner"),
+    )
+
+
+def variogram(
+    pixels_df: DataFrame,
+    lags: list | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Empirical (directional) semivariogram over a sparse integer
+    raster — the geostatistics primitive behind kriging (Matheron's
+    estimator): for each lag vector h, the pair count and the exact
+    integer sum of squared increments sse = sum over pairs of
+    (z(p) - z(p+h))^2; the semivariance gamma(h) = sse / (2*n) is one
+    division away (kept as integers so the row hash-gates).
+
+    ``lags``: list of (dx, dy) lag vectors (default the 4 unit +
+    diagonal lags). Only positions where BOTH cells are lit contribute
+    (sparse convention, matching gstat's na handling).
+
+    Scale shape: ONE |lags|-x fan-out of the sparse input, ONE
+    equi-join on the global pixel key (the shuffle is the halo
+    exchange), ONE groupBy on the tiny lag key — the GLCM plan with a
+    squared-difference payload.
+
+    → (dx, dy, n, sse)."""
+    lags = [(1, 0), (0, 1), (1, 1), (1, -1)] if lags is None else [
+        (int(dx), int(dy)) for dx, dy in lags
+    ]
+    if not lags or len(set(lags)) != len(lags) or (0, 0) in lags:
+        raise ValueError("lags must be distinct non-zero offsets")
+    side = 1 << cfg.level
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in lags
+    ])
+    # the cell at p + h offers its value back to p, tagged with the lag
+    offers = src.select(
+        F.col("v").alias("vb"), F.explode(arr).alias("_l"),
+        (F.col("gx") - F.col("_l.dx")).alias("gx"),
+        (F.col("gy") - F.col("_l.dy")).alias("gy"),
+    ).select("gx", "gy", F.col("_l.dx").alias("dx"),
+             F.col("_l.dy").alias("dy"), "vb")
+    d = F.col("v") - F.col("vb")
+    return (
+        src.join(offers, ["gx", "gy"])
+        .groupBy("dx", "dy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d * d).cast("long").alias("sse"),
+        )
+        .select(
+            F.col("dx").cast("int").alias("dx"),
+            F.col("dy").cast("int").alias("dy"),
+            "n", "sse",
+        )
     )
