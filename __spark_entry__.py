@@ -2573,6 +2573,40 @@ def _q_variogram(spark, sf_dir):
     return variogram(pixels, lags, CFG, px=16)
 
 
+def _q_otsu(spark, sf_dir):
+    """Otsu's automatic threshold of the 21x21 lineitem DEM (97 gray
+    levels): exact rational argmax of the between-class variance over
+    the value histogram (driver-side Fractions on a <= gray-depth-row
+    histogram — the tfidf scalar precedent), ties to the smallest
+    threshold. The SQL twin does the same argmax via HUGEINT
+    cross-multiplied comparisons in a NOT EXISTS (the skyline pattern).
+    Split behavior pytest-verified (tests/test_otsu.py)."""
+    from pyspark.sql import Window
+
+    from python_prtree_spark.operators.raster import otsu_threshold
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    dem = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .where((F.col("rn") < 441) & (F.col("rn") % 19 != 7))
+        .select(
+            (F.lit(100) + F.col("rn") % 21).cast("long").alias("gx"),
+            (F.lit(100) + (F.col("rn") / 21).cast("long")).alias("gy"),
+            (F.floor("l_extendedprice").cast("long") % 97).alias("cnt"),
+        )
+    )
+    pixels = dem.select(
+        ((F.col("gx") / 16).cast("long") * 16
+         + (F.col("gy") / 16).cast("long")).alias("tile"),
+        (F.col("gy") % 16).cast("int").alias("r"),
+        (F.col("gx") % 16).cast("int").alias("c"),
+        "cnt",
+    )
+    return otsu_threshold(pixels, CFG, px=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2694,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harris_corners": _q_harris,
         "region_shape_stats": _q_region_shape,
         "variogram": _q_variogram,
+        "otsu_threshold": _q_otsu,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3368,6 +3403,38 @@ SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
 FROM paths GROUP BY 1, 2, 3
 """,
         "hough_lines": _hough_oracle_sql(),
+        # Otsu — prefix sums over the value histogram; best threshold =
+        # the candidate no other candidate beats on the cross-multiplied
+        # rational score (HUGEINT keeps the products exact).
+        "otsu_threshold": """
+WITH raw AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+    (CAST(floor(l_extendedprice) AS BIGINT) % 97) AS elev
+  FROM lineitem),
+g AS (
+  SELECT elev FROM raw WHERE rn < 441 AND (rn % 19) != 7),
+h AS (SELECT elev AS v, count(*) AS nv FROM g GROUP BY elev),
+tot AS (SELECT sum(nv) AS n, sum(v * nv) AS s FROM h),
+pre AS (
+  SELECT v, sum(nv) OVER (ORDER BY v) AS n0,
+    sum(v * nv) OVER (ORDER BY v) AS s0
+  FROM h),
+cand AS (
+  SELECT v, n0, s0,
+    CAST(s0 * n - s * n0 AS HUGEINT)
+      * CAST(s0 * n - s * n0 AS HUGEINT) AS num,
+    CAST(n0 AS HUGEINT) * (n - n0) AS den,
+    n, s
+  FROM pre, tot WHERE n0 < n)
+SELECT CAST(a.v AS BIGINT) AS threshold,
+  CAST(a.n0 AS BIGINT) AS n_below, CAST(a.n - a.n0 AS BIGINT) AS n_above,
+  CAST(a.s0 AS BIGINT) AS s_below, CAST(a.s - a.s0 AS BIGINT) AS s_above
+FROM cand a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand u
+  WHERE u.num * a.den > a.num * u.den
+     OR (u.num * a.den = a.num * u.den AND u.v < a.v))
+""",
         # variogram — Matheron pair counts + squared-increment sums on
         # the same lineitem DEM lattice, one row per lag vector.
         "variogram": """

@@ -35,7 +35,7 @@ __all__ = [
     "morphology", "structuring_element",
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
-    "label_regions", "region_shape_stats", "variogram",
+    "label_regions", "region_shape_stats", "variogram", "otsu_threshold",
 ]
 
 
@@ -1994,4 +1994,57 @@ def variogram(
             F.col("dy").cast("int").alias("dy"),
             "n", "sse",
         )
+    )
+
+
+def otsu_threshold(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Otsu's automatic threshold over a sparse integer raster — the
+    classic histogram bimodality split (OpenCV THRESH_OTSU): choose the
+    threshold t (among observed values) maximizing the between-class
+    variance of {v <= t} vs {v > t}, with EXACT arithmetic: sigma_b^2
+    is proportional to (s0*n - s*n0)^2 / (n0*(n - n0)), compared as
+    rational numbers (python Fractions driver-side), ties to the
+    smallest t — no float ever enters the decision.
+
+    Scale shape: ONE groupBy on the pixel VALUE — the histogram has at
+    most gray-depth rows regardless of raster size, so collecting it to
+    the driver is the tfidf driver-side-scalar precedent, not a
+    collect() smell. Chain the returned threshold into raster_algebra
+    to binarize.
+
+    → single row (threshold, n_below, n_above, s_below, s_above),
+    exact longs."""
+    from fractions import Fraction
+
+    hist = sorted(
+        (int(row["v"]), int(row["nv"]))
+        for row in pixels_df.select(
+            F.col(value_col).cast("long").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("nv")).collect()
+    )
+    if len(hist) < 2:
+        raise ValueError(
+            f"Otsu needs >= 2 distinct values, got {len(hist)}")
+    n = sum(nv for _, nv in hist)
+    s = sum(v * nv for v, nv in hist)
+    best = None
+    n0 = s0 = 0
+    for v, nv in hist[:-1]:  # the top value leaves class 1 empty
+        n0 += nv
+        s0 += v * nv
+        score = Fraction((s0 * n - s * n0) ** 2, n0 * (n - n0))
+        if best is None or score > best[0]:
+            best = (score, v, n0, s0)
+    _, t, bn0, bs0 = best
+    spark = pixels_df.sparkSession
+    return spark.createDataFrame(
+        [(t, bn0, n - bn0, bs0, s - bs0)],
+        "threshold long, n_below long, n_above long, "
+        "s_below long, s_above long",
     )
