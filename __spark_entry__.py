@@ -2607,6 +2607,51 @@ def _q_otsu(spark, sf_dir):
     return otsu_threshold(pixels, CFG, px=16)
 
 
+def _q_polygon_area(spark, sf_dir):
+    """Shoelace signed area + exact centroid numerators (ST_Area /
+    ST_Centroid) for the fixture polygon families in integer
+    MILLI-units (the tri/diamond recipes are integral at 1/1000 grid,
+    so every term is a long and the fold hash-gates): nation triangles
+    (CCW, poly_id = nationkey) union supplier diamonds (CCW, poly_id =
+    100000 + suppkey). Zero-shuffle map-only HOF fold; orientation /
+    concavity / translation invariants pytest-verified
+    (tests/test_polyarea.py)."""
+    from python_prtree_spark.operators.polygon import polygon_area_centroid
+
+    def ring3(cx, cy, r):
+        return F.array(
+            F.struct((cx - r).alias("x"), (cy - r).alias("y")),
+            F.struct((cx + r).alias("x"), (cy - r).alias("y")),
+            F.struct(cx.alias("x"), (cy + r).alias("y")),
+        )
+
+    def ring4(cx, cy, r):
+        return F.array(
+            F.struct(cx.alias("x"), (cy - r).alias("y")),
+            F.struct((cx + r).alias("x"), cy.alias("y")),
+            F.struct(cx.alias("x"), (cy + r).alias("y")),
+            F.struct((cx - r).alias("x"), cy.alias("y")),
+        )
+
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    tris = n.select(
+        k.alias("poly_id"),
+        ring3((k * 7368787 + 11) % 90000 + 5000,
+              (k * 15485863 + 7) % 90000 + 5000,
+              (k * 104729) % 8000 + 2000).alias("ring"),
+    )
+    s = _read(spark, sf_dir, "supplier")
+    j = F.col("s_suppkey").cast("long")
+    dias = s.select(
+        (j + 100000).alias("poly_id"),
+        ring4((j * 1299709 + 3) % 90000 + 5000,
+              (j * 15487469 + 19) % 90000 + 5000,
+              (j * 104717) % 6000 + 1500).alias("ring"),
+    )
+    return polygon_area_centroid(tris.unionByName(dias))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2729,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_shape_stats": _q_region_shape,
         "variogram": _q_variogram,
         "otsu_threshold": _q_otsu,
+        "polygon_area": _q_polygon_area,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3403,6 +3449,59 @@ SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
 FROM paths GROUP BY 1, 2, 3
 """,
         "hough_lines": _hough_oracle_sql(),
+        # shoelace — explicit per-family term expansion on the integer
+        # milli-unit vertices (exact longs, so term order is free).
+        "polygon_area": """
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+    CAST((n_nationkey * 7368787 + 11) % 90000 + 5000 AS BIGINT) AS cx,
+    CAST((n_nationkey * 15485863 + 7) % 90000 + 5000 AS BIGINT) AS cy,
+    CAST((n_nationkey * 104729) % 8000 + 2000 AS BIGINT) AS r
+  FROM nation),
+tv AS (
+  SELECT poly_id, 3 AS n_verts,
+    cx - r AS x0, cy - r AS y0, cx + r AS x1, cy - r AS y1,
+    cx AS x2, cy + r AS y2
+  FROM tri),
+tc AS (
+  SELECT poly_id, n_verts,
+    x0 * y1 - x1 * y0 AS c0, x1 * y2 - x2 * y1 AS c1,
+    x2 * y0 - x0 * y2 AS c2, x0, y0, x1, y1, x2, y2
+  FROM tv),
+t_out AS (
+  SELECT poly_id, n_verts, c0 + c1 + c2 AS area2,
+    (x0 + x1) * c0 + (x1 + x2) * c1 + (x2 + x0) * c2 AS cx6,
+    (y0 + y1) * c0 + (y1 + y2) * c1 + (y2 + y0) * c2 AS cy6
+  FROM tc),
+dia AS (
+  SELECT CAST(s_suppkey + 100000 AS BIGINT) AS poly_id,
+    CAST((s_suppkey * 1299709 + 3) % 90000 + 5000 AS BIGINT) AS cx,
+    CAST((s_suppkey * 15487469 + 19) % 90000 + 5000 AS BIGINT) AS cy,
+    CAST((s_suppkey * 104717) % 6000 + 1500 AS BIGINT) AS r
+  FROM supplier),
+dv AS (
+  SELECT poly_id, 4 AS n_verts,
+    cx AS x0, cy - r AS y0, cx + r AS x1, cy AS y1,
+    cx AS x2, cy + r AS y2, cx - r AS x3, cy AS y3
+  FROM dia),
+dc AS (
+  SELECT poly_id, n_verts,
+    x0 * y1 - x1 * y0 AS c0, x1 * y2 - x2 * y1 AS c1,
+    x2 * y3 - x3 * y2 AS c2, x3 * y0 - x0 * y3 AS c3,
+    x0, y0, x1, y1, x2, y2, x3, y3
+  FROM dv),
+d_out AS (
+  SELECT poly_id, n_verts, c0 + c1 + c2 + c3 AS area2,
+    (x0 + x1) * c0 + (x1 + x2) * c1 + (x2 + x3) * c2 + (x3 + x0) * c3
+      AS cx6,
+    (y0 + y1) * c0 + (y1 + y2) * c1 + (y2 + y3) * c2 + (y3 + y0) * c3
+      AS cy6
+  FROM dc)
+SELECT poly_id, CAST(n_verts AS INT) AS n_verts,
+  CAST(area2 AS BIGINT) AS area2,
+  CAST(cx6 AS BIGINT) AS cx6, CAST(cy6 AS BIGINT) AS cy6
+FROM (SELECT * FROM t_out UNION ALL SELECT * FROM d_out)
+""",
         # Otsu — prefix sums over the value histogram; best threshold =
         # the candidate no other candidate beats on the cross-multiplied
         # rational score (HUGEINT keeps the products exact).

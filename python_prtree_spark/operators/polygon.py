@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["polygon_join"]
+__all__ = ["polygon_join", "polygon_area_centroid"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -189,3 +189,58 @@ def polygon_join(
     b_in_a = _contained(cand, oa, b_first, a_id, b_id, mode).select(a_id, b_id)
 
     return seg.unionByName(a_in_b).unionByName(b_in_a).distinct()
+
+
+def polygon_area_centroid(
+    polys_df: DataFrame,
+    pid: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Shoelace signed area + centroid for simple polygons — the
+    ST_Area / ST_Centroid pair, EXACT when ring coordinates are
+    integers (quantize doubles to a fixed-point grid first; the gated
+    entry uses milli-units, where the fixture recipes are integral):
+
+      area2 = sum_i cross_i               (2x signed area; CCW > 0)
+      cx6   = sum_i (x_i + x_{i+1}) * cross_i   (6 * area * centroid_x)
+      cy6   = sum_i (y_i + y_{i+1}) * cross_i
+      with cross_i = x_i * y_{i+1} - x_{i+1} * y_i, indices mod n
+
+    so centroid = (cx6 / (3 * area2), cy6 / (3 * area2)) — returned as
+    the integer numerators plus area2, divisions left to the caller so
+    every row hash-gates.
+
+    Scale shape: zero joins, zero shuffles — one sequential
+    higher-order-function fold per row (F.aggregate over the ring,
+    whole-stage codegen). A billion small polygons cost a map-only
+    stage.
+
+    → (pid, n_verts, area2, cx6, cy6)."""
+    ring = F.col(ring_col)
+    n = F.size(ring)
+
+    def vx(i):
+        return F.element_at(ring, i + 1)["x"].cast("long")
+
+    def vy(i):
+        return F.element_at(ring, i + 1)["y"].cast("long")
+
+    def cross(i):
+        j = (i + 1) % n
+        return vx(i) * vy(j) - vx(j) * vy(i)
+
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(idx, term), F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    return polys_df.select(
+        F.col(pid),
+        n.cast("int").alias("n_verts"),
+        fold(cross).alias("area2"),
+        fold(lambda i: (vx(i) + vx((i + 1) % n)) * cross(i)).alias("cx6"),
+        fold(lambda i: (vy(i) + vy((i + 1) % n)) * cross(i)).alias("cy6"),
+    )
