@@ -2757,7 +2757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+ ----------------------------------
         # registered late in r5 (after the 50-slot window was already
         # full of never-checked entries): first in line for the r6
-        # window; locally hash-verified via tools/check_oracles.py
+        # window; locally hash-verified via tools/check_oracles.py.
+        # The late-r5 image/terrain batch (viewshed, morphology_open,
+        # flow_accumulation, watershed_basins, hough_lines, glcm_texture,
+        # hog_blocks, harris_corners, region_shape_stats, variogram,
+        # otsu_threshold, polygon_area) belongs to the same cohort.
         "trajectory_simplify": _q_traj_simplify,
         "trajectory_hausdorff": _q_traj_hausdorff,
         "mm_hist_equalize": _q_mm_hist_eq,
