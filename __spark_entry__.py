@@ -2652,6 +2652,29 @@ def _q_polygon_area(spark, sf_dir):
     return polygon_area_centroid(tris.unionByName(dias))
 
 
+def _q_canny(spark, sf_dir):
+    """Canny edge detection of the supplier coverage raster (squared-
+    magnitude thresholds 8/20, chosen from the measured slope2
+    distribution): Sobel + octant NMS + double threshold + hysteresis
+    through connected components. Hash-gates every stage against a
+    recursive-reachability oracle; step-edge thinning and isolated-weak
+    suppression pytest-verified (tests/test_canny.py)."""
+    from python_prtree_spark.operators.raster import (
+        canny_edges,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    out = canny_edges(pxs, 8, 20, CFG, px=16)
+    return out.select(
+        F.col("tile").cast("long").alias("tile"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col("slope2").cast("long").alias("slope2"),
+        F.col("strong").cast("int").alias("strong"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2779,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": _q_variogram,
         "otsu_threshold": _q_otsu,
         "polygon_area": _q_polygon_area,
+        "canny_edges": _q_canny,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -3453,6 +3477,41 @@ SELECT CAST((cgx // 16) * 16 + (cgy // 16) AS BIGINT) AS tile,
 FROM paths GROUP BY 1, 2, 3
 """,
         "hough_lines": _hough_oracle_sql(),
+        # Canny — slope lattice -> axis NMS (two LEFT JOINs along the
+        # quantized direction) -> double threshold -> recursive
+        # reachability from strong pixels through 8-connected survivors.
+        "canny_edges": """
+WITH RECURSIVE s AS (""" + _SLOPE_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS_X=_conv_taps_sql(_SOBEL_X),
+            TAPS_Y=_conv_taps_sql(_SOBEL_Y),
+        ) + """),
+pts AS (
+  SELECT (tile // 16) * 16 + c AS x, (tile % 16) * 16 + r AS y,
+    slope2, d8 % 4 AS dc
+  FROM s),
+ax(adc, adx, ady) AS (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1)),
+nms AS (
+  SELECT p.x, p.y, p.slope2, p.slope2 >= 20 AS strong
+  FROM pts p JOIN ax ON ax.adc = p.dc
+  LEFT JOIN pts n1 ON n1.x = p.x + ax.adx AND n1.y = p.y + ax.ady
+  LEFT JOIN pts n2 ON n2.x = p.x - ax.adx AND n2.y = p.y - ax.ady
+  WHERE p.slope2 >= coalesce(n1.slope2, 0)
+    AND p.slope2 >= coalesce(n2.slope2, 0)
+    AND p.slope2 >= 8),
+o8(dx, dy) AS (VALUES (1, 0), (1, 1), (0, 1), (-1, 1),
+                      (-1, 0), (-1, -1), (0, -1), (1, -1)),
+rec(x, y) AS (
+  SELECT x, y FROM nms WHERE strong
+  UNION
+  SELECT n.x, n.y FROM rec CROSS JOIN o8
+  JOIN nms n ON n.x = rec.x + dx AND n.y = rec.y + dy)
+SELECT CAST((x // 16) * 16 + (y // 16) AS BIGINT) AS tile,
+  CAST(y % 16 AS INT) AS r, CAST(x % 16 AS INT) AS c,
+  CAST(slope2 AS BIGINT) AS slope2,
+  CAST(CASE WHEN strong THEN 1 ELSE 0 END AS INT) AS strong
+FROM nms JOIN rec USING (x, y)
+""",
         # shoelace — explicit per-family term expansion on the integer
         # milli-unit vertices (exact longs, so term order is free).
         "polygon_area": """

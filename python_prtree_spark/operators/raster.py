@@ -36,6 +36,7 @@ __all__ = [
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
     "label_regions", "region_shape_stats", "variogram", "otsu_threshold",
+    "canny_edges",
 ]
 
 
@@ -2047,4 +2048,114 @@ def otsu_threshold(
         [(t, bn0, n - bn0, bs0, s - bs0)],
         "threshold long, n_below long, n_above long, "
         "s_below long, s_above long",
+    )
+
+
+def canny_edges(
+    pixels_df: DataFrame,
+    t_low: int,
+    t_high: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Canny edge detection over the sparse tile mosaic, integer-exact
+    end to end (the OpenCV pipeline with squared-magnitude thresholds —
+    no sqrt, no float): Sobel gradients + 45-degree sectors (slope_d8),
+    non-maximum suppression along the quantized gradient direction
+    (sector % 4 → the E / SE / S(up-down) / SW axis; a pixel survives
+    iff slope2 >= both neighbors on that axis, absent neighbors read
+    0), double threshold on slope2 (strong >= t_high > weak >= t_low),
+    then HYSTERESIS: weak pixels are kept iff 8-connected to a strong
+    pixel through surviving pixels (connected components over the
+    survivor graph — operators/components.py, the polygonize merge).
+
+    Distributed shape: slope_d8's bounded fan-outs; NMS is ONE 8x offer
+    fan-out + a filtered groupBy-max (each pixel consumes only the two
+    offers on its own axis); hysteresis edges are FOUR shifted
+    equi-joins over survivors only (post-NMS, post-threshold — a small
+    fraction of the raster) + the O(log^2 n) star rounds. No stage ever
+    materializes a dense neighborhood.
+
+    → (tile, r, c, slope2, strong) for every kept edge pixel; strong
+    marks the >= t_high seeds."""
+    if not (0 < t_low <= t_high):
+        raise ValueError(
+            f"need 0 < t_low <= t_high, got {t_low}, {t_high}")
+    side = 1 << cfg.level
+    grid = side * px
+    s = slope_d8(pixels_df, cfg, px, tile_col=tile_col,
+                 value_col=value_col)
+    pts = s.select(
+        ((F.col("tile") / side).cast("long") * px + F.col("c")).alias("x"),
+        ((F.col("tile") % side) * px + F.col("r")).alias("y"),
+        "slope2", (F.col("d8") % 4).alias("dc"),
+    )
+    # offer my slope2 to the cell at -off_j, tagged j: the receiver sees
+    # "your neighbor at +off_j has slope2 s2n"
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(j).alias("j"))
+        for j, (dx, dy) in enumerate(
+            [(1, 0), (1, 1), (0, 1), (-1, 1),
+             (-1, 0), (-1, -1), (0, -1), (1, -1)])
+    ])
+    offers = pts.select(
+        F.col("slope2").alias("s2n"), F.explode(offs).alias("_o"),
+        (F.col("x") - F.col("_o.dx")).alias("x"),
+        (F.col("y") - F.col("_o.dy")).alias("y"),
+        F.col("_o.j").alias("j"),
+    )
+    axis = offers.join(
+        pts.select("x", "y", "dc"), ["x", "y"]
+    ).where(
+        (F.col("j") == F.col("dc")) | (F.col("j") == F.col("dc") + 4)
+    ).groupBy("x", "y").agg(F.max("s2n").alias("_mx"))
+    nms = (
+        pts.join(axis, ["x", "y"], "left")
+        .where(F.col("slope2") >= F.coalesce(F.col("_mx"), F.lit(0)))
+        .where(F.col("slope2") >= t_low)
+        .select("x", "y", "slope2",
+                (F.col("slope2") >= t_high).alias("strong"))
+        .localCheckpoint(eager=False)
+    )
+    key = F.col("x") * grid + F.col("y")
+    nodes = nms.select(key.alias("k"), "x", "y", "strong")
+    fwd = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in [(1, 0), (1, 1), (0, 1), (-1, 1)]
+    ])
+    cand = nodes.select(
+        F.col("k").alias("ka"), F.explode(fwd).alias("_o"),
+        (F.col("x") + F.col("_o.dx")).alias("x"),
+        (F.col("y") + F.col("_o.dy")).alias("y"),
+    ).select("ka", "x", "y")
+    edges = cand.join(nodes.select("x", "y", F.col("k").alias("kb")),
+                      ["x", "y"]).select("ka", "kb")
+
+    from python_prtree_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        edges.selectExpr("ka AS id_a", "kb AS id_b"))
+    lab = nodes.join(comp, nodes["k"] == comp["node"], "left").select(
+        "k", "x", "y", "strong",
+        F.coalesce(F.col("component"), F.col("k")).alias("_c"),
+    )
+    alive = lab.groupBy("_c").agg(
+        F.max(F.col("strong").cast("int")).alias("_has"))
+    kept = (
+        lab.join(alive, ["_c"])
+        .where(F.col("_has") == 1)
+        .join(nms.select("x", "y", "slope2"), ["x", "y"])
+    )
+    return kept.select(
+        ((F.col("x") / px).cast("long") * side
+         + (F.col("y") / px).cast("long")).alias("tile"),
+        (F.col("y") % px).cast("int").alias("r"),
+        (F.col("x") % px).cast("int").alias("c"),
+        F.col("slope2").cast("long").alias("slope2"),
+        "strong",
     )
