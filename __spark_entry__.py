@@ -2675,6 +2675,25 @@ def _q_canny(spark, sf_dir):
     )
 
 
+_GAUSS5 = [[a * b for a in (1, 4, 6, 4, 1)] for b in (1, 4, 6, 4, 1)]
+
+
+def _q_gaussian_blur(spark, sf_dir):
+    """5x5 binomial (Gaussian) blur of the supplier coverage raster —
+    the N x N generalization of the sparse convolution fan-out (25 taps,
+    zero taps skipped; unnormalized integer weights summing to 256 so
+    every value is exact; divide by 256 downstream to normalize).
+    Impulse response and asymmetric-kernel orientation pytest-verified
+    (tests/test_blur.py)."""
+    from python_prtree_spark.operators.raster import (
+        raster_convolve,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return raster_convolve(pxs, _GAUSS5, CFG, px=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2803,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu_threshold": _q_otsu,
         "polygon_area": _q_polygon_area,
         "canny_edges": _q_canny,
+        "gaussian_blur": _q_gaussian_blur,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -2936,12 +2956,13 @@ FROM jj
 
 def _conv_taps_sql(kernel):
     """(dx, dy, w) VALUES rows for raster_convolve's fan-out: input pixel
-    g contributes to output g+(dx,dy) with w = kernel[1-dy][1-dx] — the
-    identical tap enumeration the engine builds."""
+    g contributes to output g+(dx,dy) with w = kernel[R-dy][R-dx] — the
+    identical tap enumeration the engine builds (any odd N)."""
+    rad = len(kernel) // 2
     vals = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            w = kernel[1 - dy][1 - dx]
+    for dx in range(-rad, rad + 1):
+        for dy in range(-rad, rad + 1):
+            w = kernel[rad - dy][rad - dx]
             if w:
                 vals.append(f"({dx}, {dy}, {w})")
     return ", ".join(vals)
@@ -4021,6 +4042,10 @@ FROM st LEFT JOIN adj USING (region_id)
         "raster_sobel": _CONV_SQL_TMPL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
             TAPS=_conv_taps_sql(_SOBEL_X),
+        ),
+        "gaussian_blur": _CONV_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS=_conv_taps_sql(_GAUSS5),
         ),
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),

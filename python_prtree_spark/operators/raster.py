@@ -1028,14 +1028,15 @@ def raster_convolve(
     tile_col: str = "tile",
     value_col: str = "cnt",
 ) -> DataFrame:
-    """Sparse 3×3 integer convolution over the tile mosaic (Sobel /
-    Prewitt / Laplacian edge and gradient filters — the image-processing
-    primitive, here over arbitrarily large tiled rasters): out[p] =
-    Σ_{(dx,dy)} kernel[dy+1][dx+1] · in[p - (dx,dy)], with absent pixels
-    contributing 0 and mosaic edges clipped (zero padding).
+    """Sparse odd-N×N integer convolution over the tile mosaic (Sobel /
+    Prewitt / Laplacian edge filters at 3×3, binomial/Gaussian blurs at
+    5×5+ — the image-processing primitive, here over arbitrarily large
+    tiled rasters): out[p] = Σ_{(dx,dy)} kernel[R+dy][R+dx] ·
+    in[p - (dx,dy)] with R = N//2, absent pixels contributing 0 and
+    mosaic edges clipped (zero padding).
 
-    ``kernel``: 3×3 iterable of ints, kernel[row][col] with row 0 = the
-    neighbor ABOVE (gy-1), col 0 = the neighbor LEFT (gx-1). Zero taps
+    ``kernel``: odd-N×N iterable of ints, kernel[row][col] with row 0 =
+    the TOPMOST neighbor (gy-R), col 0 = the LEFTMOST (gx-R). Zero taps
     are skipped at plan time — a cross-shaped kernel fans out 5×, not 9×.
 
     Integer weights keep every contribution exact (long arithmetic), so
@@ -1048,8 +1049,10 @@ def raster_convolve(
     raster_algebra / polygonize_regions (Sobel → threshold → polygonize
     = edge-object extraction)."""
     k = [[int(v) for v in row] for row in kernel]
-    if len(k) != 3 or any(len(r) != 3 for r in k):
-        raise ValueError("kernel must be 3x3")
+    nk = len(k)
+    if nk % 2 == 0 or any(len(r) != nk for r in k):
+        raise ValueError("kernel must be odd-N x N")
+    rad = nk // 2
     side = 1 << cfg.level
     grid = side * px
     src = pixels_df.select(
@@ -1058,14 +1061,14 @@ def raster_convolve(
         F.col(value_col).cast("long").alias("_v"),
     )
     # input pixel at g contributes to output position g + (dx, dy) with
-    # weight kernel[1 - dy][1 - dx] (= kernel taken relative to the OUTPUT)
+    # weight kernel[R - dy][R - dx] (= kernel taken relative to the OUTPUT)
     taps = [
         F.struct(
             F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-            F.lit(k[1 - dy][1 - dx]).alias("w"),
+            F.lit(k[rad - dy][rad - dx]).alias("w"),
         )
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-        if k[1 - dy][1 - dx] != 0
+        for dx in range(-rad, rad + 1) for dy in range(-rad, rad + 1)
+        if k[rad - dy][rad - dx] != 0
     ]
     if not taps:
         raise ValueError("kernel is all zeros")
