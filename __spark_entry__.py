@@ -2694,6 +2694,27 @@ def _q_gaussian_blur(spark, sf_dir):
     return raster_convolve(pxs, _GAUSS5, CFG, px=16)
 
 
+# asymmetric on purpose: gates the correlation orientation (no flip)
+_TMATCH_T = [[1, 2, 1], [0, 4, 0], [3, 0, 5]]
+
+
+def _q_template_match(spark, sf_dir):
+    """Template matching by sum-of-squared-differences (OpenCV
+    matchTemplate TM_SQDIFF) of an asymmetric 3x3 template against the
+    supplier coverage raster. ssd = sum(T^2) + window-energy - 2*xcorr,
+    so the whole operator is two sparse convolutions + one alignment
+    join — integer-exact, hash-gated against a direct windowed-SSD
+    oracle; brute-force window scan + orientation pytest-verified
+    (tests/test_template.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        template_match_ssd,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return template_match_ssd(pxs, _TMATCH_T, CFG, px=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -2823,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_area": _q_polygon_area,
         "canny_edges": _q_canny,
         "gaussian_blur": _q_gaussian_blur,
+        "template_match": _q_template_match,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -2966,6 +2988,53 @@ def _conv_taps_sql(kernel):
             if w:
                 vals.append(f"({dx}, {dy}, {w})")
     return ", ".join(vals)
+
+
+def _tmatch_taps_sql(template):
+    """(dx, dy, w) VALUES rows for the SSD oracle — the FULL N x N tap
+    grid (zero-weight taps kept: they still contribute window energy).
+    Orientation matches _conv_taps_sql: w = template[R-dy][R-dx]."""
+    rad = len(template) // 2
+    return ", ".join(
+        f"({dx}, {dy}, {template[rad - dy][rad - dx]})"
+        for dx in range(-rad, rad + 1)
+        for dy in range(-rad, rad + 1)
+    )
+
+
+# SSD template match: ssd(p) = TSQ + sum(cnt^2 over window) - 2*xcorr.
+# Presence rule == the engine's sparse invariant: a row exists iff the
+# window holds a nonzero-valued cell (e <> 0); zero-valued == absent.
+_TMATCH_SQL_TMPL = """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts),
+t(dx, dy, w) AS (VALUES {TAPS}),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy,
+    cnt * w AS cc, cnt * cnt AS ee
+  FROM g CROSS JOIN t
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, sum(cc) AS x, sum(ee) AS e FROM s GROUP BY gx, gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST({TSQ} + e - 2 * x AS BIGINT) AS ssd
+FROM a WHERE e <> 0
+"""
 
 
 _CONV_SQL_TMPL = """
@@ -4046,6 +4115,11 @@ FROM st LEFT JOIN adj USING (region_id)
         "gaussian_blur": _CONV_SQL_TMPL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
             TAPS=_conv_taps_sql(_GAUSS5),
+        ),
+        "template_match": _TMATCH_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS=_tmatch_taps_sql(_TMATCH_T),
+            TSQ=sum(v * v for row in _TMATCH_T for v in row),
         ),
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),

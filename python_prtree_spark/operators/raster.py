@@ -36,7 +36,7 @@ __all__ = [
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
     "label_regions", "region_shape_stats", "variogram", "otsu_threshold",
-    "canny_edges",
+    "canny_edges", "template_match_ssd",
 ]
 
 
@@ -2162,3 +2162,59 @@ def canny_edges(
         F.col("slope2").cast("long").alias("slope2"),
         "strong",
     )
+
+
+def template_match_ssd(
+    pixels_df: DataFrame,
+    template,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Template matching by sum of squared differences (OpenCV
+    matchTemplate TM_SQDIFF, integer-exact, zero-padded): for every
+    output position p, ssd(p) = sum_{(i,j)} (T[i][j] - in[p+(j-R,i-R)])^2
+    expanded as sum(T^2) + sum(in^2 over the window) - 2*(T (x) in),
+    so the whole thing is two sparse NxN convolutions (the correlation
+    term uses the double-flipped template; the window energy uses an
+    all-ones kernel over squared values) plus one alignment join —
+    never a dense window materialization. Exact longs throughout.
+
+    Positions whose window holds no lit (nonzero-valued) pixel are
+    absent — their ssd is the constant sum(T^2), and a zero-valued cell
+    is indistinguishable from an absent one (the sparse-raster
+    invariant). Lower ssd = better match; ssd = 0 is an exact hit.
+
+    ``template``: odd-N x N integer matrix, template[row][col], row 0 =
+    the window's TOPMOST row.
+
+    → (tile, r, c, ssd)."""
+    t = [[int(v) for v in row] for row in template]
+    nt = len(t)
+    if nt % 2 == 0 or any(len(r) != nt for r in t):
+        raise ValueError("template must be odd-N x N")
+    t_sq = sum(v * v for row in t for v in row)
+    # raster_convolve's kernel[row][col] is indexed by the OUTPUT's
+    # neighbor offset (row 0 = topmost), which is exactly the
+    # correlation orientation T[i][j] — no flip needed
+    ones = [[1] * nt for _ in range(nt)]
+    key = ["tile", "r", "c"]
+    sq = pixels_df.select(
+        F.col(tile_col).alias("tile"), "r", "c",
+        (F.col(value_col).cast("long")
+         * F.col(value_col).cast("long")).alias("cnt"),
+    )
+    energy = raster_convolve(sq, ones, cfg, px=px)
+    xcorr = raster_convolve(pixels_df, t, cfg, px=px,
+                            tile_col=tile_col, value_col=value_col)
+    j = (
+        energy.select(*key, F.col("v").alias("_e"))
+        .join(xcorr.select(*key, F.col("v").alias("_x")), key, "full_outer")
+        .select(
+            *key,
+            (F.lit(t_sq) + F.coalesce("_e", F.lit(0))
+             - F.lit(2) * F.coalesce("_x", F.lit(0))).alias("ssd"),
+        )
+    )
+    return j.select(*key, F.col("ssd").cast("long").alias("ssd"))
