@@ -2677,6 +2677,22 @@ def _q_canny(spark, sf_dir):
 
 _GAUSS5 = [[a * b for a in (1, 4, 6, 4, 1)] for b in (1, 4, 6, 4, 1)]
 
+# Difference of Gaussians (the classic band-pass blob detector, the
+# integer core of SIFT's scale space): 16*G3 - G5, both binomial, G3
+# zero-padded to 5x5. 16*sum(G3) == sum(G5) == 256, so the kernel sums
+# to 0 — flat regions cancel exactly and only band-scale structure
+# survives. Single sparse convolution, integer-exact.
+_GAUSS3 = [[a * b for a in (1, 2, 1)] for b in (1, 2, 1)]
+_DOG5 = [
+    [
+        16 * (_GAUSS3[y - 1][x - 1] if 1 <= y <= 3 and 1 <= x <= 3 else 0)
+        - _GAUSS5[y][x]
+        for x in range(5)
+    ]
+    for y in range(5)
+]
+assert sum(v for row in _DOG5 for v in row) == 0
+
 
 def _q_gaussian_blur(spark, sf_dir):
     """5x5 binomial (Gaussian) blur of the supplier coverage raster —
@@ -2713,6 +2729,136 @@ def _q_template_match(spark, sf_dir):
 
     pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
     return template_match_ssd(pxs, _TMATCH_T, CFG, px=16)
+
+
+def _q_convex_hull(spark, sf_dir):
+    """Exact convex hull (strict vertices, integer milli-coords) of the
+    hashed supplier point cloud — Akl-Toussaint octagon prune + two-level
+    monotone chain, no driver collect of point data. Gated against a
+    Caratheodory vertex-test oracle; brute/gift-wrapping equality and
+    collinear/duplicate edge cases pytest-verified (tests/test_hull.py)."""
+    from python_prtree_spark.operators.polygon import convex_hull
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    pts = s.select(
+        ((k * 2654435761) % 100000).alias("x"),
+        ((k * 2246822519) % 100000).alias("y"),
+    )
+    return convex_hull(pts)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train-vs-eval 5-gram decontamination over documents: eval corpus
+    = doc_id % 19 == 0 (so every eval doc contaminates at least itself
+    if it were in train — here train is the complement, catching real
+    cross-doc n-gram leakage), broadcast eval gram set, per-train-doc
+    distinct-hit counts. Hash-gated against the DuckDB twin."""
+    from python_prtree_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 19 == 0)
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    return decontaminate(train, ev, n=5, min_hits=1)
+
+
+def _q_hull_diameter(spark, sf_dir):
+    """Farthest pair / set diameter of the hashed supplier point cloud:
+    quadratic pass over the tiny convex-hull frame only, integer-exact
+    d2, lexicographic tie-break. Gated against an all-pairs max oracle
+    (the diameter of a set equals the diameter of its hull — the oracle
+    needs no hull at sf-test scale)."""
+    from python_prtree_spark.operators.polygon import hull_diameter
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    pts = s.select(
+        ((k * 2654435761) % 100000).alias("x"),
+        ((k * 2246822519) % 100000).alias("y"),
+    )
+    return hull_diameter(pts)
+
+
+def _q_dog(spark, sf_dir):
+    """Difference-of-Gaussians band-pass (16*G3 - G5, zero-sum integer
+    kernel — the blob-detection core of SIFT scale space) over the
+    supplier coverage raster, as ONE sparse convolution. Flat-region
+    cancellation is exact because the kernel sums to 0."""
+    from python_prtree_spark.operators.raster import (
+        raster_convolve,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return raster_convolve(pxs, _DOG5, CFG, px=16)
+
+
+def _q_focal_median(spark, sf_dir):
+    """3x3 focal median (salt-and-pepper denoiser) of the supplier
+    coverage raster — 9 zero-padded slots, 5th-smallest, integer-exact;
+    brute-force window scan + negative-value sorting pytest-verified
+    (tests/test_focal_median.py)."""
+    from python_prtree_spark.operators.raster import (
+        focal_median,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return focal_median(pxs, CFG, px=16)
+
+
+def _q_lbp(spark, sf_dir):
+    """Local Binary Pattern texture codes of the supplier coverage
+    raster — 8-neighbor >=-comparison bits in D8 order, zero-padded;
+    tie/local-max/negative-center semantics pytest-verified
+    (tests/test_lbp.py)."""
+    from python_prtree_spark.operators.raster import (
+        local_binary_pattern,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return local_binary_pattern(pxs, CFG, px=16)
+
+
+def _q_morph_gradient(spark, sf_dir):
+    """Morphological gradient (dilate - erode, 3x3 SE) of the supplier
+    coverage raster — the boundary-band extractor; plateau-interior
+    cancellation pytest-verified (tests/test_morph_extras.py)."""
+    from python_prtree_spark.operators.raster import (
+        morphology_gradient,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return morphology_gradient(pxs, None, CFG, px=16)
+
+
+def _q_tophat(spark, sf_dir):
+    """White top-hat (src - open) of the supplier coverage raster —
+    keeps bright details thinner than the 3x3 SE; speckle-extraction
+    semantics pytest-verified (tests/test_morph_extras.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        top_hat,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return top_hat(pxs, None, CFG, px=16, kind="white")
+
+
+def _q_tile_integral(spark, sf_dir):
+    """Per-tile summed-area table (integral image) of the supplier
+    coverage raster — the O(1) box-sum precomputation, tile-scoped so
+    output stays proportional to the lit-tile footprint; numpy-cumsum
+    equality + box-sum identity pytest-verified (tests/test_integral.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        tile_integral,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return tile_integral(pxs, CFG, px=16)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2845,6 +2991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canny_edges": _q_canny,
         "gaussian_blur": _q_gaussian_blur,
         "template_match": _q_template_match,
+        "convex_hull": _q_convex_hull,
+        "hull_diameter": _q_hull_diameter,
+        "decontaminate": _q_decontaminate,
+        "dog_bandpass": _q_dog,
+        "focal_median": _q_focal_median,
+        "lbp_codes": _q_lbp,
+        "morph_gradient": _q_morph_gradient,
+        "tophat_white": _q_tophat,
+        "tile_integral": _q_tile_integral,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -2988,6 +3143,129 @@ def _conv_taps_sql(kernel):
             if w:
                 vals.append(f"({dx}, {dy}, {w})")
     return ", ".join(vals)
+
+
+# shared oracle CTE prefix: supplier coverage raster -> sparse pixel
+# counts (tile, r, c, cnt) and the global-pixel keying g(gx, gy, cnt)
+_GRID_CTE = """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+g AS (SELECT (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+      FROM counts)
+"""
+
+_MOORE9 = "(-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)"
+
+# median of the 9 zero-padded window slots; counts are POSITIVE, so the
+# zeros occupy the first 9-n sorted slots and the median (5th smallest)
+# is the (n-4)th smallest lit value when n >= 5, else 0 (row absent)
+_FMEDIAN_SQL = _GRID_CTE + f""",
+off(dx, dy) AS (VALUES {_MOORE9}),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN off
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, count(*) AS n, list_sort(list(cnt)) AS l
+      FROM s GROUP BY gx, gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(l[CAST(n - 4 AS INT)] AS BIGINT) AS v
+FROM a WHERE n >= 5
+"""
+
+# LBP: bit i set iff v(p + d_i) >= v(p), D8 order E..NE, zero padding
+_LBP_SQL = _GRID_CTE + """,
+t(dx, dy, bit) AS (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                          (-1,0,16),(-1,-1,32),(0,-1,64),(1,-1,128)),
+n AS (SELECT g.gx - dx AS gx, g.gy - dy AS gy, bit, cnt AS nv
+      FROM g CROSS JOIN t),
+j AS (SELECT g.gx, g.gy, g.cnt AS v, n.bit, n.nv
+      FROM g LEFT JOIN n ON n.gx = g.gx AND n.gy = g.gy),
+a AS (SELECT gx, gy, v, coalesce(sum(bit), 0) AS present,
+        coalesce(sum(CASE WHEN nv >= v THEN bit ELSE 0 END), 0) AS ge
+      FROM j GROUP BY gx, gy, v)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(ge + (255 - present) * (CASE WHEN v <= 0 THEN 1 ELSE 0 END)
+       AS INT) AS code
+FROM a
+"""
+
+# gradient = dilate - erode; erosion defined (n = 9 full support) else 0
+_MGRAD_SQL = _GRID_CTE + f""",
+off(dx, dy) AS (VALUES {_MOORE9}),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN off
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+a AS (SELECT gx, gy, max(cnt) AS dv, min(cnt) AS ev, count(*) AS n
+      FROM s GROUP BY gx, gy),
+r0 AS (SELECT gx, gy,
+         dv - CASE WHEN n = 9 THEN ev ELSE 0 END AS v
+       FROM a)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM r0 WHERE v <> 0
+"""
+
+# white top-hat = src - open, open = dilate(erode(src)), zero padding
+_TOPHAT_SQL = _GRID_CTE + f""",
+off(dx, dy) AS (VALUES {_MOORE9}),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt
+  FROM g CROSS JOIN off
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+e AS (SELECT gx, gy, min(cnt) AS ev
+      FROM s GROUP BY gx, gy HAVING count(*) = 9),
+od AS (
+  SELECT e.gx + dx AS gx, e.gy + dy AS gy, ev
+  FROM e CROSS JOIN off
+  WHERE e.gx + dx >= 0 AND e.gx + dx < 256
+    AND e.gy + dy >= 0 AND e.gy + dy < 256),
+o AS (SELECT gx, gy, max(ev) AS ov FROM od GROUP BY gx, gy),
+f AS (SELECT coalesce(g.gx, o.gx) AS gx, coalesce(g.gy, o.gy) AS gy,
+        coalesce(g.cnt, 0) - coalesce(o.ov, 0) AS v
+      FROM g FULL OUTER JOIN o ON g.gx = o.gx AND g.gy = o.gy)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(v AS BIGINT) AS v
+FROM f WHERE v <> 0
+"""
+
+# per-tile SAT: dense lattice over LIT tiles only, two cumulative passes
+_TINTEGRAL_SQL = _GRID_CTE + """,
+lt AS (SELECT DISTINCT tile FROM counts),
+lr AS (SELECT tile, unnest(range(16)) AS r FROM lt),
+lc AS (SELECT tile, r, unnest(range(16)) AS c FROM lr),
+d AS (SELECT lc.tile, lc.r, lc.c, coalesce(counts.cnt, 0) AS v
+      FROM lc LEFT JOIN counts
+        ON counts.tile = lc.tile AND counts.r = lc.r AND counts.c = lc.c),
+h AS (SELECT tile, r, c,
+        sum(v) OVER (PARTITION BY tile, r ORDER BY c) AS hh
+      FROM d),
+i AS (SELECT tile, r, c,
+        sum(hh) OVER (PARTITION BY tile, c ORDER BY r) AS vv
+      FROM h)
+SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+  CAST(vv AS BIGINT) AS v
+FROM i WHERE vv <> 0
+"""
 
 
 def _tmatch_taps_sql(template):
@@ -4121,6 +4399,93 @@ FROM st LEFT JOIN adj USING (region_id)
             TAPS=_tmatch_taps_sql(_TMATCH_T),
             TSQ=sum(v * v for row in _TMATCH_T for v in row),
         ),
+        # Caratheodory strict-vertex test: p is a hull vertex iff it is
+        # neither strictly between two other points nor inside-or-on a
+        # nondegenerate triangle of three other points. Triples are
+        # tuple-ordered a < b < c so each is tested once.
+        "convex_hull": """
+WITH pts AS (
+  SELECT DISTINCT
+    (CAST(s_suppkey AS BIGINT) * 2654435761) % 100000 AS x,
+    (CAST(s_suppkey AS BIGINT) * 2246822519) % 100000 AS y
+  FROM supplier),
+seg AS (
+  SELECT DISTINCT p.x, p.y
+  FROM pts p JOIN pts a ON (a.x, a.y) <> (p.x, p.y)
+             JOIN pts b ON (b.x, b.y) <> (p.x, p.y)
+  WHERE (a.x - p.x) * (b.y - p.y) - (a.y - p.y) * (b.x - p.x) = 0
+    AND (a.x - p.x) * (b.x - p.x) + (a.y - p.y) * (b.y - p.y) < 0),
+tri AS (
+  SELECT DISTINCT p.x, p.y
+  FROM pts p, pts a, pts b, pts c
+  WHERE (a.x, a.y) <> (p.x, p.y) AND (b.x, b.y) <> (p.x, p.y)
+    AND (c.x, c.y) <> (p.x, p.y)
+    AND (a.x, a.y) < (b.x, b.y) AND (b.x, b.y) < (c.x, c.y)
+    AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+    AND (
+      ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0 AND
+       (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) >= 0 AND
+       (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) >= 0 AND
+       (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0)
+      OR
+      ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) <= 0 AND
+       (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) <= 0 AND
+       (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) <= 0 AND
+       (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0)
+    ))
+SELECT x, y FROM pts
+EXCEPT (SELECT x, y FROM seg UNION SELECT x, y FROM tri)
+""",
+        "decontaminate": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents),
+g0 AS (
+  SELECT doc_id, ts, unnest(range(len(ts) - 4)) AS i
+  FROM tok WHERE len(ts) >= 5),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+5], ' ') AS gram
+  FROM g0),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, count(*) AS n_hits
+  FROM tr JOIN ev ON tr.gram = ev.gram
+  GROUP BY tr.doc_id)
+SELECT tot.doc_id,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_hits AS BIGINT) AS n_hits
+FROM tot JOIN hits ON tot.doc_id = hits.doc_id
+WHERE n_hits >= 1
+""",
+        "hull_diameter": """
+WITH pts AS (
+  SELECT DISTINCT
+    (CAST(s_suppkey AS BIGINT) * 2654435761) % 100000 AS x,
+    (CAST(s_suppkey AS BIGINT) * 2246822519) % 100000 AS y
+  FROM supplier),
+pr AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON (a.x, a.y) < (b.x, b.y))
+SELECT x1, y1, x2, y2, CAST(d2 AS BIGINT) AS d2
+FROM pr ORDER BY d2 DESC, x1, y1, x2, y2 LIMIT 1
+""",
+        "dog_bandpass": _CONV_SQL_TMPL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS=_conv_taps_sql(_DOG5),
+        ),
+        "focal_median": _FMEDIAN_SQL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "lbp_codes": _LBP_SQL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "morph_gradient": _MGRAD_SQL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "tophat_white": _TOPHAT_SQL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "tile_integral": _TINTEGRAL_SQL.format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),
 tiles AS (SELECT unnest(range(256)) AS tile),

@@ -42,6 +42,7 @@ __all__ = [
     "rolling_fingerprints",
     "fingerprint_overlap_pairs",
     "substring_dup_groups",
+    "decontaminate",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1246,4 +1247,75 @@ def substring_dup_groups(
             F.min("sub").alias("sample"),
         )
         .where(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def decontaminate(
+    docs_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train-vs-eval n-gram decontamination (the GPT-3 appendix-C /
+    Lee-et-al. contamination check every LLM training pipeline runs
+    before training): for each TRAINING document, count the distinct
+    whitespace-word n-grams it shares with ANY document of the eval
+    corpus, and flag documents with >= ``min_hits`` overlapping grams
+    so they can be dropped or audited.
+
+    Differs from fingerprint_overlap_pairs (MOSS-style pair reporting)
+    on purpose: decontamination needs only per-train-doc hit counts
+    against the eval side as a SET, so there is no pair-level blowup —
+    a train gram matching 10k eval docs is still one distinct gram.
+
+    Scale shape: both sides tokenize and explode to DISTINCT
+    (doc, gram) rows JVM-side (split + transform/slice higher-order
+    functions — no Python); the eval gram set is deduplicated and, by
+    default, BROADCAST (eval benchmarks are small next to a training
+    corpus — set broadcast_eval=False to fall back to a shuffled
+    equi-join when it is not); ONE groupBy(doc_id) then counts hits.
+    Gram strings never pass through Python.
+
+    → (doc_id, n_grams, n_hits) for flagged training docs, where
+    n_grams = the doc's distinct n-gram count and n_hits = how many of
+    those appear anywhere in the eval corpus."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        gs = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.col(doc_id).alias("doc_id"), gs.alias("_gs"))
+            .select("doc_id", F.explode("_gs").alias("gram"))
+            .distinct()
+        )
+
+    train = grams(docs_df)
+    ev = grams(eval_df).select("gram").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(ev, on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tot.join(hits, on="doc_id")
+        .where(F.col("n_hits") >= int(min_hits))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        )
     )

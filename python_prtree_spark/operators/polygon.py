@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["polygon_join", "polygon_area_centroid"]
+__all__ = ["polygon_join", "polygon_area_centroid", "convex_hull",
+           "hull_diameter"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -243,4 +244,141 @@ def polygon_area_centroid(
         fold(cross).alias("area2"),
         fold(lambda i: (vx(i) + vx((i + 1) % n)) * cross(i)).alias("cx6"),
         fold(lambda i: (vy(i) + vy((i + 1) % n)) * cross(i)).alias("cy6"),
+    )
+
+
+def _hull_of(pts: list) -> list:
+    """Andrew monotone chain over exact Python ints — STRICT vertices
+    only (collinear boundary points popped by the <= 0 turn test),
+    returned in CCW order. Duplicates collapse via the sorted set."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h: list = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull(
+    points_df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact convex hull of an integer point set (PostGIS
+    ``ST_ConvexHull`` / scipy ``ConvexHull``): the DISTINCT strict hull
+    vertices — points not expressible as a convex combination of the
+    others, collinear boundary points dropped. Every turn test is an
+    integer cross product (arbitrary-precision Python ints in the
+    chain, long columns in the prune), so the vertex set is exact and
+    hash-gateable.
+
+    Scale shape (Akl-Toussaint prune + two-level monotone chain):
+      1. ONE map-side-combinable aggregate finds the 8 directional
+         extremes (argmax of x, y, x±y and their minima via struct-max,
+         ties broken lexicographically — deterministic), an 8-value
+         driver literal;
+      2. points STRICTLY inside the extreme octagon are dropped with
+         pure-JVM half-plane tests — for non-adversarial data this
+         eliminates almost everything; all-points-on-a-circle degrades
+         to "no pruning", never to a wrong answer;
+      3. survivors run a per-partition monotone chain (mapInPandas,
+         Arrow-batched) emitting each partition's local hull — a
+         superset of the global hull's vertices;
+      4. the union of local hulls coalesces to ONE small partition for
+         the final chain. No driver .collect() of point data anywhere.
+
+    → DataFrame (x, y) long rows, one per strict hull vertex
+    (unordered set semantics — order vertices downstream if needed)."""
+    import pandas as pd
+
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    pts = points_df.select(x.alias("x"), y.alias("y"))
+    dirs = [(1, 0), (1, 1), (0, 1), (-1, 1),
+            (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    row = pts.agg(*[
+        F.max(F.struct(
+            (F.lit(dx) * F.col("x") + F.lit(dy) * F.col("y")).alias("d"),
+            F.col("x").alias("x"), F.col("y").alias("y"),
+        )).alias(f"e{i}")
+        for i, (dx, dy) in enumerate(dirs)
+    ]).first()
+    schema = "x long, y long"
+    if row is None or row["e0"] is None:
+        return pts.sparkSession.createDataFrame([], schema)
+    octagon = _hull_of([
+        (int(row[f"e{i}"]["x"]), int(row[f"e{i}"]["y"]))
+        for i in range(len(dirs))
+    ])
+    if len(octagon) >= 3:
+        # strictly inside EVERY CCW edge's left half-plane -> prunable
+        inside = F.lit(True)
+        for (ax, ay), (bx, by) in zip(octagon, octagon[1:] + octagon[:1]):
+            inside = inside & (
+                (F.lit(bx - ax) * (F.col("y") - F.lit(ay))
+                 - F.lit(by - ay) * (F.col("x") - F.lit(ax))) > 0
+            )
+        pts = pts.where(~inside)
+
+    def chain(batches):
+        acc: list = []
+        for pdf in batches:
+            acc.extend(zip(pdf["x"].tolist(), pdf["y"].tolist()))
+        h = _hull_of([(int(a), int(b)) for a, b in acc])
+        if h:
+            yield pd.DataFrame({"x": [p[0] for p in h],
+                                "y": [p[1] for p in h]})
+
+    local = pts.mapInPandas(chain, schema)
+    return local.coalesce(1).mapInPandas(chain, schema)
+
+
+def hull_diameter(
+    points_df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Farthest pair / set diameter (PostGIS ``ST_MaxDistance``): the
+    maximum squared Euclidean distance between any two points of the
+    set, with the achieving pair. The diameter of a set equals the
+    diameter of its convex hull, so the heavy lifting is convex_hull's
+    prune+chain; the quadratic pass runs on the TINY hull-vertex frame
+    only — never on the input cloud. Integer-exact d2 (long), so the
+    result hash-gates.
+
+    Deterministic tie-break: among maximal-d2 pairs, the one with the
+    lexicographically smallest (x1, y1, x2, y2); pairs are oriented
+    (x1, y1) < (x2, y2).
+
+    → ONE row (x1, y1, x2, y2, d2); empty if the set has < 2 distinct
+    points."""
+    h = convex_hull(points_df, x_col, y_col)
+    a = h.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = h.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.crossJoin(b).where(
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2")))
+    )
+    dx, dy = F.col("x1") - F.col("x2"), F.col("y1") - F.col("y2")
+    best = pairs.select(
+        F.struct(
+            (-(dx * dx + dy * dy)).alias("nd2"),
+            "x1", "y1", "x2", "y2",
+        ).alias("s")
+    ).agg(F.min("s").alias("s"))
+    return best.where(F.col("s").isNotNull()).select(
+        F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+        (-F.col("s.nd2")).cast("long").alias("d2"),
     )

@@ -36,7 +36,9 @@ __all__ = [
     "flow_direction_d8", "flow_accumulation", "watershed_basins",
     "hough_lines", "hough_table", "glcm", "hog_blocks", "harris_corners",
     "label_regions", "region_shape_stats", "variogram", "otsu_threshold",
-    "canny_edges", "template_match_ssd",
+    "canny_edges", "template_match_ssd", "focal_median",
+    "local_binary_pattern", "morphology_gradient", "top_hat",
+    "tile_integral",
 ]
 
 
@@ -2218,3 +2220,277 @@ def template_match_ssd(
         )
     )
     return j.select(*key, F.col("ssd").cast("long").alias("ssd"))
+
+
+def focal_median(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Focal 3x3 MEDIAN filter (the classic salt-and-pepper denoiser;
+    GRASS ``r.neighbors method=median`` / scipy ``median_filter``) with
+    zero padding: every position's window has exactly 9 logical slots,
+    absent and off-grid cells reading 0, and the output value is the
+    5th-smallest of those 9 — integer-exact, no interpolation (9 is
+    odd). Rows whose median is 0 are dropped (sparse-raster invariant);
+    for a nonnegative raster that means a position appears iff at least
+    5 of its 9 slots hold a positive value, which is exactly the
+    majority-vote behavior that kills isolated speckles.
+
+    Scale shape: identical to focal_stats — bounded 9x fan-out of the
+    SPARSE input (pure column arithmetic), ONE groupBy on the global
+    pixel key whose shuffle IS the halo exchange. The per-position
+    multiset is collect_list-bounded at 9, zero-padded with
+    array_repeat, sorted JVM-side (array_sort), and indexed — no Python
+    kernel, no per-tile state.
+
+    → (tile, r, c, v) sparse rows on the rasterize_counts keying."""
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("_gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("_gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    shifted = src.select(
+        "_gx", "_gy", "_v", F.explode(offsets).alias("_o")
+    ).select(
+        (F.col("_gx") + F.col("_o.dx")).alias("gx"),
+        (F.col("_gy") + F.col("_o.dy")).alias("gy"),
+        "_v",
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    )
+    vals = shifted.groupBy("gx", "gy").agg(
+        F.collect_list("_v").alias("_vs")
+    )
+    padded = F.concat(
+        F.col("_vs"),
+        F.array_repeat(F.lit(0).cast("long"), F.lit(9) - F.size("_vs")),
+    )
+    med = F.element_at(F.array_sort(padded), 5)
+    return vals.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        med.cast("long").alias("v"),
+    ).where(F.col("v") != 0)
+
+
+def local_binary_pattern(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Local Binary Pattern texture codes (Ojala et al., the LBP
+    descriptor behind classic face/texture classifiers), 8-neighbor
+    3x3 variant over the sparse mosaic: for every LIT cell p with value
+    v(p), code = sum over i in 0..7 of 2^i * [v(p + d_i) >= v(p)] with
+    the neighbor ring d_0..d_7 = E, SE, S, SW, W, NW, N, NE (the _D8
+    enumeration; dy grows southward like r). Absent and off-grid
+    neighbors read 0 (zero padding), so against a positive raster they
+    contribute 0 bits — and in general their bits are [0 >= v(p)],
+    folded in as one closed-form term rather than materializing empty
+    slots. Domain = lit cells (code 0, a strict local maximum, is
+    meaningful and kept — the domain is already sparse).
+
+    Scale shape: bounded 8x fan-out of the sparse input tagged with the
+    receiving center position and the bit weight, ONE equi-join back to
+    the lit centers on the global pixel key, ONE groupBy on the same
+    key (co-partitioned: the join's hash partitioning is reused, no
+    second exchange of the big side). Pure JVM throughout.
+
+    → (tile, r, c, code) with code in 0..255."""
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    # neighbor q = p + d_i contributes bit 2^i to center p = q - d_i
+    taps = F.array(*[
+        F.struct(
+            F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy"),
+            F.lit(1 << i).alias("bit"),
+        )
+        for dx, dy, i in _D8
+    ])
+    neigh = src.select(
+        F.col("_v").alias("_nv"), F.explode(taps).alias("_t"),
+        (F.col("gx") + F.col("_t.dx")).alias("gx2"),
+        (F.col("gy") + F.col("_t.dy")).alias("gy2"),
+    ).select(
+        F.col("gx2").alias("gx"), F.col("gy2").alias("gy"),
+        F.col("_t.bit").alias("_bit"), "_nv",
+    )
+    j = src.join(neigh, on=["gx", "gy"], how="left")
+    agg = j.groupBy("gx", "gy", "_v").agg(
+        F.coalesce(F.sum("_bit"), F.lit(0)).alias("_present"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nv") >= F.col("_v"), F.col("_bit"))
+                  .otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("_ge"),
+    )
+    code = (
+        F.col("_ge")
+        + (F.lit(255) - F.col("_present"))
+        * F.when(F.col("_v") <= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return agg.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        code.cast("int").alias("code"),
+    )
+
+
+def morphology_gradient(
+    pixels_df: DataFrame,
+    se: list | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Morphological gradient (scipy ``morphological_gradient`` /
+    ArcGIS boundary extraction): dilate(src) - erode(src) under the
+    engine's zero-padding convention, where erosion is read as 0
+    anywhere its full-support test fails (absent cells are holes). The
+    gradient is positive exactly on edges — interior plateaus cancel —
+    so dropping zero rows (sparse invariant, via raster_algebra) keeps
+    only the boundary band.
+
+    Pure composition: two bounded-fan-out morphology passes + ONE
+    co-partitioned full-outer pixel-key join (raster_algebra); every
+    stage is the halo-exchange shape that survives 100 TB.
+
+    → (tile, r, c, v) sparse rows."""
+    d = morphology(pixels_df, "dilate", se, cfg, px=px,
+                   tile_col=tile_col, value_col=value_col)
+    e = morphology(pixels_df, "erode", se, cfg, px=px,
+                   tile_col=tile_col, value_col=value_col)
+    return raster_algebra(d, e, "subtract", value_col="v")
+
+
+def top_hat(
+    pixels_df: DataFrame,
+    se: list | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    kind: str = "white",
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Top-hat transforms (scipy ``white_tophat`` / ``black_tophat``) —
+    the small-feature extractors of grayscale morphology under zero
+    padding:
+
+    * ``white``: src - open(src), open = dilate(erode(src)) — keeps
+      bright details thinner than the structuring element (peaks the
+      opening shaved off).
+    * ``black``: close(src) - src, close = erode(dilate(src)) — keeps
+      dark pits narrower than the SE (what the closing filled in).
+
+    Every stage reads absent cells as 0 and erosion as 0 where its
+    support test fails, so both results are integer-exact and
+    oracle-gateable; zero rows are dropped (sparse invariant).
+
+    Scale shape: three bounded-fan-out morphology passes + ONE
+    co-partitioned pixel-key join — no new primitive, pure composition
+    of halo exchanges.
+
+    → (tile, r, c, v) sparse rows."""
+    if kind not in ("white", "black"):
+        raise ValueError(f"kind must be 'white' or 'black', got {kind!r}")
+    if kind == "white":
+        ero = morphology(pixels_df, "erode", se, cfg, px=px,
+                         tile_col=tile_col, value_col=value_col)
+        opened = morphology(ero, "dilate", se, cfg, px=px,
+                            tile_col="tile", value_col="v")
+        src = pixels_df.select(
+            F.col(tile_col).alias("tile"), "r", "c",
+            F.col(value_col).cast("long").alias("v"),
+        )
+        return raster_algebra(src, opened, "subtract", value_col="v")
+    dil = morphology(pixels_df, "dilate", se, cfg, px=px,
+                     tile_col=tile_col, value_col=value_col)
+    closed = morphology(dil, "erode", se, cfg, px=px,
+                        tile_col="tile", value_col="v")
+    src = pixels_df.select(
+        F.col(tile_col).alias("tile"), "r", "c",
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return raster_algebra(closed, src, "subtract", value_col="v")
+
+
+def tile_integral(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Per-tile summed-area table (integral image, Viola-Jones /
+    OpenCV ``integral``), tile-scoped: within every tile that holds at
+    least one lit cell, I(r, c) = sum of values at (r', c') with
+    r' <= r AND c' <= c — the O(1) box-sum precomputation for Haar
+    features and patch statistics. Integer-exact cumulative longs.
+
+    Tile-scoped on purpose: a GLOBAL integral image over a sparse
+    mosaic is inherently dense (every position right/below the first
+    lit cell is nonzero — grid^2 rows regardless of sparsity, a
+    scale-killer), while the per-tile table is dense only WITHIN lit
+    tiles: output <= px^2 x (lit tiles), proportional to the input's
+    tile footprint. Patch-level feature extraction wants exactly this
+    scope.
+
+    Scale shape: lit-tile lattice (bounded px^2 expansion of the
+    DISTINCT tile list) left-joined to the values, then two cumulative
+    window passes — row-prefix over (tile, r) ordered by c, then
+    column-prefix over (tile, c) ordered by r. Both windows are
+    tile-interior (partitions of px rows); the only data movement is
+    the hash exchange into tile-keyed partitions, which AQE coalesces.
+    Zero rows (the empty top-left corner band) are dropped.
+
+    → (tile, r, c, v) rows, v = the inclusive 2-D prefix sum."""
+    key_src = pixels_df.select(
+        F.col(tile_col).alias("tile"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    lattice = (
+        key_src.select("tile").distinct()
+        .select("tile", F.explode(F.sequence(F.lit(0), F.lit(px - 1))).alias("r"))
+        .select("tile", "r",
+                F.explode(F.sequence(F.lit(0), F.lit(px - 1))).alias("c"))
+    )
+    dense = lattice.join(key_src, on=["tile", "r", "c"], how="left").select(
+        "tile", "r", "c", F.coalesce("_v", F.lit(0).cast("long")).alias("_v")
+    )
+    w_row = (
+        Window.partitionBy("tile", "r").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = dense.select("tile", "r", "c", F.sum("_v").over(w_row).alias("_h"))
+    w_col = (
+        Window.partitionBy("tile", "c").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = h.select(
+        "tile", "r", "c", F.sum("_h").over(w_col).cast("long").alias("v")
+    )
+    return out.where(F.col("v") != 0)

@@ -907,3 +907,119 @@ def test_hist_equalize_plan_no_exchange(spark):
     )
     plan = explain_str(hist_equalize_checksums(df))
     assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_plan_broadcast_eval_no_python(spark):
+    """decontaminate: eval gram set must BROADCAST into the hit join
+    (the train gram stream shuffles once for its own distinct/groupBy,
+    never hash-exchanges against eval), and gram construction is pure
+    JVM higher-order functions — no Python stage anywhere."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import decontaminate
+
+    t = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]}),
+        "doc_id long, text string",
+    )
+    e = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["a b c d e"]}),
+        "doc_id long, text string",
+    )
+    df = decontaminate(t, e, n=5)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_convex_hull_plan_prune_before_python(spark):
+    """convex_hull: the Akl-Toussaint prune must be a plain JVM Filter
+    UNDER the mapInPandas chain stages (points that octagon-prune never
+    reach Python), and there is no cartesian anywhere."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.polygon import convex_hull
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": [0, 0, 9, 9, 4, 5], "y": [0, 9, 0, 9, 4, 5]}),
+        "x long, y long",
+    )
+    df = convex_hull(pts)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" in plan, plan
+    assert "Filter" in plan, plan
+
+
+def test_hull_diameter_pairs_only_on_hull(spark):
+    """hull_diameter: the quadratic stage is a cross join of the TINY
+    hull frame with itself — assert the join inputs are the Python
+    chain outputs (mapInPandas), i.e. the n^2 never touches raw input."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.polygon import hull_diameter
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": [0, 0, 9, 9, 4], "y": [0, 9, 0, 9, 4]}),
+        "x long, y long",
+    )
+    plan = explain_str(hull_diameter(pts))
+    assert "MapInPandas" in plan, plan
+
+
+def test_focal_median_plan_single_exchange_jvm(spark):
+    """focal_median: one groupBy exchange on the global pixel key, the
+    median via array_sort/element_at — pure JVM, no Python stage."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import focal_median
+
+    pxs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [1, 2], "c": [1, 2],
+                      "cnt": [5, 6]}),
+        "tile long, r int, c int, cnt long",
+    )
+    df = focal_median(pxs, CFG, px=16)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_lbp_plan_copartitioned_join_groupby(spark):
+    """local_binary_pattern: the center join and the bit groupBy share
+    the (gx, gy) key — pure JVM, no cartesian, no Python."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import local_binary_pattern
+
+    pxs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [1, 2], "c": [1, 2],
+                      "cnt": [5, 6]}),
+        "tile long, r int, c int, cnt long",
+    )
+    df = local_binary_pattern(pxs, CFG, px=16)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_tile_integral_plan_tile_scoped_windows(spark):
+    """tile_integral: both cumulative passes are WINDOW stages keyed
+    inside the tile — no Python, no cartesian, and the lattice join is
+    an equi-join on (tile, r, c)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import tile_integral
+
+    pxs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [1, 2], "c": [1, 2],
+                      "cnt": [5, 6]}),
+        "tile long, r int, c int, cnt long",
+    )
+    df = tile_integral(pxs, CFG, px=16)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Window" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
