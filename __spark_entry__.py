@@ -2748,6 +2748,30 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_terrain(spark, sf_dir):
+    """TRI (absolute-difference ruggedness) + TPI x8 (center minus
+    neighborhood sum) of the supplier coverage raster — gdaldem TRI/TPI
+    parity as exact integers, zero padding; brute 8-neighbor fold
+    pytest-verified (tests/test_terrain_indices.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        terrain_indices,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return terrain_indices(pxs, CFG, px=16)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-rule repetition numerators over documents (top-word /
+    top-2-gram / top-3-gram counts + totals) — the
+    repeated-n-gram-domination quality filters as exact integers;
+    hand-counted cases pytest-verified (tests/test_repetition.py)."""
+    from python_prtree_spark.functions.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Train-vs-eval 5-gram decontamination over documents: eval corpus
     = doc_id % 19 == 0 (so every eval doc contaminates at least itself
@@ -2877,7 +2901,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mm_phash_verify / mm_codec_roundtrip (r1-r3 green rows-only forms
     whose exact twins stay in-window) and all veterans green in BOTH r3
     and r4 rotate past position 50 (their evidence lives in prior
-    CORRECTNESS files and every-round check_oracles runs)."""
+    CORRECTNESS files and every-round check_oracles runs).
+
+    r5-LATE entries (registered after this round's window was frozen
+    full: template_match, convex_hull, hull_diameter, decontaminate,
+    dog_bandpass, focal_median, lbp_codes, morph_gradient, tophat_white,
+    tile_integral, canny_edges, gaussian_blur, + later additions near
+    them) sit past position 50 with tools/check_oracles.py evidence
+    (FAILURES: 0) and are FIRST IN LINE for the r6 window."""
     return {
         # --- (1) never driver-checked (registered r4, positions 51-60) ---
         "line_density": _q_line_density,
@@ -2994,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": _q_convex_hull,
         "hull_diameter": _q_hull_diameter,
         "decontaminate": _q_decontaminate,
+        "terrain_tri_tpi": _q_terrain,
+        "repetition_stats": _q_repetition,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4435,6 +4468,52 @@ tri AS (
     ))
 SELECT x, y FROM pts
 EXCEPT (SELECT x, y FROM seg UNION SELECT x, y FROM tri)
+""",
+        "terrain_tri_tpi": (_GRID_CTE + """,
+t(dx, dy) AS (VALUES (1,0),(1,1),(0,1),(-1,1),
+                     (-1,0),(-1,-1),(0,-1),(1,-1)),
+n AS (SELECT g.gx - dx AS gx, g.gy - dy AS gy, cnt AS nv
+      FROM g CROSS JOIN t),
+j AS (SELECT g.gx, g.gy, g.cnt AS v, n.nv
+      FROM g LEFT JOIN n ON n.gx = g.gx AND n.gy = g.gy),
+a AS (SELECT gx, gy, v, count(nv) AS nn,
+        coalesce(sum(abs(nv - v)), 0) AS sad,
+        coalesce(sum(nv), 0) AS sv
+      FROM j GROUP BY gx, gy, v)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(sad + (8 - nn) * abs(v) AS BIGINT) AS tri,
+  CAST(8 * v - sv AS BIGINT) AS tpi8
+FROM a
+""").format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "repetition_stats": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents),
+w AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word
+       FROM wc GROUP BY doc_id),
+g20 AS (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        FROM tok WHERE len(ts) >= 2),
+g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gm FROM g20),
+gc2 AS (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY doc_id, gm),
+gs2 AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top2
+        FROM gc2 GROUP BY doc_id),
+g30 AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i
+        FROM tok WHERE len(ts) >= 3),
+g3 AS (SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS gm FROM g30),
+gc3 AS (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY doc_id, gm),
+gs3 AS (SELECT doc_id, sum(c) AS n_3grams, max(c) AS top3
+        FROM gc3 GROUP BY doc_id)
+SELECT ws.doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(top_word AS BIGINT) AS top_word,
+  CAST(coalesce(n_2grams, 0) AS BIGINT) AS n_2grams,
+  CAST(coalesce(top2, 0) AS BIGINT) AS top2,
+  CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
+  CAST(coalesce(top3, 0) AS BIGINT) AS top3
+FROM ws LEFT JOIN gs2 USING (doc_id) LEFT JOIN gs3 USING (doc_id)
 """,
         "decontaminate": r"""
 WITH tok AS (

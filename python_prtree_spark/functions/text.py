@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
     "langid_col", "pii_cols", "bm25_scores", "tfidf_topk", "token_drift",
+    "repetition_stats",
     "STOPWORDS",
     "BPE_SPLIT_RE",
     "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
@@ -311,5 +312,75 @@ def bm25_scores(
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.sum("_cq").alias("score_q"),
+        )
+    )
+
+
+def repetition_stats(
+    docs_df,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-rule repetition statistics (Rae et al. 2021 Table A1 —
+    the "remove docs dominated by repeated n-grams" quality filters),
+    as exact integer NUMERATORS so every downstream fraction threshold
+    (top2 / n_2grams, etc.) is a cross-multiplied integer comparison
+    and the whole table hash-gates:
+
+      * n_words      — whitespace token count;
+      * top_word     — occurrences of the most frequent token;
+      * n_2grams     — sliding word-2-gram count (n_words - 1, 0 floor);
+      * top2         — occurrences of the most frequent 2-gram;
+      * n_3grams / top3 — same at 3.
+
+    Docs too short for an n-gram get 0 / 0 (kept — shortness is its own
+    filter, quality_cols).
+
+    Scale shape: gram construction is JVM higher-order functions
+    (split + transform/slice, no Python); each of the three levels is
+    explode → ONE (doc, term) groupBy → ONE doc groupBy (both
+    map-side combinable), then two broadcast-sized joins back on
+    doc_id... in fact the joins are doc-keyed equi-joins that AQE
+    co-partitions; nothing is collected.
+
+    → (doc_id, n_words, top_word, n_2grams, top2, n_3grams, top3)."""
+    base = docs_df.select(
+        F.col(doc_id).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ts"),
+    )
+
+    def level(n: int, total_name: str, top_name: str):
+        if n == 1:
+            grams = F.col("_ts")
+        else:
+            grams = F.when(
+                F.size("_ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_ts") - n),
+                    lambda i: F.array_join(F.slice(F.col("_ts"), i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        per_term = (
+            base.select("doc_id", F.explode(grams).alias("_g"))
+            .groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.sum("_c").cast("long").alias(total_name),
+            F.max("_c").cast("long").alias(top_name),
+        )
+
+    w = level(1, "n_words", "top_word")
+    g2 = level(2, "n_2grams", "top2")
+    g3 = level(3, "n_3grams", "top3")
+    z = F.lit(0).cast("long")
+    return (
+        w.join(g2, on="doc_id", how="left")
+        .join(g3, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_words", "top_word",
+            F.coalesce("n_2grams", z).alias("n_2grams"),
+            F.coalesce("top2", z).alias("top2"),
+            F.coalesce("n_3grams", z).alias("n_3grams"),
+            F.coalesce("top3", z).alias("top3"),
         )
     )
