@@ -2748,6 +2748,37 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-rule quality verdicts over documents (length + top-word /
+    2-gram / 3-gram repetition flags, all cross-multiplied integer
+    comparisons — no float division); per-flag hand cases
+    pytest-verified (tests/test_repetition.py)."""
+    from python_prtree_spark.functions.text import gopher_filter
+
+    return gopher_filter(_read(spark, sf_dir, "documents"))
+
+
+_RIPLEY_CFG = EngineConfig(extent=Extent(0, 0, 100001, 100001), level=4)
+_RIPLEY_RADII = [2000, 5000, 10000, 20000]
+
+
+def _q_ripley_k(spark, sf_dir):
+    """Ripley's K numerators for the hashed supplier point cloud —
+    ordered-pair counts within an increasing radius ladder, ONE
+    cell-routed spatial join at r_max + exact long d^2 vs r^2 compares;
+    brute pair-count equality pytest-verified (tests/test_ripley.py)."""
+    from python_prtree_spark.operators.distance import ripley_k
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    pts = s.select(
+        k.alias("id"),
+        ((k * 2654435761) % 100000).alias("x"),
+        ((k * 2246822519) % 100000).alias("y"),
+    )
+    return ripley_k(pts, _RIPLEY_RADII, _RIPLEY_CFG)
+
+
 def _q_terrain(spark, sf_dir):
     """TRI (absolute-difference ruggedness) + TPI x8 (center minus
     neighborhood sum) of the supplier coverage raster — gdaldem TRI/TPI
@@ -3027,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "terrain_tri_tpi": _q_terrain,
         "repetition_stats": _q_repetition,
+        "gopher_filter": _q_gopher_filter,
+        "ripley_k": _q_ripley_k,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -3298,6 +3331,39 @@ i AS (SELECT tile, r, c,
 SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
   CAST(vv AS BIGINT) AS v
 FROM i WHERE vv <> 0
+"""
+
+
+# Gopher repetition numerators (shared by repetition_stats and the
+# gopher_filter verdict wrapper)
+_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents),
+w AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word
+       FROM wc GROUP BY doc_id),
+g20 AS (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        FROM tok WHERE len(ts) >= 2),
+g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gm FROM g20),
+gc2 AS (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY doc_id, gm),
+gs2 AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top2
+        FROM gc2 GROUP BY doc_id),
+g30 AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i
+        FROM tok WHERE len(ts) >= 3),
+g3 AS (SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS gm FROM g30),
+gc3 AS (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY doc_id, gm),
+gs3 AS (SELECT doc_id, sum(c) AS n_3grams, max(c) AS top3
+        FROM gc3 GROUP BY doc_id)
+SELECT ws.doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(top_word AS BIGINT) AS top_word,
+  CAST(coalesce(n_2grams, 0) AS BIGINT) AS n_2grams,
+  CAST(coalesce(top2, 0) AS BIGINT) AS top2,
+  CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
+  CAST(coalesce(top3, 0) AS BIGINT) AS top3
+FROM ws LEFT JOIN gs2 USING (doc_id) LEFT JOIN gs3 USING (doc_id)
 """
 
 
@@ -4486,34 +4552,39 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(8 * v - sv AS BIGINT) AS tpi8
 FROM a
 """).format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
-        "repetition_stats": r"""
-WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
-  FROM documents),
-w AS (SELECT doc_id, unnest(ts) AS t FROM tok),
-wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
-ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word
-       FROM wc GROUP BY doc_id),
-g20 AS (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
-        FROM tok WHERE len(ts) >= 2),
-g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gm FROM g20),
-gc2 AS (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY doc_id, gm),
-gs2 AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top2
-        FROM gc2 GROUP BY doc_id),
-g30 AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i
-        FROM tok WHERE len(ts) >= 3),
-g3 AS (SELECT doc_id, array_to_string(ts[i+1:i+3], ' ') AS gm FROM g30),
-gc3 AS (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY doc_id, gm),
-gs3 AS (SELECT doc_id, sum(c) AS n_3grams, max(c) AS top3
-        FROM gc3 GROUP BY doc_id)
-SELECT ws.doc_id,
-  CAST(n_words AS BIGINT) AS n_words,
-  CAST(top_word AS BIGINT) AS top_word,
-  CAST(coalesce(n_2grams, 0) AS BIGINT) AS n_2grams,
-  CAST(coalesce(top2, 0) AS BIGINT) AS top2,
-  CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
-  CAST(coalesce(top3, 0) AS BIGINT) AS top3
-FROM ws LEFT JOIN gs2 USING (doc_id) LEFT JOIN gs3 USING (doc_id)
+        "repetition_stats": _REPETITION_SQL,
+        "gopher_filter": f"""
+WITH rep AS ({_REPETITION_SQL})
+SELECT doc_id, n_words,
+  CAST(CASE WHEN n_words < 20 OR n_words > 100000
+       THEN 1 ELSE 0 END AS INT) AS flag_len,
+  CAST(CASE WHEN n_words > 0 AND top_word * 10 > n_words * 1
+       THEN 1 ELSE 0 END AS INT) AS flag_word_rep,
+  CAST(CASE WHEN n_2grams > 0 AND top2 * 20 > n_2grams * 1
+       THEN 1 ELSE 0 END AS INT) AS flag_2gram,
+  CAST(CASE WHEN n_3grams > 0 AND top3 * 50 > n_3grams * 3
+       THEN 1 ELSE 0 END AS INT) AS flag_3gram,
+  CAST(CASE WHEN (CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_words > 0 AND top_word * 10 > n_words * 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_2grams > 0 AND top2 * 20 > n_2grams * 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_3grams > 0 AND top3 * 50 > n_3grams * 3 THEN 1 ELSE 0 END)
+        = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM rep
+""",
+        "ripley_k": """
+WITH pts AS (
+  SELECT s_suppkey AS id,
+    (CAST(s_suppkey AS BIGINT) * 2654435761) % 100000 AS x,
+    (CAST(s_suppkey AS BIGINT) * 2246822519) % 100000 AS y
+  FROM supplier),
+r(radius) AS (VALUES (2000), (5000), (10000), (20000)),
+pr AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.id <> b.id)
+SELECT CAST(r.radius AS BIGINT) AS radius,
+  CAST(coalesce(sum(CASE WHEN pr.d2 <= r.radius * r.radius
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM r CROSS JOIN pr GROUP BY r.radius
 """,
         "decontaminate": r"""
 WITH tok AS (

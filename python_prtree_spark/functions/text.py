@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_col", "token_count_col", "bpe_token_count_col", "quality_cols",
     "langid_col", "pii_cols", "bm25_scores", "tfidf_topk", "token_drift",
-    "repetition_stats",
+    "repetition_stats", "gopher_filter",
     "STOPWORDS",
     "BPE_SPLIT_RE",
     "PII_EMAIL_RE", "PII_PHONE_RE", "PII_IP_RE",
@@ -384,3 +384,62 @@ def repetition_stats(
             F.coalesce("top3", z).alias("top3"),
         )
     )
+
+
+def gopher_filter(
+    docs_df,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100000,
+    top_word_frac=(1, 10),
+    top2_frac=(1, 20),
+    top3_frac=(3, 50),
+):
+    """Gopher-style document quality VERDICTS (Rae et al. 2021 rule
+    family, count-fraction variant) on top of repetition_stats: a doc is
+    flagged when
+
+      * flag_len      — n_words outside [min_words, max_words];
+      * flag_word_rep — top_word / n_words  > top_word_frac;
+      * flag_2gram    — top2 / n_2grams     > top2_frac;
+      * flag_3gram    — top3 / n_3grams     > top3_frac;
+
+    and kept iff no flag fires. Every fraction threshold is a
+    CROSS-MULTIPLIED integer comparison (top * den > total * num) — no
+    float division anywhere, so the verdict table hash-gates bit-for-bit
+    against an ANSI-SQL twin. Docs with zero n-grams never fire the
+    n-gram flags (a one-word doc is flag_len's business, not
+    flag_2gram's).
+
+    Scale shape: repetition_stats' (explode + two map-combinable
+    groupBys per level); the verdicts are pure column arithmetic on its
+    output. → (doc_id, n_words, flag_len, flag_word_rep, flag_2gram,
+    flag_3gram, keep) with int 0/1 flags."""
+    from pyspark.sql import functions as _F
+
+    stats = repetition_stats(docs_df, doc_id=doc_id, text_col=text_col)
+
+    def frac_flag(top, total, frac):
+        num, den = int(frac[0]), int(frac[1])
+        return (
+            (_F.col(total) > 0)
+            & (_F.col(top) * _F.lit(den) > _F.col(total) * _F.lit(num))
+        ).cast("int")
+
+    flag_len = (
+        (_F.col("n_words") < int(min_words))
+        | (_F.col("n_words") > int(max_words))
+    ).cast("int")
+    out = stats.select(
+        "doc_id", "n_words",
+        flag_len.alias("flag_len"),
+        frac_flag("top_word", "n_words", top_word_frac).alias("flag_word_rep"),
+        frac_flag("top2", "n_2grams", top2_frac).alias("flag_2gram"),
+        frac_flag("top3", "n_3grams", top3_frac).alias("flag_3gram"),
+    )
+    keep = (
+        (F.col("flag_len") + F.col("flag_word_rep")
+         + F.col("flag_2gram") + F.col("flag_3gram")) == 0
+    ).cast("int")
+    return out.select("*", keep.alias("keep"))

@@ -29,13 +29,14 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig, Extent
 from python_prtree_spark.operators import probe as _probe
 
-__all__ = ["distance_join", "geo_distance_join", "geo_distance_pairs", "geo_knn_join"]
+__all__ = ["distance_join", "geo_distance_join", "geo_distance_pairs",
+           "geo_knn_join", "ripley_k"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -321,3 +322,82 @@ def geo_knn_join(
         if pts.isEmpty():
             return out
         r *= 4.0
+
+
+def ripley_k(
+    points_df: DataFrame,
+    radii: list,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Ripley's K-function numerators (spatstat ``Kest`` — the classic
+    spatial point-pattern clustering statistic): for each radius r of an
+    increasing ladder, the number of ORDERED pairs (i, j), i != j, with
+    Euclidean distance <= r. Coordinates are integers, distances are
+    compared as exact long d^2 vs r^2 — no float, so the counts
+    hash-gate; downstream K(r) = area * n_pairs / (n * (n-1)) is the
+    caller's one float division.
+
+    Scale shape: ONE cell-routed spatial join at the LARGEST radius
+    (degenerate point boxes through batch_query — inherits packed/sql
+    routing and hot-cell salting), the exact d^2 filter and min-radius
+    bucketing ride the same rows, then a <=len(radii)-row groupBy and a
+    tiny cumulative window. No pair materializes beyond r_max, and no
+    per-radius rescan.
+
+    → (radius, n_pairs) long rows, cumulative, one per ladder radius."""
+    rs = [int(r) for r in radii]
+    if not rs or any(b <= a for a, b in zip(rs, rs[1:])) or rs[0] <= 0:
+        raise ValueError("radii must be a strictly increasing positive ladder")
+    rmax = float(rs[-1])
+    pts = points_df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(x).cast("long").alias("_x"),
+        F.col(y).cast("long").alias("_y"),
+    )
+    data = pts.select(
+        F.col("_pid").alias("id"),
+        F.col("_x").cast("double").alias("xmin"),
+        F.col("_y").cast("double").alias("ymin"),
+        F.col("_x").cast("double").alias("xmax"),
+        F.col("_y").cast("double").alias("ymax"),
+    )
+    probes = pts.select(
+        F.col("_pid").alias("qid"),
+        (F.col("_x").cast("double") - rmax).alias("xmin"),
+        (F.col("_y").cast("double") - rmax).alias("ymin"),
+        (F.col("_x").cast("double") + rmax).alias("xmax"),
+        (F.col("_y").cast("double") + rmax).alias("ymax"),
+    )
+    cand = _probe.batch_query(data, probes, cfg, "id", "qid").where(
+        F.col("id") != F.col("qid")
+    )
+    a = pts.select(F.col("_pid").alias("qid"), F.col("_x").alias("_ax"),
+                   F.col("_y").alias("_ay"))
+    b = pts.select(F.col("_pid").alias("id"), F.col("_x").alias("_bx"),
+                   F.col("_y").alias("_by"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    d2 = (dx * dx + dy * dy).alias("_d2")
+    # smallest ladder index whose r^2 covers the pair (exact long compare)
+    bucket = F.lit(None).cast("int")
+    for i, r in reversed(list(enumerate(rs))):
+        bucket = F.when(F.col("_d2") <= F.lit(r * r), F.lit(i)).otherwise(bucket)
+    per = (
+        cand.join(a, on="qid").join(b, on="id")
+        .select(d2)
+        .where(F.col("_d2") <= F.lit(rs[-1] * rs[-1]))
+        .select(bucket.alias("_k"))
+        .groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ladder = points_df.sparkSession.createDataFrame(
+        [(i, r) for i, r in enumerate(rs)], "_k int, radius long"
+    )
+    w = Window.orderBy("_k").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    return (
+        ladder.join(per, on="_k", how="left")
+        .select("_k", "radius", F.coalesce("_n", F.lit(0)).alias("_n"))
+        .select("radius", F.sum("_n").over(w).cast("long").alias("n_pairs"))
+    )

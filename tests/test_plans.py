@@ -1023,3 +1023,39 @@ def test_tile_integral_plan_tile_scoped_windows(spark):
     plan = explain_str(df)
     assert "Window" in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_ripley_k_plan_single_spatial_join(spark):
+    """ripley_k: ONE cell-keyed spatial join at r_max (cell-routed
+    batch_query — never cartesian), bucketing and the ladder cumsum ride
+    a tiny Window; no Python stage."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.distance import ripley_k
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "x": [10, 20, 80], "y": [10, 20, 80]}),
+        "id long, x long, y long",
+    )
+    df = ripley_k(pts, [5, 50], CFG)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "cell" in plan, plan
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_gopher_filter_plan_pure_jvm(spark):
+    """gopher_filter: verdicts are column arithmetic over
+    repetition_stats' groupBys — no Python, no cartesian."""
+    import pandas as pd
+
+    from python_prtree_spark.functions.text import gopher_filter
+
+    df = gopher_filter(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"]}),
+        "doc_id long, text string",
+    ))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan

@@ -283,7 +283,7 @@ def test_raster_convolve_vs_numpy(spark):
             for r2 in raster_convolve(df, k, CFG, px=PX).collect()
         }
         assert got == exp, k
-    with _pytest.raises(ValueError, match="3x3"):
+    with _pytest.raises(ValueError, match="odd-N x N"):
         raster_convolve(df, [[1, 2], [3, 4]], CFG, px=PX)
     with _pytest.raises(ValueError, match="all zeros"):
         raster_convolve(df, [[0] * 3] * 3, CFG, px=PX)
