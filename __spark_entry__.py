@@ -2748,6 +2748,22 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_histmatch(spark, sf_dir):
+    """Integer histogram matching: remap the supplier coverage raster's
+    values onto the part-box raster's value distribution (nearest-rank
+    quantile mapping, cross-multiplied integer CDF condition — no
+    division); brute mapping + identity/constant/shift invariants
+    pytest-verified (tests/test_histmatch.py)."""
+    from python_prtree_spark.operators.raster import (
+        histogram_match,
+        rasterize_counts,
+    )
+
+    src = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    ref = rasterize_counts(part_boxes(spark, sf_dir), CFG, px=16)
+    return histogram_match(src, ref)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-rule quality verdicts over documents (length + top-word /
     2-gram / 3-gram repetition flags, all cross-multiplied integer
@@ -3060,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "gopher_filter": _q_gopher_filter,
         "ripley_k": _q_ripley_k,
+        "histogram_match": _q_histmatch,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4571,6 +4588,40 @@ SELECT doc_id, n_words,
         = 0 THEN 1 ELSE 0 END AS INT) AS keep
 FROM rep
 """,
+        "histogram_match": """
+WITH b AS ({SUPPLIER_PROBES_SQL}),
+pb AS ({PART_BOXES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+scounts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxc AND pxc <= b.xmax
+                 AND b.ymin <= pyc AND pyc <= b.ymax
+  GROUP BY tile, r, c),
+rcounts AS (
+  SELECT tile, r, c, COUNT(*) AS cnt
+  FROM pxl JOIN pb ON pb.xmin <= pxc AND pxc <= pb.xmax
+                  AND pb.ymin <= pyc AND pyc <= pb.ymax
+  GROUP BY tile, r, c),
+hs AS (SELECT cnt AS v, count(*) AS c FROM scounts GROUP BY cnt),
+hs2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs2,
+          sum(c) OVER () AS ns FROM hs),
+hr AS (SELECT cnt AS w, count(*) AS c FROM rcounts GROUP BY cnt),
+hr2 AS (SELECT w, sum(c) OVER (ORDER BY w) AS cr2,
+          sum(c) OVER () AS nr FROM hr),
+mp AS (SELECT v, min(w) AS vn
+       FROM hs2 JOIN hr2 ON cr2 * ns >= cs2 * nr GROUP BY v)
+SELECT s.tile, CAST(s.r AS INT) AS r, CAST(s.c AS INT) AS c,
+  CAST(mp.vn AS BIGINT) AS v
+FROM scounts s JOIN mp ON s.cnt = mp.v
+""".format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+           PART_BOXES_SQL=PART_BOXES_SQL),
         "ripley_k": """
 WITH pts AS (
   SELECT s_suppkey AS id,

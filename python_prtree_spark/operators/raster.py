@@ -38,7 +38,7 @@ __all__ = [
     "label_regions", "region_shape_stats", "variogram", "otsu_threshold",
     "canny_edges", "template_match_ssd", "focal_median",
     "local_binary_pattern", "morphology_gradient", "top_hat",
-    "tile_integral", "terrain_indices",
+    "tile_integral", "terrain_indices", "histogram_match",
 ]
 
 
@@ -2555,4 +2555,67 @@ def terrain_indices(
         (F.col("_sad") + (F.lit(8) - F.col("_n")) * F.abs("_v"))
         .cast("long").alias("tri"),
         (F.lit(8) * F.col("_v") - F.col("_sv")).cast("long").alias("tpi8"),
+    )
+
+
+def histogram_match(
+    src_df: DataFrame,
+    ref_df: DataFrame,
+    value_col: str = "cnt",
+    ref_value_col: str = "cnt",
+) -> DataFrame:
+    """Integer histogram matching / quantile mapping (scikit-image
+    ``match_histograms``, nearest-rank variant — the radiometric
+    normalization step before mosaicking or change detection): remap
+    every lit source value v to the smallest reference value w whose
+    reference CDF covers v's source CDF position,
+
+        v_new(v) = min{ w : cdf_r(w) * n_s >= cdf_s(v) * n_r }
+
+    — a CROSS-MULTIPLIED integer condition (no division, no floats), so
+    the mapping table and the remapped raster hash-gate bit-for-bit.
+    The minimum always exists (cdf_r(max w) = n_r covers everything).
+
+    Scale shape: the two histograms are VALUE-DOMAIN-sized, not
+    data-sized — one groupBy(value) each (map-side combined), cumsum
+    via one tiny single-partition window (fine: rows = distinct
+    values), the mapping via a broadcast inequality join between the
+    two histogram frames, and ONE broadcast equi-join to remap the
+    source raster — the big side never shuffles. n_s / n_r are two
+    scalar counts (driver-side literals, the tfidf/bm25 precedent).
+
+    → (tile, r, c, v) with v = the remapped value."""
+    s = src_df.select(
+        "tile", "r", "c", F.col(value_col).cast("long").alias("_v")
+    )
+    r = ref_df.select(F.col(ref_value_col).cast("long").alias("_w"))
+    n_r = r.count()
+    if n_r == 0:
+        raise ValueError("reference raster is empty")
+    n_s = s.count()
+    if n_s == 0:
+        return s.select(
+            "tile", "r", "c", F.col("_v").alias("v")
+        ).where(F.lit(False))
+    w_s = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    hs = (
+        s.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+        .select("_v", F.sum("_c").over(w_s).alias("_cs"))
+    )
+    w_r = Window.orderBy("_w").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    hr = (
+        r.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+        .select("_w", F.sum("_c").over(w_r).alias("_cr"))
+    )
+    mapping = (
+        hs.join(
+            F.broadcast(hr),
+            F.col("_cr") * F.lit(int(n_s)) >= F.col("_cs") * F.lit(int(n_r)),
+        )
+        .groupBy("_v").agg(F.min("_w").alias("_vn"))
+    )
+    return s.join(F.broadcast(mapping), on="_v").select(
+        "tile", "r", "c", F.col("_vn").cast("long").alias("v")
     )

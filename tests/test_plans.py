@@ -1059,3 +1059,26 @@ def test_gopher_filter_plan_pure_jvm(spark):
     assert_no_cartesian(df)
     plan = explain_str(df)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_histogram_match_plan_broadcast_remap(spark):
+    """histogram_match: the remap of the big source side must be a
+    BROADCAST join of the tiny mapping table; no Python, no cartesian
+    (the histogram inequality join is broadcast-nested-loop over two
+    value-domain-sized frames, which assert_no_cartesian permits)."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import histogram_match
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 1], "r": [0, 1], "c": [0, 1],
+                      "cnt": [3, 5]}),
+        "tile long, r int, c int, cnt long",
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame({"tile": [0], "r": [0], "c": [0], "cnt": [9]}),
+        "tile long, r int, c int, cnt long",
+    )
+    plan = explain_str(histogram_match(src, ref))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
