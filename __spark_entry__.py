@@ -2748,6 +2748,22 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_area_opening(spark, sf_dir):
+    """Area opening of the supplier coverage raster (min_px=100): drop
+    4-connected regions smaller than 100 cells (the sf0.01 fixture has
+    71 regions sized 25-336, so the filter genuinely splits the corpus), keep survivors with their
+    coverage counts — region-granular after the labeling stage;
+    flood-fill brute + seam/diagonal cases pytest-verified
+    (tests/test_area_opening.py)."""
+    from python_prtree_spark.operators.raster import (
+        area_opening,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return area_opening(pxs, 100, CFG, px=16)
+
+
 def _q_histmatch(spark, sf_dir):
     """Integer histogram matching: remap the supplier coverage raster's
     values onto the part-box raster's value distribution (nearest-rank
@@ -3077,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "ripley_k": _q_ripley_k,
         "histogram_match": _q_histmatch,
+        "area_opening": _q_area_opening,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4587,6 +4604,44 @@ SELECT doc_id, n_words,
           + (CASE WHEN n_3grams > 0 AND top3 * 50 > n_3grams * 3 THEN 1 ELSE 0 END)
         = 0 THEN 1 ELSE 0 END AS INT) AS keep
 FROM rep
+""",
+        # area opening — the polygonize labeling closure plus a
+        # region-size filter (min_px = 100, matching _q_area_opening)
+        "area_opening": f"""
+WITH RECURSIVE b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT pxl.tile, pxl.r, pxl.c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxl.pxc AND pxl.pxc <= b.xmax
+                 AND b.ymin <= pxl.pyc AND pxl.pyc <= b.ymax
+  GROUP BY pxl.tile, pxl.r, pxl.c),
+k AS (
+  SELECT ((tile // 16) * 16 + c) * 256 + ((tile % 16) * 16 + r) AS k,
+    (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+  FROM counts WHERE cnt >= 1),
+e0 AS (
+  SELECT a.k AS ka, b2.k AS kb FROM k a JOIN k b2
+    ON (b2.gx = a.gx + 1 AND b2.gy = a.gy)
+    OR (b2.gx = a.gx AND b2.gy = a.gy + 1)),
+e AS (SELECT ka, kb FROM e0 UNION SELECT kb, ka FROM e0),
+rec(n2, l) AS (
+  SELECT k, k FROM k
+  UNION
+  SELECT e.ka, rec.l FROM e JOIN rec ON e.kb = rec.n2),
+lab AS (SELECT n2 AS k, min(l) AS comp FROM rec GROUP BY n2),
+sz AS (SELECT comp, count(*) AS n FROM lab GROUP BY comp)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(cnt AS BIGINT) AS cnt
+FROM k JOIN lab USING (k) JOIN sz USING (comp)
+WHERE sz.n >= 100
 """,
         "histogram_match": """
 WITH b AS ({SUPPLIER_PROBES_SQL}),

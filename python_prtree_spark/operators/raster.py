@@ -39,6 +39,7 @@ __all__ = [
     "canny_edges", "template_match_ssd", "focal_median",
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
+    "area_opening",
 ]
 
 
@@ -2618,4 +2619,50 @@ def histogram_match(
     )
     return s.join(F.broadcast(mapping), on="_v").select(
         "tile", "r", "c", F.col("_vn").cast("long").alias("v")
+    )
+
+
+def area_opening(
+    pixels_df: DataFrame,
+    min_px: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Area opening (scipy ``remove_small_objects`` / GRASS
+    ``r.reclass.area``): delete 4-connected regions holding fewer than
+    ``min_px`` lit (>= threshold) cells, keep the surviving cells with
+    their original values — the standard despeckle step between
+    thresholding and polygonize/vectorize.
+
+    Scale shape: the only pixel-granular stage is label_regions'
+    per-tile Arrow min-propagation; everything after is
+    REGION-granular — one groupBy(region_id) count (map-side combined)
+    and one left-semi join back to the labeled cells (AQE broadcasts
+    the surviving-region list when it is small, which it is unless the
+    raster is all mega-regions). Never pixel-pair-granular.
+
+    → (tile, r, c, cnt) surviving sparse rows on the rasterize_counts
+    keying."""
+    if min_px < 1:
+        raise ValueError("min_px must be >= 1")
+    side = 1 << cfg.level
+    lab = label_regions(pixels_df, cfg, px=px, threshold=threshold,
+                        tile_col=tile_col, value_col=value_col)
+    keep = (
+        lab.groupBy("region_id").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= int(min_px))
+        .select("region_id")
+    )
+    return (
+        lab.join(keep, on="region_id", how="left_semi")
+        .select(
+            ((F.col("gx") / px).cast("long") * side
+             + (F.col("gy") / px).cast("long")).alias("tile"),
+            (F.col("gy") % px).cast("int").alias("r"),
+            (F.col("gx") % px).cast("int").alias("c"),
+            F.col("v").cast("long").alias("cnt"),
+        )
     )
