@@ -2748,6 +2748,21 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_region_moments(spark, sf_dir):
+    """Second-order central-moment numerators per 4-connected region of
+    the supplier coverage raster (regionprops inertia tensor, exact
+    longs — orientation/eccentricity are one float step downstream);
+    brute flood-fill + bar/staircase orientation invariants
+    pytest-verified (tests/test_region_moments.py)."""
+    from python_prtree_spark.operators.raster import (
+        rasterize_counts,
+        region_moments,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return region_moments(pxs, CFG, px=16)
+
+
 def _q_area_opening(spark, sf_dir):
     """Area opening of the supplier coverage raster (min_px=100): drop
     4-connected regions smaller than 100 cells (the sf0.01 fixture has
@@ -3094,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": _q_ripley_k,
         "histogram_match": _q_histmatch,
         "area_opening": _q_area_opening,
+        "region_moments": _q_region_moments,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4642,6 +4658,49 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        # regionprops inertia tensor — labeling closure + moment sums
+        "region_moments": f"""
+WITH RECURSIVE b AS ({SUPPLIER_PROBES_SQL}),
+tiles AS (SELECT unnest(range(256)) AS tile),
+pr0 AS (SELECT tile, unnest(range(16)) AS r FROM tiles),
+pc0 AS (SELECT tile, r, unnest(range(16)) AS c FROM pr0),
+pxl AS (
+  SELECT tile, r, c,
+    (tile // 16) * (105.0e0/16) + (c + 0.5e0) * ((105.0e0/16)/16) AS pxc,
+    (tile % 16) * (105.0e0/16) + (r + 0.5e0) * ((105.0e0/16)/16) AS pyc
+  FROM pc0),
+counts AS (
+  SELECT pxl.tile, pxl.r, pxl.c, COUNT(*) AS cnt
+  FROM pxl JOIN b ON b.xmin <= pxl.pxc AND pxl.pxc <= b.xmax
+                 AND b.ymin <= pxl.pyc AND pxl.pyc <= b.ymax
+  GROUP BY pxl.tile, pxl.r, pxl.c),
+k AS (
+  SELECT ((tile // 16) * 16 + c) * 256 + ((tile % 16) * 16 + r) AS k,
+    (tile // 16) * 16 + c AS gx, (tile % 16) * 16 + r AS gy, cnt
+  FROM counts WHERE cnt >= 1),
+e0 AS (
+  SELECT a.k AS ka, b2.k AS kb FROM k a JOIN k b2
+    ON (b2.gx = a.gx + 1 AND b2.gy = a.gy)
+    OR (b2.gx = a.gx AND b2.gy = a.gy + 1)),
+e AS (SELECT ka, kb FROM e0 UNION SELECT kb, ka FROM e0),
+rec(n2, l) AS (
+  SELECT k, k FROM k
+  UNION
+  SELECT e.ka, rec.l FROM e JOIN rec ON e.kb = rec.n2),
+lab AS (SELECT n2 AS k, min(l) AS comp FROM rec GROUP BY n2),
+m AS (
+  SELECT comp AS region_id, count(*) AS n,
+    sum(gx) AS sgx, sum(gy) AS sgy,
+    sum(gx * gx) AS sxx, sum(gy * gy) AS syy, sum(gx * gy) AS sxy
+  FROM k JOIN lab USING (k) GROUP BY comp)
+SELECT CAST(region_id AS BIGINT) AS region_id,
+  CAST(n AS BIGINT) AS n_px,
+  CAST(sgx AS BIGINT) AS sgx, CAST(sgy AS BIGINT) AS sgy,
+  CAST(n * sxx - sgx * sgx AS BIGINT) AS mu20n,
+  CAST(n * syy - sgy * sgy AS BIGINT) AS mu02n,
+  CAST(n * sxy - sgx * sgy AS BIGINT) AS mu11n
+FROM m
 """,
         "histogram_match": """
 WITH b AS ({SUPPLIER_PROBES_SQL}),

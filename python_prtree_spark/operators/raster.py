@@ -39,7 +39,7 @@ __all__ = [
     "canny_edges", "template_match_ssd", "focal_median",
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
-    "area_opening",
+    "area_opening", "region_moments",
 ]
 
 
@@ -2665,4 +2665,54 @@ def area_opening(
             (F.col("gx") % px).cast("int").alias("c"),
             F.col("v").cast("long").alias("cnt"),
         )
+    )
+
+
+def region_moments(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Second-order region moments (the regionprops orientation /
+    eccentricity inputs — scikit-image ``moments_central`` order 2,
+    unweighted): per 4-connected region, the pixel count and the EXACT
+    central-moment NUMERATORS
+
+        mu20n = n * sum(gx^2) - sum(gx)^2        (= n^2 * mu20)
+        mu02n = n * sum(gy^2) - sum(gy)^2
+        mu11n = n * sum(gx*gy) - sum(gx)*sum(gy)
+
+    — all longs, no division, so orientation (atan2(2*mu11n,
+    mu20n - mu02n)) and eccentricity are one float step downstream and
+    the table itself hash-gates. Complements region_shape_stats
+    (count/perimeter/bbox/centroid) with the inertia tensor.
+
+    Scale shape: label_regions' per-tile Arrow stage is the only
+    pixel-granular work; the moment sums are ONE region-key groupBy
+    (map-side combined). → (region_id, n_px, sgx, sgy, mu20n, mu02n,
+    mu11n)."""
+    lab = label_regions(pixels_df, cfg, px=px, threshold=threshold,
+                        tile_col=tile_col, value_col=value_col)
+    gx, gy = F.col("gx").cast("long"), F.col("gy").cast("long")
+    agg = lab.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(gx).alias("sgx"), F.sum(gy).alias("sgy"),
+        F.sum(gx * gx).alias("_sxx"), F.sum(gy * gy).alias("_syy"),
+        F.sum(gx * gy).alias("_sxy"),
+    )
+    n = F.col("n_px")
+    return agg.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        n.cast("long").alias("n_px"),
+        F.col("sgx").cast("long").alias("sgx"),
+        F.col("sgy").cast("long").alias("sgy"),
+        (n * F.col("_sxx") - F.col("sgx") * F.col("sgx"))
+        .cast("long").alias("mu20n"),
+        (n * F.col("_syy") - F.col("sgy") * F.col("sgy"))
+        .cast("long").alias("mu02n"),
+        (n * F.col("_sxy") - F.col("sgx") * F.col("sgy"))
+        .cast("long").alias("mu11n"),
     )
