@@ -1250,6 +1250,20 @@ def substring_dup_groups(
     )
 
 
+def ngram_array(text_col: str, n: int):
+    """Column of the sliding whitespace-word n-grams of ``text_col``
+    (pure JVM split + transform/slice HOFs; empty array when the doc is
+    shorter than n). Shared by decontaminate and its streaming twin."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def decontaminate(
     docs_df: DataFrame,
     eval_df: DataFrame,
@@ -1286,16 +1300,9 @@ def decontaminate(
         raise ValueError("n must be >= 1")
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        gs = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         return (
-            df.select(F.col(doc_id).alias("doc_id"), gs.alias("_gs"))
+            df.select(F.col(doc_id).alias("doc_id"),
+                      ngram_array(text_col, n).alias("_gs"))
             .select("doc_id", F.explode("_gs").alias("gram"))
             .distinct()
         )

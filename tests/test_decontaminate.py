@@ -56,3 +56,58 @@ def test_unigram_mode(spark):
     train = [(1, "x y z")]
     ev = [(100, "z w")]
     assert _run(spark, train, ev, n=1, min_hits=1) == {1: (3, 1)}
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """decontaminate_stream over a real file stream == batch
+    decontaminate over the same rows (modulo the window column)."""
+    import datetime as dt
+    import shutil
+
+    from python_prtree_spark.streaming.decontaminate import (
+        decontaminate_stream,
+        eval_gram_frame,
+    )
+
+    base_ts = dt.datetime(2024, 1, 1)
+    ev_rows = [(100, "the quick brown fox jumps over it"),
+               (101, "pack my box with five dozen jugs")]
+    train_rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            text = f"prefix{i} the quick brown fox jumps and leaves"
+        elif i % 3 == 1:
+            text = f"pack my box with five dozen extras t{i}"
+        else:
+            text = f"totally clean document number {i} with no overlap x{i}"
+        train_rows.append((base_ts + dt.timedelta(hours=i % 2, minutes=i), i, text))
+
+    pdf = pd.DataFrame(train_rows, columns=["ts", "doc_id", "text"])
+    sdf = spark.createDataFrame(pdf, "ts timestamp, doc_id long, text string")
+    src = str(tmp_path / "traindocs")
+    sdf.write.parquet(src)
+
+    ev_df = _df(spark, ev_rows)
+    grams = eval_gram_frame(ev_df, n=5)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    q = (
+        decontaminate_stream(stream, grams, n=5, min_hits=1)
+        .writeStream.format("memory").queryName("decon_mem")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"])
+        for r in spark.sql("SELECT * FROM decon_mem").collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"])
+        for r in decontaminate(_df(spark, [(d, t) for _, d, t in train_rows]),
+                               ev_df, n=5, min_hits=1).collect()
+    }
+    assert got == exp
+    # the planted contamination is found; clean docs are not flagged
+    assert all(d % 3 != 2 for d in got)
+    assert len(got) == 40
+    shutil.rmtree(src, ignore_errors=True)
