@@ -2748,6 +2748,22 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_fast_corners(spark, sf_dir):
+    """FAST-9 corner detection (the canonical Rosten-Drummond variant —
+    a right-angle corner's dark arc is 11 long, so FAST-12 misses it;
+    radius-3 Bresenham ring, t=0 — the coverage boundary sits at cnt=1, so any positive t blinds the dark test exactly there) over the supplier coverage raster —
+    contiguous-run test as pure bit arithmetic on the doubled 16-bit
+    ring mask; brute ring-scan + blob-corner/edge/interior
+    discrimination pytest-verified (tests/test_fast.py)."""
+    from python_prtree_spark.operators.raster import (
+        fast_corners,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return fast_corners(pxs, t=0, n_run=9, cfg=CFG, px=16)
+
+
 def _q_region_moments(spark, sf_dir):
     """Second-order central-moment numerators per 4-connected region of
     the supplier coverage raster (regionprops inertia tensor, exact
@@ -3110,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_match": _q_histmatch,
         "area_opening": _q_area_opening,
         "region_moments": _q_region_moments,
+        "fast_corners": _q_fast_corners,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -3381,6 +3398,53 @@ i AS (SELECT tile, r, c,
 SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
   CAST(vv AS BIGINT) AS v
 FROM i WHERE vv <> 0
+"""
+
+
+def _fast_taps_sql():
+    """16 (dx, dy, bit) VALUES rows of the FAST Bresenham ring."""
+    from python_prtree_spark.operators.raster import _FAST_RING
+
+    return ", ".join(
+        f"({dx}, {dy}, {1 << i})" for i, (dx, dy) in enumerate(_FAST_RING)
+    )
+
+
+def _bitrun_sql(col: str, n_run: int) -> str:
+    """SQL predicate: the 16-bit circular mask ``col`` holds a
+    contiguous run of >= n_run set bits (same doubled-mask shift-AND
+    the engine computes JVM-side)."""
+    terms = " & ".join(f"({col} >> {k})" for k in range(1, n_run))
+    return f"(({col} & {terms} & 65535) <> 0)"
+
+
+_FAST_SQL_TAIL = """,
+t16(dx, dy, bit) AS (VALUES {TAPS}),
+n AS (SELECT g.gx - dx AS gx, g.gy - dy AS gy, bit, cnt AS nv
+      FROM g CROSS JOIN t16),
+j AS (SELECT g.gx, g.gy, g.cnt AS v, n.bit, n.nv
+      FROM g LEFT JOIN n ON n.gx = g.gx AND n.gy = g.gy),
+a AS (SELECT gx, gy, v, coalesce(sum(bit), 0) AS present,
+        coalesce(sum(CASE WHEN nv > v + {T} THEN bit ELSE 0 END), 0) AS bp,
+        coalesce(sum(CASE WHEN nv < v - {T} THEN bit ELSE 0 END), 0) AS dp
+      FROM j GROUP BY gx, gy, v),
+m AS (SELECT gx, gy,
+        bp + (65535 - present) * (CASE WHEN v + {T} < 0 THEN 1 ELSE 0 END)
+          AS bm0,
+        dp + (65535 - present) * (CASE WHEN v - {T} > 0 THEN 1 ELSE 0 END)
+          AS dm0
+      FROM a),
+m2 AS (SELECT gx, gy,
+         (bm0 << 16) | bm0 AS bm2, (dm0 << 16) | dm0 AS dm2
+       FROM m),
+f AS (SELECT gx, gy,
+        CASE WHEN {BRUN} THEN 1 ELSE 0 END AS bright,
+        CASE WHEN {DRUN} THEN 1 ELSE 0 END AS dark
+      FROM m2)
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(bright AS INT) AS bright, CAST(dark AS INT) AS dark
+FROM f WHERE bright + dark > 0
 """
 
 
@@ -4659,6 +4723,13 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
 """,
+        "fast_corners": (_GRID_CTE + _FAST_SQL_TAIL).format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,
+            TAPS=_fast_taps_sql(),
+            T=0,
+            BRUN=_bitrun_sql("bm2", 9),
+            DRUN=_bitrun_sql("dm2", 9),
+        ),
         # regionprops inertia tensor — labeling closure + moment sums
         "region_moments": f"""
 WITH RECURSIVE b AS ({SUPPLIER_PROBES_SQL}),

@@ -39,7 +39,7 @@ __all__ = [
     "canny_edges", "template_match_ssd", "focal_median",
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
-    "area_opening", "region_moments",
+    "area_opening", "region_moments", "fast_corners",
 ]
 
 
@@ -2715,4 +2715,110 @@ def region_moments(
         .cast("long").alias("mu02n"),
         (n * F.col("_sxy") - F.col("sgx") * F.col("sgy"))
         .cast("long").alias("mu11n"),
+    )
+
+
+# FAST-16 Bresenham ring (radius 3), standard enumeration, dy southward
+_FAST_RING = [
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+]
+
+
+def fast_corners(
+    pixels_df: DataFrame,
+    t: int = 0,
+    n_run: int = 12,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """FAST corner detection (Rosten-Drummond FAST-N, the detector
+    behind ORB): a lit cell p is a corner when >= ``n_run`` CONTIGUOUS
+    cells of its radius-3 Bresenham ring (16 cells) are all brighter
+    than v(p)+t (``bright``) or all darker than v(p)-t (``dark``).
+    Absent and off-grid ring cells read 0 (zero padding) — so on a
+    positive raster the background ring of a blob is "dark" and blob
+    corners light up the dark test, the FAST analogue of the Harris
+    entry's blob corners. Integer-exact throughout.
+
+    The contiguity test is pure JVM bit arithmetic: the 16-bit ring
+    mask doubled into 32 bits (m | m<<16) makes circular runs linear,
+    and AND-ing the ``n_run`` shifted copies leaves a set bit exactly
+    where a full run starts. The absent-cell bits fold in closed form
+    ((0xFFFF - present) * [0 compares]) — empty slots never
+    materialize.
+
+    Scale shape: identical to local_binary_pattern at 16 taps — bounded
+    fan-out of the sparse input, ONE co-partitioned equi-join back to
+    lit centers on the global pixel key, ONE groupBy on the same key.
+
+    → (tile, r, c, bright, dark) int 0/1 flags, corner rows only."""
+    if not 1 <= n_run <= 16:
+        raise ValueError("n_run must be in 1..16")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    taps = F.array(*[
+        F.struct(
+            F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy"),
+            F.lit(1 << i).alias("bit"),
+        )
+        for i, (dx, dy) in enumerate(_FAST_RING)
+    ])
+    neigh = src.select(
+        F.col("_v").alias("_nv"), F.explode(taps).alias("_t"),
+        (F.col("gx") + F.col("_t.dx")).alias("gx2"),
+        (F.col("gy") + F.col("_t.dy")).alias("gy2"),
+    ).select(
+        F.col("gx2").alias("gx"), F.col("gy2").alias("gy"),
+        F.col("_t.bit").alias("_bit"), "_nv",
+    )
+    j = src.join(neigh, on=["gx", "gy"], how="left")
+    agg = j.groupBy("gx", "gy", "_v").agg(
+        F.coalesce(F.sum("_bit"), F.lit(0)).alias("_present"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nv") > F.col("_v") + F.lit(int(t)),
+                         F.col("_bit")).otherwise(F.lit(0))), F.lit(0),
+        ).alias("_bp"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nv") < F.col("_v") - F.lit(int(t)),
+                         F.col("_bit")).otherwise(F.lit(0))), F.lit(0),
+        ).alias("_dp"),
+    )
+    absent = F.lit(65535) - F.col("_present")
+    bright = (
+        F.col("_bp")
+        + absent * F.when(F.col("_v") + F.lit(int(t)) < 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    dark = (
+        F.col("_dp")
+        + absent * F.when(F.col("_v") - F.lit(int(t)) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+    def has_run(mask):
+        m2 = F.shiftleft(mask, 16).bitwiseOR(mask)
+        r = m2
+        for k in range(1, int(n_run)):
+            r = r.bitwiseAND(F.shiftright(m2, k))
+        return r.bitwiseAND(F.lit(65535)) != F.lit(0)
+
+    flagged = agg.select(
+        "gx", "gy",
+        has_run(bright).cast("int").alias("bright"),
+        has_run(dark).cast("int").alias("dark"),
+    ).where((F.col("bright") + F.col("dark")) > 0)
+    return flagged.select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        "bright", "dark",
     )
