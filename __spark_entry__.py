@@ -2748,6 +2748,21 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-vertex triangle counts of the part-box intersection graph
+    (the clustering-coefficient primitive) — degree-ordered DAG
+    orientation bounds wedge fan-out by O(sqrt(m)), every stage an
+    equi-join; K4/star/brute cases pytest-verified
+    (tests/test_triangles.py). Edges come from query_intersections, so
+    the whole chain (spatial self-join -> graph analytics) is gated."""
+    from python_prtree_spark.operators.graph import triangle_counts
+
+    edges = query_intersections(
+        part_boxes(spark, sf_dir), CFG.with_(strategy="sql"), "id"
+    )
+    return triangle_counts(edges, "id_a", "id_b")
+
+
 def _q_fast_corners(spark, sf_dir):
     """FAST-9 corner detection (the canonical Rosten-Drummond variant —
     a right-angle corner's dark arc is 11 long, so FAST-12 misses it;
@@ -3127,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "area_opening": _q_area_opening,
         "region_moments": _q_region_moments,
         "fast_corners": _q_fast_corners,
+        "triangle_counts": _q_triangles,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4722,6 +4738,23 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "triangle_counts": f"""
+WITH b AS ({PART_BOXES_SQL}),
+e AS (
+  SELECT a.id AS u, c.id AS v FROM b a JOIN b c
+  ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
+  AND a.ymin <= c.ymax AND c.ymin <= a.ymax),
+tri AS (
+  SELECT x.u AS v1, x.v AS v2, y.v AS v3
+  FROM e x JOIN e y ON y.u = x.u AND y.v > x.v
+  JOIN e z ON z.u = x.v AND z.v = y.v),
+corners AS (
+  SELECT v1 AS id FROM tri
+  UNION ALL SELECT v2 FROM tri
+  UNION ALL SELECT v3 FROM tri)
+SELECT CAST(id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY id
 """,
         "fast_corners": (_GRID_CTE + _FAST_SQL_TAIL).format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL,

@@ -97,3 +97,67 @@ def pagerank(
             )
         )
     return scores
+
+
+def triangle_counts(edges_df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact per-vertex triangle counts (the clustering-coefficient /
+    community-detection primitive; GraphX ``TriangleCount`` semantics)
+    over an undirected simple graph given as (a, b) pairs (either
+    orientation, duplicates tolerated; self-loops dropped).
+
+    Scale shape — the degree-ordered orientation that makes distributed
+    triangle counting tractable (Suri-Vassilvitskii / Cohen): every
+    edge is oriented from its (degree, id)-smaller endpoint, which
+    turns the graph into a DAG whose out-degrees are O(sqrt(m)) — so
+    the wedge join (out-edges self-joined on their source) cannot blow
+    up on celebrity vertices the way a naive neighbor join does. One
+    groupBy for degrees (+ a broadcast-sized join back), ONE wedge
+    self-join, ONE closing equi-join against the oriented edge set,
+    then an explode-by-corner groupBy. Every join is an equi-join.
+
+    → (id, n_tri) long rows, one per vertex in >= 1 triangle."""
+    e_raw = edges_df.select(
+        F.col(a).cast("long").alias("_x"), F.col(b).cast("long").alias("_y")
+    ).where(F.col("_x") != F.col("_y"))
+    und = e_raw.select(
+        F.least("_x", "_y").alias("_u"), F.greatest("_x", "_y").alias("_v")
+    ).distinct()
+    deg = (
+        und.select(F.col("_u").alias("_n")).unionAll(
+            und.select(F.col("_v").alias("_n")))
+        .groupBy("_n").agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # orient each edge out of its (degree, id)-smaller endpoint
+    ed = (
+        und.join(deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")),
+                 on="_u")
+        .join(deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv")),
+              on="_v")
+        .select(
+            F.when((F.col("_du") < F.col("_dv"))
+                   | ((F.col("_du") == F.col("_dv"))
+                      & (F.col("_u") < F.col("_v"))),
+                   F.struct(F.col("_u").alias("s"), F.col("_v").alias("t")))
+            .otherwise(
+                F.struct(F.col("_v").alias("s"), F.col("_u").alias("t")))
+            .alias("_e")
+        )
+        .select(F.col("_e.s").alias("s"), F.col("_e.t").alias("t"))
+    )
+    # wedges out of s: (t1, t2) with t1 "before" t2 in the same order
+    o1 = ed.select("s", F.col("t").alias("t1"))
+    o2 = ed.select("s", F.col("t").alias("t2"))
+    w = o1.join(o2, on="s").where(F.col("t1") != F.col("t2"))
+    closing = ed.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = w.join(closing, on=["t1", "t2"]).select(
+        F.col("s").alias("c1"), F.col("t1").alias("c2"),
+        F.col("t2").alias("c3"),
+    )
+    corners = (
+        tri.select(F.col("c1").alias("id"))
+        .unionAll(tri.select(F.col("c2").alias("id")))
+        .unionAll(tri.select(F.col("c3").alias("id")))
+    )
+    return corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
