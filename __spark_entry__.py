@@ -2748,6 +2748,32 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_clustering(spark, sf_dir):
+    """Local clustering-coefficient numerators (degree, n_tri,
+    n_wedges) over the part-box intersection graph — cc thresholds
+    cross-multiply, no float division; brute + leaf/triangle cases
+    pytest-verified (tests/test_graph_extras.py)."""
+    from python_prtree_spark.operators.graph import clustering_coefficient
+
+    edges = query_intersections(
+        part_boxes(spark, sf_dir), CFG.with_(strategy="sql"), "id"
+    )
+    return clustering_coefficient(edges, "id_a", "id_b")
+
+
+def _q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop counts over the part-box intersection graph
+    (sources = p_partkey % 97 == 0): frontier rounds, every edge
+    shuffled O(1) times total; brute BFS + round-limit contract
+    pytest-verified (tests/test_graph_extras.py)."""
+    from python_prtree_spark.operators.graph import bfs_hops
+
+    boxes = part_boxes(spark, sf_dir)
+    edges = query_intersections(boxes, CFG.with_(strategy="sql"), "id")
+    sources = boxes.select("id").where(F.col("id") % 97 == 0)
+    return bfs_hops(edges, sources, "id_a", "id_b", max_rounds=256)
+
+
 def _q_triangles(spark, sf_dir):
     """Per-vertex triangle counts of the part-box intersection graph
     (the clustering-coefficient primitive) — degree-ordered DAG
@@ -3143,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_moments": _q_region_moments,
         "fast_corners": _q_fast_corners,
         "triangle_counts": _q_triangles,
+        "clustering_coeff": _q_clustering,
+        "bfs_hops": _q_bfs_hops,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4738,6 +4766,47 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "clustering_coeff": f"""
+WITH b AS ({PART_BOXES_SQL}),
+e AS (
+  SELECT a.id AS u, c.id AS v FROM b a JOIN b c
+  ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
+  AND a.ymin <= c.ymax AND c.ymin <= a.ymax),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+tri AS (
+  SELECT x.u AS v1, x.v AS v2, y.v AS v3
+  FROM e x JOIN e y ON y.u = x.u AND y.v > x.v
+  JOIN e z ON z.u = x.v AND z.v = y.v),
+corners AS (
+  SELECT v1 AS id FROM tri
+  UNION ALL SELECT v2 FROM tri
+  UNION ALL SELECT v3 FROM tri),
+nt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id)
+SELECT CAST(deg.id AS BIGINT) AS id,
+  CAST(degree AS BIGINT) AS degree,
+  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+  CAST(degree * (degree - 1) // 2 AS BIGINT) AS n_wedges
+FROM deg LEFT JOIN nt ON deg.id = nt.id
+""",
+        "bfs_hops": f"""
+WITH RECURSIVE b AS ({PART_BOXES_SQL}),
+e AS (
+  SELECT a.id AS u, c.id AS v FROM b a JOIN b c
+  ON a.id < c.id AND a.xmin <= c.xmax AND c.xmin <= a.xmax
+  AND a.ymin <= c.ymax AND c.ymin <= a.ymax),
+adj AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+src AS (SELECT id FROM b WHERE id % 97 = 0),
+rec(id, hops) AS (
+  SELECT id, 0 FROM src
+  UNION
+  SELECT adj.v, rec.hops + 1
+  FROM rec JOIN adj ON adj.u = rec.id
+  WHERE rec.hops < 255)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(hops) AS BIGINT) AS hops
+FROM rec GROUP BY id
 """,
         "triangle_counts": f"""
 WITH b AS ({PART_BOXES_SQL}),

@@ -161,3 +161,90 @@ def triangle_counts(edges_df: DataFrame, a: str = "a", b: str = "b") -> DataFram
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+def clustering_coefficient(
+    edges_df: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Exact local clustering-coefficient NUMERATORS (networkx
+    ``clustering`` without the float division): per vertex, n_tri
+    (triangles through it) and n_wedges = d*(d-1)/2 (its possible
+    closures) — cc = n_tri / n_wedges is the caller's one float step,
+    while thresholds compare cross-multiplied integers. Vertices of
+    degree >= 1 all appear (n_tri 0 where none close).
+
+    Composition: triangle_counts (degree-ordered, equi-joins only) +
+    one degree groupBy + one left join. → (id, degree, n_tri,
+    n_wedges) long rows."""
+    e_raw = edges_df.select(
+        F.col(a).cast("long").alias("_x"), F.col(b).cast("long").alias("_y")
+    ).where(F.col("_x") != F.col("_y"))
+    und = e_raw.select(
+        F.least("_x", "_y").alias("_u"), F.greatest("_x", "_y").alias("_v")
+    ).distinct()
+    deg = (
+        und.select(F.col("_u").alias("id")).unionAll(
+            und.select(F.col("_v").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges_df, a, b)
+    d = F.col("degree").cast("long")
+    return (
+        deg.join(tri, on="id", how="left")
+        .select(
+            "id", d.alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            (d * (d - F.lit(1)) / F.lit(2)).cast("long").alias("n_wedges"),
+        )
+    )
+
+
+def bfs_hops(
+    edges_df: DataFrame,
+    sources_df: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    id_col: str = "id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Unweighted multi-source shortest hop counts (GraphX ``Pregel``
+    BFS / SQL shortest-path): for every vertex reachable from ANY
+    source, the minimum number of edges to the nearest source. The
+    grid-world twin is cost_distance; this is the general-graph form.
+
+    Frontier rounds: only newly-settled vertices expand (each edge
+    carries a frontier at most twice — once per endpoint — so total
+    shuffle volume is O(E) across ALL rounds, not O(E * diameter));
+    per-round localCheckpoint truncates lineage, driver state is one
+    boolean per round (the emptiness check that also certifies
+    convergence). Raises if the diameter exceeds ``max_rounds`` —
+    silent truncation would be wrong, loud is right.
+
+    → (id, hops) long rows."""
+    und0 = edges_df.select(
+        F.col(a).cast("long").alias("_x"), F.col(b).cast("long").alias("_y")
+    ).where(F.col("_x") != F.col("_y"))
+    adj = und0.unionAll(
+        und0.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"))
+    ).distinct()
+    settled = sources_df.select(
+        F.col(id_col).cast("long").alias("id"), F.lit(0).cast("long").alias("hops")
+    ).distinct().localCheckpoint()
+    frontier = settled
+    for rnd in range(1, int(max_rounds) + 1):
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["_x"])
+            .select(F.col("_y").alias("id"),
+                    (F.col("hops") + F.lit(1)).alias("hops"))
+            .distinct()
+            .join(settled.select("id"), on="id", how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return settled
+        settled = settled.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_hops did not converge within {max_rounds} rounds; "
+        "raise max_rounds for graphs of larger hop diameter"
+    )
