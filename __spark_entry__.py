@@ -2748,6 +2748,18 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 pairs among customer names (SymSpell deletion-
+    neighborhood blocking + exact levenshtein verify — near-identical
+    entity IDs are precisely what this flags); substitution / insertion
+    / deletion / distance-2-exclusion pytest-verified
+    (tests/test_typo_pairs.py)."""
+    from python_prtree_spark.operators.dedup import typo_pairs
+
+    c = _read(spark, sf_dir, "customer")
+    return typo_pairs(c, text_col="c_name")
+
+
 def _q_clustering(spark, sf_dir):
     """Local clustering-coefficient numerators (degree, n_tri,
     n_wedges) over the part-box intersection graph — cc thresholds
@@ -3171,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "clustering_coeff": _q_clustering,
         "bfs_hops": _q_bfs_hops,
+        "typo_pairs": _q_typo_pairs,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4766,6 +4779,20 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "typo_pairs": """
+WITH tok AS (SELECT DISTINCT c_name AS t FROM customer
+             WHERE c_name IS NOT NULL AND c_name <> ''),
+v0 AS (SELECT t, unnest(range(len(t) + 1)) AS i FROM tok),
+v AS (SELECT DISTINCT t,
+        CASE WHEN i = 0 THEN t
+             ELSE substr(t, 1, CAST(i - 1 AS INT))
+                  || substr(t, CAST(i + 1 AS INT)) END AS k
+      FROM v0),
+cand AS (
+  SELECT DISTINCT a.t AS tok_a, b.t AS tok_b
+  FROM v a JOIN v b ON a.k = b.k AND a.t < b.t)
+SELECT tok_a, tok_b FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
 """,
         "clustering_coeff": f"""
 WITH b AS ({PART_BOXES_SQL}),

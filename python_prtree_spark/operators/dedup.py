@@ -43,6 +43,7 @@ __all__ = [
     "fingerprint_overlap_pairs",
     "substring_dup_groups",
     "decontaminate",
+    "typo_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1326,3 +1327,50 @@ def decontaminate(
             F.col("n_hits").cast("long").alias("n_hits"),
         )
     )
+
+
+def typo_pairs(
+    strings_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance-1 string pairs (the SymSpell / FastSS neighborhood
+    trick behind spell-correction and entity-name normalization): two
+    DISTINCT strings are within Levenshtein distance 1 iff their
+    {self} ∪ {one-character deletions} variant sets intersect — a
+    substitution shares the deletion at the differing position, an
+    insert/delete shares the shorter string itself. So candidates come
+    from ONE equi-join on the variant key (bounded (len+1)-way fan-out
+    of the DISTINCT vocabulary — never an all-pairs compare), then the
+    exact ``levenshtein`` verify runs only on candidates. Both Spark
+    and DuckDB implement the same unweighted Levenshtein DP, so the
+    pair set hash-gates.
+
+    Scale shape: distinct() collapses the corpus to its vocabulary
+    first (the heavy dedupe is a map-side-combinable aggregate); the
+    variant fan-out and the verify are pure JVM (expr HOF + built-in
+    levenshtein); the candidate join is an equi-join on the variant
+    hash key. A pathological vocabulary of near-identical strings
+    degrades to its true pair count — the blocking is exact, not
+    approximate.
+
+    → (tok_a, tok_b) with tok_a < tok_b, one row per pair."""
+    toks = strings_df.select(
+        F.col(text_col).cast("string").alias("t")
+    ).where(F.col("t").isNotNull() & (F.col("t") != "")).distinct()
+    variants = toks.select(
+        "t",
+        F.explode(F.expr(
+            "transform(sequence(0, length(t)), i -> "
+            "CASE WHEN i = 0 THEN t "
+            "ELSE concat(substr(t, 1, i - 1), substr(t, i + 1)) END)"
+        )).alias("k"),
+    ).distinct()
+    a = variants.select(F.col("t").alias("tok_a"), "k")
+    b = variants.select(F.col("t").alias("tok_b"), "k")
+    cand = (
+        a.join(b, on="k")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("tok_a", "tok_b") <= 1)
