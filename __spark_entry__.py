@@ -2748,6 +2748,36 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+_IVL_CFG = EngineConfig(extent=Extent(9000.0, 0.0, 11700.0, 1.0), level=4)
+
+
+def _q_interval_join(spark, sf_dir):
+    """Temporal interval-overlap join: lineitem shipment windows
+    (shipdate .. +1-14 days) vs deterministic 7-day supplier windows —
+    the 1-D specialization of the cell-routed spatial join (bands =
+    time windows, touching endpoints count); brute inequality scan +
+    band-straddle dedup pytest-verified (tests/test_interval.py)."""
+    from python_prtree_spark.operators.asof import interval_overlap_join
+
+    li = _read(spark, sf_dir, "lineitem")
+    day0 = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    a = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long").alias("a_id"),
+        day0.cast("double").alias("start"),
+        (day0 + F.col("l_orderkey") % 14 + 1).cast("double").alias("end"),
+    )
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    t0 = F.lit(9200) + (k * 104729) % 2300
+    b = s.select(
+        k.alias("b_id"),
+        t0.cast("double").alias("start"),
+        (t0 + F.lit(7)).cast("double").alias("end"),
+    )
+    return interval_overlap_join(a, b, _IVL_CFG)
+
+
 def _q_typo_pairs(spark, sf_dir):
     """Edit-distance-1 pairs among customer names (SymSpell deletion-
     neighborhood blocking + exact levenshtein verify — near-identical
@@ -3184,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering,
         "bfs_hops": _q_bfs_hops,
         "typo_pairs": _q_typo_pairs,
+        "interval_join": _q_interval_join,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4779,6 +4810,21 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "interval_join": """
+WITH a AS (
+  SELECT l_orderkey * 8 + l_linenumber AS a_id,
+    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      + (l_orderkey % 14) + 1 AS e
+  FROM lineitem),
+b AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+    9200 + (CAST(s_suppkey AS BIGINT) * 104729) % 2300 AS s,
+    9200 + (CAST(s_suppkey AS BIGINT) * 104729) % 2300 + 7 AS e
+  FROM supplier)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
 """,
         "typo_pairs": """
 WITH tok AS (SELECT DISTINCT c_name AS t FROM customer

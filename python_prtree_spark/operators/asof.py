@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+from python_prtree_spark.config import EngineConfig
+from python_prtree_spark.operators import probe as _probe
+
+__all__ = ["asof_join", "interval_overlap_join"]
 
 
 def asof_join(
@@ -97,3 +100,49 @@ def asof_join(
     out.append(F.col("_m._rus").alias(f"{right_ts}_us{suffix}"))
     out += [F.col(f"_m.{v}").alias(f"{v}{suffix}") for v in right_values]
     return m.select(*out)
+
+
+def interval_overlap_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    cfg: EngineConfig,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Temporal interval-overlap join (the range-join family: "which
+    sessions overlap which incidents", shipment windows vs maintenance
+    windows, …): (a_id, b_id) for every pair of CLOSED intervals with
+    start_a <= end_b AND start_b <= end_a — touching endpoints count,
+    consistent with the engine's closed AABB predicate, of which this
+    is literally the 1-D specialization.
+
+    Implementation: intervals become degenerate-height boxes on the
+    time axis (y pinned to the extent's midline) and route through the
+    cell-routed ``batch_query`` — so banding, partition routing, AQE,
+    and hot-cell salting (a hot cell IS a hot time window) come for
+    free, and a naive inequality-join O(n*m) plan never appears.
+    ``cfg.extent`` spans the time domain on x; its level picks the band
+    width (band span = extent_x / 2^level).
+
+    → (a_id, b_id) pairs, duplicate-free."""
+    mid = 0.5 * (cfg.extent.ymin + cfg.extent.ymax)
+    data = a_df.select(
+        F.col(a_id).alias("id"),
+        F.col(start_col).cast("double").alias("xmin"),
+        F.lit(mid).alias("ymin"),
+        F.col(end_col).cast("double").alias("xmax"),
+        F.lit(mid).alias("ymax"),
+    )
+    probes = b_df.select(
+        F.col(b_id).alias("qid"),
+        F.col(start_col).cast("double").alias("xmin"),
+        F.lit(mid).alias("ymin"),
+        F.col(end_col).cast("double").alias("xmax"),
+        F.lit(mid).alias("ymax"),
+    )
+    cand = _probe.batch_query(data, probes, cfg, "id", "qid")
+    return cand.select(
+        F.col("id").alias(a_id), F.col("qid").alias(b_id)
+    )
