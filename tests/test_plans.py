@@ -1082,3 +1082,90 @@ def test_histogram_match_plan_broadcast_remap(spark):
     plan = explain_str(histogram_match(src, ref))
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_terrain_indices_plan_copartitioned_jvm(spark):
+    """terrain_indices: 8x fan-out + one co-partitioned pixel-key
+    join+groupBy — pure JVM, no cartesian."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import terrain_indices
+
+    pxs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0], "r": [1], "c": [1], "cnt": [5]}),
+        "tile long, r int, c int, cnt long",
+    )
+    df = terrain_indices(pxs, CFG, px=16)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_fast_corners_plan_pure_jvm_bitruns(spark):
+    """fast_corners: the 16-tap ring join and the shift-AND run test
+    must compile to JVM column arithmetic — no Python stage."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import fast_corners
+
+    pxs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0], "r": [1], "c": [1], "cnt": [5]}),
+        "tile long, r int, c int, cnt long",
+    )
+    df = fast_corners(pxs, 0, 9, CFG, px=16)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_counts_plan_equijoins_only(spark):
+    """triangle_counts: wedge + closing stages are equi-joins (never
+    cartesian), pure JVM."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 1]}), "a long, b long"
+    )
+    df = triangle_counts(e)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_typo_pairs_plan_variant_equijoin(spark):
+    """typo_pairs: candidates come from an equi-join on the deletion
+    variant key — no cartesian, no Python."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.dedup import typo_pairs
+
+    df = typo_pairs(spark.createDataFrame(
+        pd.DataFrame({"text": ["abc", "abd", "xyz"]}), "text string"
+    ))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_interval_join_plan_cell_routed(spark):
+    """interval_overlap_join: must inherit batch_query's cell-keyed
+    join — never an inequality-only (nested-loop) join."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.asof import interval_overlap_join
+
+    cfg = EngineConfig(extent=Extent(0.0, 0.0, 1000.0, 1.0), level=4)
+    a = spark.createDataFrame(
+        pd.DataFrame({"a_id": [1], "start": [10.0], "end": [20.0]}),
+        "a_id long, start double, end double",
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"b_id": [2], "start": [15.0], "end": [25.0]}),
+        "b_id long, start double, end double",
+    )
+    df = interval_overlap_join(a, b, cfg)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "cell" in plan, plan
