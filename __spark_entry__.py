@@ -2748,6 +2748,18 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_mad_outliers(spark, sf_dir):
+    """Per-event-type MAD outlier flags over events.value (Hampel
+    robust-z, x100 fixed point, cross-multiplied k=3 threshold,
+    histogram-exact upper nearest-rank medians); spike/zero-MAD/k
+    contracts pytest-verified (tests/test_mad.py)."""
+    from python_prtree_spark.operators.qsketch import mad_outliers
+
+    return mad_outliers(
+        _read(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
 _IVL_CFG = EngineConfig(extent=Extent(9000.0, 0.0, 11700.0, 1.0), level=4)
 
 
@@ -3215,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _q_bfs_hops,
         "typo_pairs": _q_typo_pairs,
         "interval_join": _q_interval_join,
+        "mad_outliers": _q_mad_outliers,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4810,6 +4823,26 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "mad_outliers": """
+WITH e AS (
+  SELECT event_id, event_type AS g,
+    CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT g, v, count(*) AS c FROM e GROUP BY g, v),
+cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cm,
+          sum(c) OVER (PARTITION BY g) AS n FROM h),
+med AS (SELECT g, min(v) AS med FROM cum WHERE cm * 2 >= n + 1 GROUP BY g),
+d AS (SELECT e.event_id, e.g, e.v, med.med, abs(e.v - med.med) AS dev
+      FROM e JOIN med USING (g)),
+h2 AS (SELECT g, dev, count(*) AS c FROM d GROUP BY g, dev),
+cum2 AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) AS cm,
+           sum(c) OVER (PARTITION BY g) AS n FROM h2),
+mad AS (SELECT g, min(dev) AS mad FROM cum2 WHERE cm * 2 >= n + 1 GROUP BY g)
+SELECT d.event_id, d.g AS event_type,
+  CAST(d.v AS BIGINT) AS v_fp, CAST(d.med AS BIGINT) AS med_fp,
+  CAST(mad.mad AS BIGINT) AS mad_fp, CAST(d.dev AS BIGINT) AS dev_fp
+FROM d JOIN mad USING (g) WHERE d.dev * 1 > mad.mad * 3
 """,
         "interval_join": """
 WITH a AS (

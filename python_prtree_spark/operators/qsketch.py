@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["QuantileSketch", "quantile_sketch"]
+__all__ = ["QuantileSketch", "quantile_sketch", "mad_outliers"]
 
 DEFAULT_K = 256
 DEFAULT_SKETCH_CAP = 2_000_000
@@ -175,3 +175,81 @@ def quantile_sketch(
             values.append(v)
             weights.append(1 << l)
     return QuantileSketch(values, weights, err, n)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outlier detection by Median Absolute Deviation
+    (the Hampel / robust-z filter every metrics pipeline runs before a
+    mean would lie): a row is an outlier when
+
+        |v - median(group)| * k_den > MAD(group) * k_num
+
+    with both medians the deterministic UPPER nearest-rank statistic —
+    the smallest value whose cumulative count satisfies 2*cum >= n+1
+    (the true middle for odd n, the upper middle for even n) — over
+    fixed-point integers
+    (v = round(value * scale) — exact for fixed-decimal telemetry), and
+    the threshold a CROSS-MULTIPLIED integer comparison — no float
+    anywhere after quantization, so the flagged set hash-gates. A
+    zero-MAD group (majority identical values) flags exactly the rows
+    that differ — the standard, documented MAD edge case.
+
+    Scale shape: the histogram-exact group_quantiles discipline — two
+    rounds of (group, value)-histogram groupBy + a tiny per-group
+    cumsum window (rows = distinct values per group, not data rows),
+    medians broadcast back by equi-join; the data-sized frame is
+    touched by map-side-combinable aggregates and two broadcast-able
+    joins only, never sorted whole.
+
+    → (id, group, v_fp, med_fp, mad_fp, dev_fp) for flagged rows."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col).alias("_g")
+    v = F.round(F.col(value_col) * F.lit(int(scale))).cast("long").alias("_v")
+    base = df.select(F.col(id_col).alias("_id"), g, v)
+
+    def upper_median(frame, val: str):
+        hist = frame.groupBy("_g", val).agg(F.count(F.lit(1)).alias("_c"))
+        w_cum = (
+            Window.partitionBy("_g").orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("_g")
+        cum = hist.select(
+            "_g", F.col(val).alias("_val"),
+            F.sum("_c").over(w_cum).alias("_cum"),
+            F.sum("_c").over(w_all).alias("_n"),
+        )
+        # 2*cum >= n+1 <=> cum >= ceil((n+1)/2): the (n+1)//2 + (n even)
+        # rank — true middle for odd n, upper middle for even n
+        return (
+            cum.where(F.col("_cum") * 2 >= F.col("_n") + 1)
+            .groupBy("_g").agg(F.min("_val").alias("_med"))
+        )
+
+    med = upper_median(base, "_v")
+    with_med = base.join(med, on="_g").select(
+        "_id", "_g", "_v", "_med",
+        F.abs(F.col("_v") - F.col("_med")).alias("_dev"),
+    )
+    mad = upper_median(
+        with_med.select("_g", F.col("_dev").alias("_v")), "_v"
+    ).select("_g", F.col("_med").alias("_mad"))
+    return (
+        with_med.join(mad, on="_g")
+        .where(F.col("_dev") * F.lit(int(k_den))
+               > F.col("_mad") * F.lit(int(k_num)))
+        .select(
+            F.col("_id").alias(id_col), F.col("_g").alias(group_col),
+            F.col("_v").alias("v_fp"), F.col("_med").alias("med_fp"),
+            F.col("_mad").alias("mad_fp"), F.col("_dev").alias("dev_fp"),
+        )
+    )
