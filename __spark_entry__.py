@@ -2748,6 +2748,16 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_embedding_stats(spark, sf_dir):
+    """Embedding hygiene stats + keep verdict over the embeddings table
+    (zero/NaN/empty vectors poison cosine math) — per-term fixed-point
+    quantization makes every sum an order-free integer; degenerate-
+    vector flags pytest-verified (tests/test_embstats.py)."""
+    from python_prtree_spark.operators.ann import embedding_stats
+
+    return embedding_stats(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Per-event-type MAD outlier flags over events.value (Hampel
     robust-z, x100 fixed point, cross-multiplied k=3 threshold,
@@ -3228,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": _q_typo_pairs,
         "interval_join": _q_interval_join,
         "mad_outliers": _q_mad_outliers,
+        "embedding_stats": _q_embedding_stats,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4823,6 +4834,35 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
   CAST(cnt AS BIGINT) AS cnt
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
+""",
+        "embedding_stats": """
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) = 0.0))
+       AS BIGINT) AS n_zero,
+  CAST(len(list_filter(embedding,
+       x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
+       AS BIGINT) AS n_nonfinite,
+  CAST(coalesce(list_sum(list_transform(embedding,
+       x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+            THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                 AS BIGINT) END)), 0) AS BIGINT) AS norm2_fp,
+  CAST(coalesce(list_max(list_transform(embedding,
+       x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+            THEN 0
+            ELSE CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6)
+                 AS BIGINT) END)), 0) AS BIGINT) AS max_abs_fp,
+  CAST(CASE WHEN len(embedding) > 0
+         AND len(list_filter(embedding,
+              x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+         AND coalesce(list_sum(list_transform(embedding,
+              x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+                   THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                        AS BIGINT) END)), 0) > 0
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings
 """,
         "mad_outliers": """
 WITH e AS (

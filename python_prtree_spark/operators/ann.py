@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "cosine_topk_quantized", "ivf_topk"]
+__all__ = ["cosine_topk", "cosine_topk_quantized", "ivf_topk", "embedding_stats"]
 
 
 def _dot(a, b):
@@ -240,3 +240,70 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(F.col("_pid").alias(probe_id), F.col("_cid").alias(id_col), "rank", "cosine")
     )
+
+
+def embedding_stats(
+    vectors_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding sanity statistics + keep verdict — the vector-hygiene
+    pass every ANN / semantic-dedup pipeline runs before indexing
+    (zero, NaN/Inf, or empty vectors poison cosine math silently):
+
+      * dim          — vector length;
+      * n_zero       — exactly-0.0 entries;
+      * n_nonfinite  — NaN/±Inf entries;
+      * norm2_fp     — sum of floor(1e6 * x^2) over FINITE entries;
+      * max_abs_fp   — max of floor(1e6 * |x|) over finite entries;
+      * keep         — 1 iff dim > 0, no nonfinite entries, and
+                       norm2_fp > 0.
+
+    Exactness: float32 entries cast losslessly to double, x*x is one
+    IEEE op identical across engines, and the PER-TERM floor
+    quantization (the IDW precedent) turns the fold into an integer sum
+    — aggregation order cannot change it, so the table hash-gates.
+    Nonfinite terms are guarded BEFORE any cast (ANSI long-cast of NaN
+    throws; the guard also keeps their poison out of the sums).
+
+    Scale shape: a pure map — array higher-order functions per row, no
+    shuffle, no Python. → one row per input vector."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    inf = F.lit(float("inf"))
+
+    def finite(x):
+        return ~(F.isnan(xd(x)) | (F.abs(xd(x)) == inf))
+
+    vec = F.col(vec_col)
+    zero_l = F.lit(0).cast("long")
+    norm2 = F.aggregate(
+        vec, zero_l,
+        lambda acc, x: acc + F.when(
+            finite(x),
+            F.floor(xd(x) * xd(x) * F.lit(1e6)).cast("long"),
+        ).otherwise(zero_l),
+    )
+    max_abs = F.array_max(
+        F.transform(
+            vec,
+            lambda x: F.when(
+                finite(x), F.floor(F.abs(xd(x)) * F.lit(1e6)).cast("long")
+            ).otherwise(zero_l),
+        )
+    )
+    dim = F.size(vec)
+    n_zero = F.size(F.filter(vec, lambda x: xd(x) == F.lit(0.0)))
+    n_nonfinite = F.size(F.filter(vec, lambda x: ~finite(x)))
+    out = vectors_df.select(
+        F.col(id_col).alias("vec_id"),
+        dim.cast("long").alias("dim"),
+        n_zero.cast("long").alias("n_zero"),
+        n_nonfinite.cast("long").alias("n_nonfinite"),
+        norm2.alias("norm2_fp"),
+        F.coalesce(max_abs, zero_l).alias("max_abs_fp"),
+    )
+    keep = (
+        (F.col("dim") > 0) & (F.col("n_nonfinite") == 0)
+        & (F.col("norm2_fp") > 0)
+    ).cast("int")
+    return out.select("*", keep.alias("keep"))
