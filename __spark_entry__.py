@@ -2748,6 +2748,52 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_hilbert(spark, sf_dir):
+    """Hilbert-curve locality keys of the supplier raster's lit global
+    pixels (order 8, 256x256) — the data-layout key that beats Z-order
+    on worst-case neighbor locality; pure projection, no shuffle.
+    Reference xy2d equality + space-filling bijection +
+    consecutive-keys-are-4-neighbors pytest-verified
+    (tests/test_hilbert.py)."""
+    from python_prtree_spark.functions.tiling import hilbert_key_col
+    from python_prtree_spark.operators.raster import rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    src = pxs.select(
+        ((F.col("tile") / 16).cast("long") * 16 + F.col("c")).alias("gx"),
+        ((F.col("tile") % 16) * 16 + F.col("r")).alias("gy"),
+    )
+    return src.select(
+        "gx", "gy", hilbert_key_col("gx", "gy", 8).alias("h")
+    )
+
+
+def _hilbert_sql_tail(order: int) -> str:
+    """Generated SQL twin of hilbert_key_col's unrolled xy2d walk over
+    the g(gx, gy) pixel CTE — two CTEs per level (extract rx/ry, then
+    rotate+accumulate) so no expression reads a same-SELECT alias."""
+    n1 = (1 << order) - 1
+    parts = [",\ng0 AS (SELECT gx, gy, gx AS hx, gy AS hy,"
+             " CAST(0 AS BIGINT) AS d FROM g)"]
+    for i, lvl in enumerate(range(order - 1, -1, -1)):
+        s = 1 << lvl
+        parts.append(f""",
+a{i} AS (SELECT gx, gy, hx, hy, d,
+    CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+    CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+  FROM g{i}),
+g{i + 1} AS (SELECT gx, gy,
+    CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN {n1} - hy ELSE hy END AS hx,
+    CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN {n1} - hx ELSE hx END AS hy,
+    d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d
+  FROM a{i})""")
+    parts.append(
+        f"\nSELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,"
+        f" CAST(d AS BIGINT) AS h FROM g{order}"
+    )
+    return "".join(parts)
+
+
 def _q_embedding_stats(spark, sf_dir):
     """Embedding hygiene stats + keep verdict over the embeddings table
     (zero/NaN/empty vectors poison cosine math) — per-term fixed-point
@@ -3239,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "mad_outliers": _q_mad_outliers,
         "embedding_stats": _q_embedding_stats,
+        "hilbert_keys": _q_hilbert,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4835,6 +4882,8 @@ SELECT (gx // 16) * 16 + (gy // 16) AS tile,
 FROM k JOIN lab USING (k) JOIN sz USING (comp)
 WHERE sz.n >= 100
 """,
+        "hilbert_keys": (_GRID_CTE + _hilbert_sql_tail(8)).format(
+            SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
         "embedding_stats": """
 SELECT vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,
