@@ -2748,6 +2748,25 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_transitions(spark, sf_dir):
+    """Markov transition counts over per-user event streams — one
+    (ts, event_id)-ordered user window + one tiny (src, dst) groupBy;
+    tie-break determinism pytest-verified (tests/test_transitions.py)."""
+    from python_prtree_spark.operators.funnel import transition_counts
+
+    return transition_counts(_read(spark, sf_dir, "events"))
+
+
+def _q_frequent_pairs(spark, sf_dir):
+    """A-priori frequent token co-occurrence pairs over documents
+    (min_support=320 — the sf0.01 pair counts run 280-336, so the
+    threshold genuinely splits the 465-pair lattice); A-priori prune
+    semantics pytest-verified (tests/test_transitions.py)."""
+    from python_prtree_spark.operators.freq import frequent_pairs
+
+    return frequent_pairs(_read(spark, sf_dir, "documents"), 320)
+
+
 def _q_hilbert(spark, sf_dir):
     """Hilbert-curve locality keys of the supplier raster's lit global
     pixels (order 8, 256x256) — the data-layout key that beats Z-order
@@ -3286,6 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "embedding_stats": _q_embedding_stats,
         "hilbert_keys": _q_hilbert,
+        "transition_counts": _q_transitions,
+        "frequent_pairs": _q_frequent_pairs,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4884,6 +4905,28 @@ WHERE sz.n >= 100
 """,
         "hilbert_keys": (_GRID_CTE + _hilbert_sql_tail(8)).format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "transition_counts": """
+WITH p AS (
+  SELECT event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS dst
+  FROM events)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+""",
+        "frequent_pairs": r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents),
+freq AS (SELECT t FROM tok GROUP BY t HAVING count(*) >= 320),
+ft AS (SELECT tok.doc_id, tok.t FROM tok JOIN freq USING (t)),
+p AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS n
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t)
+SELECT t1, t2, CAST(n AS BIGINT) AS n FROM p WHERE n >= 320
+""",
         "embedding_stats": """
 SELECT vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,

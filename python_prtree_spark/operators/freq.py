@@ -151,3 +151,50 @@ def group_quantiles(
             .cast("long").alias(f"q_{qm}")
         )
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+
+
+def frequent_pairs(
+    docs_df: DataFrame,
+    min_support: int,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent token CO-OCCURRENCE pairs (the A-priori / market-basket
+    step: which term pairs appear together in >= min_support docs —
+    topic co-occurrence, tag correlation): document-level DISTINCT
+    token sets, the A-priori prune first (a pair can only be frequent
+    if BOTH singletons are — the frequent-singleton set broadcasts into
+    a semi-join, so the pair stage never sees infrequent tokens), then
+    one doc-key self-join ordered t1 < t2 and one (t1, t2) groupBy.
+
+    Scale shape: the pair fan-out is bounded by (frequent tokens per
+    doc choose 2), not vocabulary^2 — exactly the A-priori guarantee;
+    both groupBys are map-side combined; the singleton side is
+    broadcast-sized by construction (tokens with df >= min_support).
+
+    → (t1, t2, n) with t1 < t2, n = co-occurrence doc count."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    from python_prtree_spark.functions.text import tokens_col
+
+    toks = (
+        docs_df.select(F.col(doc_id).alias("_d"),
+                       F.explode(tokens_col(text_col)).alias("_t"))
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= int(min_support))
+        .select("_t")
+    )
+    ft = toks.join(F.broadcast(freq), on="_t")
+    a = ft.select("_d", F.col("_t").alias("t1"))
+    b = ft.select("_d", F.col("_t").alias("t2"))
+    return (
+        a.join(b, on="_d")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= int(min_support))
+        .select("t1", "t2", F.col("n").cast("long").alias("n"))
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "transition_counts"]
 
 
 def funnel(
@@ -78,4 +78,37 @@ def funnel(
         F.col("n").cast("int").alias("n_steps"),
         F.col("t1").cast("long").alias("t1_us"),
         F.col("_prev").cast("long").alias("t_last_us"),
+    )
+
+
+def transition_counts(
+    events_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (the "what do users do next" matrix behind funnel diagnostics and
+    next-action models): for every consecutive pair of a user's events
+    in (ts, event_id) order — the id tie-break makes simultaneous
+    events deterministic, the repo-wide windows rule — count
+    (src_type -> dst_type) occurrences across all users.
+
+    Scale shape: ONE user-key window (lead), ONE tiny
+    (src, dst)-key groupBy (cardinality = |event types|^2, map-side
+    combined). No self-join.
+
+    → (src, dst, n) rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    pairs = events_df.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
