@@ -2748,6 +2748,20 @@ def _q_convex_hull(spark, sf_dir):
     return convex_hull(pts)
 
 
+def _q_stretch(spark, sf_dir):
+    """2-98 percentile contrast stretch of the supplier coverage raster
+    onto 0..255 — nearest-rank cuts, nonnegative-numerator integer map;
+    clip/constant-raster edge cases pytest-verified
+    (tests/test_stretch.py)."""
+    from python_prtree_spark.operators.raster import (
+        percentile_stretch,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return percentile_stretch(pxs)
+
+
 def _q_transitions(spark, sf_dir):
     """Markov transition counts over per-user event streams — one
     (ts, event_id)-ordered user window + one tiny (src, dst) groupBy;
@@ -3307,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_keys": _q_hilbert,
         "transition_counts": _q_transitions,
         "frequent_pairs": _q_frequent_pairs,
+        "percentile_stretch": _q_stretch,
         "dog_bandpass": _q_dog,
         "focal_median": _q_focal_median,
         "lbp_codes": _q_lbp,
@@ -4905,6 +4920,17 @@ WHERE sz.n >= 100
 """,
         "hilbert_keys": (_GRID_CTE + _hilbert_sql_tail(8)).format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "percentile_stretch": (_GRID_CTE + """,
+hist AS (SELECT cnt AS v, count(*) AS c FROM counts GROUP BY cnt),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm, sum(c) OVER () AS n
+        FROM hist),
+plo AS (SELECT min(v) AS p FROM cum WHERE cm * 100 >= n * 2),
+phi AS (SELECT min(v) AS p FROM cum WHERE cm * 100 >= n * 98)
+SELECT tile, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+  CAST(floor((least(greatest(cnt, plo.p), phi.p) - plo.p) * 255.0
+       / greatest(1, phi.p - plo.p)) AS BIGINT) AS v8
+FROM counts, plo, phi
+""").format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
         "transition_counts": """
 WITH p AS (
   SELECT event_type AS src,

@@ -40,6 +40,7 @@ __all__ = [
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
     "area_opening", "region_moments", "fast_corners",
+    "percentile_stretch",
 ]
 
 
@@ -2821,4 +2822,66 @@ def fast_corners(
         (F.col("gy") % px).cast("int").alias("r"),
         (F.col("gx") % px).cast("int").alias("c"),
         "bright", "dark",
+    )
+
+
+def percentile_stretch(
+    pixels_df: DataFrame,
+    lo_q: int = 2,
+    hi_q: int = 98,
+    out_max: int = 255,
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Percentile contrast stretch (the remote-sensing display
+    normalization — GDAL ``-scale`` with percentile clip / QGIS
+    "cumulative count cut"): clip values to the [lo_q, hi_q] nearest-
+    rank percentiles of the LIT distribution, then map linearly onto
+    0..out_max with integer arithmetic only:
+
+        v8 = ((clip(v) - p_lo) * out_max) DIV max(1, p_hi - p_lo)
+
+    The numerator is nonnegative by construction, so truncating and
+    flooring division agree and the result is engine-exact. Percentile
+    p_q = the smallest value whose cumulative count satisfies
+    cum * 100 >= n * q (ceil nearest-rank).
+
+    Scale shape: one value-histogram groupBy (VALUE-DOMAIN-sized) + a
+    tiny cumsum window for the two cut points (driver scalars, the
+    tfidf precedent), then a pure projection over the raster — the big
+    side never shuffles.
+
+    → (tile, r, c, v8)."""
+    if not 0 <= lo_q < hi_q <= 100:
+        raise ValueError("need 0 <= lo_q < hi_q <= 100")
+    from pyspark.sql import Window
+
+    s = pixels_df.select(
+        "tile", "r", "c", F.col(value_col).cast("long").alias("_v")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = (
+        s.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+        .select("_v", F.sum("_c").over(w_cum).alias("_cum"),
+                F.sum("_c").over(Window.partitionBy()).alias("_n"))
+    )
+
+    def cut(q: int) -> int:
+        row = (
+            hist.where(F.col("_cum") * 100 >= F.col("_n") * F.lit(int(q)))
+            .agg(F.min("_v").alias("v")).first()
+        )
+        return int(row["v"])
+
+    if s.rdd.isEmpty():
+        return s.select("tile", "r", "c",
+                        F.col("_v").alias("v8")).where(F.lit(False))
+    p_lo, p_hi = cut(lo_q), cut(hi_q)
+    den = max(1, p_hi - p_lo)
+    clipped = F.greatest(F.lit(p_lo), F.least(F.lit(p_hi), F.col("_v")))
+    v8 = ((clipped - F.lit(p_lo)) * F.lit(int(out_max))) / F.lit(den)
+    return s.select(
+        "tile", "r", "c",
+        F.floor(v8).cast("long").alias("v8"),
     )
