@@ -3163,6 +3163,56 @@ def _q_tile_integral(spark, sf_dir):
     return tile_integral(pxs, CFG, px=16)
 
 
+def _q_mask_rle(spark, sf_dir):
+    """COCO-style run-length encoding of the supplier coverage mask —
+    one row per maximal horizontal run, output proportional to mask
+    boundary length (the reason segmentation pipelines store RLE at
+    scale). Pure JVM gaps-and-islands, one (tile, r) exchange; brute-
+    force scanner + round-trip pytests in tests/test_rle.py."""
+    from python_prtree_spark.operators.raster import mask_rle, rasterize_counts
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return mask_rle(pxs, CFG, px=16)
+
+
+def det_boxes(spark, sf_dir):
+    """Detection corpus: the part boxes with an integer confidence score
+    (40503 multiplier, 1000 moduli ⇒ real score ties, broken by id)."""
+    return part_boxes(spark, sf_dir).withColumn(
+        "score", ((F.col("id") * 40503) % 1000).cast("long")
+    )
+
+
+DET_BOXES_SQL = f"""
+SELECT b.*, CAST((b.id * 40503) % 1000 AS BIGINT) AS score
+FROM ({PART_BOXES_SQL}) b
+"""
+
+
+def _q_nms_greedy(spark, sf_dir):
+    """Exact sequential greedy NMS (Felzenszwalb et al. 2010), distributed
+    by the theorem that greedy decisions are local to connected components
+    of the IoU>t graph: cell self-join pairs → large/small-star CC →
+    per-component Arrow greedy kernel. Oracle: a recursive CTE replaying
+    the global sequential algorithm — equality IS the theorem's test.
+    IoU>1/5 evaluated as the cross-multiplied double expression on both
+    engines."""
+    from python_prtree_spark.operators.nms import nms_boxes
+
+    return nms_boxes(det_boxes(spark, sf_dir), 1, 5, CFG, mode="greedy")
+
+
+def _q_nms_dominance(spark, sf_dir):
+    """One-pass dominance NMS (Matrix-NMS suppression rule, hard
+    threshold): box dies iff ANY higher-(score,id)-ranked box has
+    IoU>3/10 — embarrassingly parallel, one cell self-join + one
+    anti-join, no iteration. Over-suppresses vs greedy by design
+    (pytest-pinned divergence case, tests/test_nms.py)."""
+    from python_prtree_spark.operators.nms import nms_boxes
+
+    return nms_boxes(det_boxes(spark, sf_dir), 3, 10, CFG, mode="dominance")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATION POLICY: the driver's correctness gate checks only the
     FIRST 50 entries of this dict, in iteration order. So the order is a
@@ -3328,6 +3378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_gradient": _q_morph_gradient,
         "tophat_white": _q_tophat,
         "tile_integral": _q_tile_integral,
+        "nms_greedy": _q_nms_greedy,
+        "nms_dominance": _q_nms_dominance,
+        "mask_rle": _q_mask_rle,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5238,6 +5291,66 @@ FROM pr ORDER BY d2 DESC, x1, y1, x2, y2 LIMIT 1
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
         "tile_integral": _TINTEGRAL_SQL.format(
             SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        "mask_rle": (_GRID_CTE + """,
+runs AS (
+  SELECT tile, r, c,
+    c - ROW_NUMBER() OVER (PARTITION BY tile, r ORDER BY c) AS grp
+  FROM counts WHERE cnt != 0)
+SELECT tile, CAST(r AS INT) AS r, CAST(MIN(c) AS INT) AS c0,
+  CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs GROUP BY tile, r, grp
+""").format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        # Greedy NMS replayed sequentially: each recursion step keeps the
+        # best remaining box (window first_value over (score DESC, id))
+        # and drops its IoU>1/5 overlaps; a box is kept iff it was ever
+        # the best. Same cross-multiplied double IoU expression as
+        # operators/nms.py.
+        "nms_greedy": f"""
+WITH RECURSIVE dets AS ({DET_BOXES_SQL}),
+nms AS (
+  SELECT id, score, xmin, ymin, xmax, ymax, FALSE AS kept FROM dets
+  UNION ALL
+  SELECT id, score, xmin, ymin, xmax, ymax, id = bid AS kept
+  FROM (
+    SELECT *,
+      FIRST_VALUE(id)   OVER w AS bid,
+      FIRST_VALUE(xmin) OVER w AS bxmin,
+      FIRST_VALUE(ymin) OVER w AS bymin,
+      FIRST_VALUE(xmax) OVER w AS bxmax,
+      FIRST_VALUE(ymax) OVER w AS bymax
+    FROM nms WHERE NOT kept
+    WINDOW w AS (ORDER BY score DESC, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  )
+  WHERE id = bid OR NOT (
+    GREATEST(0.0e0, LEAST(xmax, bxmax) - GREATEST(xmin, bxmin))
+    * GREATEST(0.0e0, LEAST(ymax, bymax) - GREATEST(ymin, bymin)) * 5.0e0
+    > 1.0e0 * ((xmax - xmin) * (ymax - ymin)
+               + (bxmax - bxmin) * (bymax - bymin)
+               - GREATEST(0.0e0, LEAST(xmax, bxmax) - GREATEST(xmin, bxmin))
+               * GREATEST(0.0e0, LEAST(ymax, bymax) - GREATEST(ymin, bymin)))
+  )
+)
+SELECT d.id AS id, (k.id IS NOT NULL) AS kept
+FROM dets d LEFT JOIN (SELECT id FROM nms WHERE kept) k USING (id)
+""",
+        "nms_dominance": f"""
+WITH dets AS ({DET_BOXES_SQL})
+SELECT d.id AS id, NOT EXISTS (
+  SELECT 1 FROM dets a
+  WHERE (a.score > d.score OR (a.score = d.score AND a.id < d.id))
+    AND GREATEST(0.0e0, LEAST(a.xmax, d.xmax) - GREATEST(a.xmin, d.xmin))
+        * GREATEST(0.0e0, LEAST(a.ymax, d.ymax) - GREATEST(a.ymin, d.ymin))
+        * 10.0e0
+      > 3.0e0 * ((a.xmax - a.xmin) * (a.ymax - a.ymin)
+                 + (d.xmax - d.xmin) * (d.ymax - d.ymin)
+                 - GREATEST(0.0e0,
+                            LEAST(a.xmax, d.xmax) - GREATEST(a.xmin, d.xmin))
+                 * GREATEST(0.0e0,
+                            LEAST(a.ymax, d.ymax) - GREATEST(a.ymin, d.ymin)))
+) AS kept
+FROM dets d
+""",
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),
 tiles AS (SELECT unnest(range(256)) AS tile),

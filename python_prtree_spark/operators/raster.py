@@ -40,7 +40,7 @@ __all__ = [
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
     "area_opening", "region_moments", "fast_corners",
-    "percentile_stretch",
+    "percentile_stretch", "mask_rle",
 ]
 
 
@@ -2885,3 +2885,37 @@ def percentile_stretch(
         "tile", "r", "c",
         F.floor(v8).cast("long").alias("v8"),
     )
+
+
+def mask_rle(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Run-length encoding of the binary mask — the COCO segmentation
+    storage format (pycocotools RLE; also GDAL bitmap masks): per tile
+    row, maximal runs of consecutive lit pixels. Lit = value_col != 0.
+
+    → (tile, r, c0, run_len) — one row per maximal horizontal run. A
+    solid tile row is ONE output row (px:1 compression); RLE output is
+    proportional to mask boundary length, the reason detection pipelines
+    ship masks this way at scale.
+
+    Exact and engine-independent, so it hash-gates against a classic
+    gaps-and-islands SQL twin: within (tile, r) ordered by c, the island
+    key is c - row_number() — constant exactly on consecutive runs.
+
+    Scale shape: ONE shuffle, partitioned by (tile, r) — the window and
+    the follow-up groupBy share the partitioning, so Catalyst plans a
+    single exchange; no kernel, no fan-out, pure JVM."""
+    w = Window.partitionBy(tile_col, "r").orderBy("c")
+    lit = pixels_df.where(F.col(value_col) != 0).select(tile_col, "r", "c")
+    runs = lit.withColumn(
+        "_grp", F.col("c") - F.row_number().over(w)
+    )
+    return runs.groupBy(tile_col, "r", "_grp").agg(
+        F.min("c").alias("c0"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    ).select(tile_col, "r", "c0", "run_len")
