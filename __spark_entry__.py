@@ -3175,6 +3175,21 @@ def _q_mask_rle(spark, sf_dir):
     return mask_rle(pxs, CFG, px=16)
 
 
+def _q_bilateral(spark, sf_dir):
+    """Integer-exact bilateral filter of the supplier coverage raster —
+    edge-preserving smoothing with quantized Gaussian weight TABLES, so
+    (num, den) are exact longs and the op hash-gates. Data-dependent
+    range weight ⇒ fan-out + pixel-key join (not a fixed convolution);
+    dense-oracle + flat-region-identity pytests in tests/test_bilateral.py."""
+    from python_prtree_spark.operators.raster import (
+        bilateral_filter,
+        rasterize_counts,
+    )
+
+    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
+    return bilateral_filter(pxs, CFG, px=16)
+
+
 def det_boxes(spark, sf_dir):
     """Detection corpus: the part boxes with an integer confidence score
     (40503 multiplier, 1000 moduli ⇒ real score ties, broken by id)."""
@@ -3381,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nms_greedy": _q_nms_greedy,
         "nms_dominance": _q_nms_dominance,
         "mask_rle": _q_mask_rle,
+        "bilateral": _q_bilateral,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5299,6 +5315,26 @@ runs AS (
 SELECT tile, CAST(r AS INT) AS r, CAST(MIN(c) AS INT) AS c0,
   CAST(COUNT(*) AS BIGINT) AS run_len
 FROM runs GROUP BY tile, r, grp
+""").format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
+        # bilateral: q emits to p = q + (dx,dy) with spatial weight ws;
+        # range weight looked up on |v_p - v_q| clipped to the table cap.
+        "bilateral": (_GRID_CTE + """,
+off(dx, dy, ws) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),
+                           (0,1,2),(1,-1,1),(1,0,2),(1,1,1)),
+rt(d, wr) AS (VALUES (0,16),(1,12),(2,7),(3,3),(4,1)),
+s AS (
+  SELECT g.gx + dx AS gx, g.gy + dy AS gy, cnt AS vq, ws
+  FROM g CROSS JOIN off
+  WHERE g.gx + dx >= 0 AND g.gx + dx < 256
+    AND g.gy + dy >= 0 AND g.gy + dy < 256),
+j AS (
+  SELECT s.gx, s.gy, s.ws * rt.wr AS w, s.ws * rt.wr * s.vq AS wv
+  FROM s JOIN g p ON p.gx = s.gx AND p.gy = s.gy
+  JOIN rt ON rt.d = LEAST(ABS(p.cnt - s.vq), 4))
+SELECT (gx // 16) * 16 + (gy // 16) AS tile,
+  CAST(gy % 16 AS INT) AS r, CAST(gx % 16 AS INT) AS c,
+  CAST(SUM(wv) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+FROM j GROUP BY gx, gy
 """).format(SUPPLIER_PROBES_SQL=SUPPLIER_PROBES_SQL),
         # Greedy NMS replayed sequentially: each recursion step keeps the
         # best remaining box (window first_value over (score DESC, id))

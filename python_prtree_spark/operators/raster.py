@@ -40,7 +40,7 @@ __all__ = [
     "local_binary_pattern", "morphology_gradient", "top_hat",
     "tile_integral", "terrain_indices", "histogram_match",
     "area_opening", "region_moments", "fast_corners",
-    "percentile_stretch", "mask_rle",
+    "percentile_stretch", "mask_rle", "bilateral_filter",
 ]
 
 
@@ -2919,3 +2919,90 @@ def mask_rle(
         F.min("c").alias("c0"),
         F.count(F.lit(1)).cast("long").alias("run_len"),
     ).select(tile_col, "r", "c0", "run_len")
+
+
+def bilateral_filter(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    spatial_kernel=None,
+    range_table=None,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Edge-preserving bilateral filter (Tomasi & Manduchi, ICCV 1998)
+    over the sparse tile mosaic, integer-exact: for every LIT pixel p,
+
+        num(p) = Σ_q ws[q-p] · wr[min(|v_p - v_q|, cap)] · v_q
+        den(p) = Σ_q ws[q-p] · wr[min(|v_p - v_q|, cap)]
+
+    over the lit 3×3 neighbors q (absent pixels contribute nothing —
+    the sparse analogue of normalized convolution). Both weight tables
+    are INTEGER lookups (quantized Gaussians by default), so num/den are
+    exact longs and the operator hash-gates; the caller divides.
+
+    Unlike a fixed convolution the weight depends on the CENTER value,
+    so the plan is fan-out + join: each lit q emits its 9 shifted
+    positions with the spatial weight attached (bounded 9× sparse
+    fan-out), an equi-join on the global pixel key attaches the center
+    value v_p (inner join ⇒ only lit centers produce output), the range
+    weight is a pure-JVM array lookup, and ONE groupBy on the pixel key
+    sums. The join and groupBy share the (gx, gy) partitioning — the
+    shuffle is again the cross-tile halo exchange; no Python kernel.
+
+    → (tile, r, c, num, den) on the engine's sparse-raster keying."""
+    sk = spatial_kernel or [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+    rt = [int(w) for w in (range_table or [16, 12, 7, 3, 1])]
+    sk = [[int(v) for v in row] for row in sk]
+    if len(sk) != 3 or any(len(r) != 3 for r in sk):
+        raise ValueError("spatial_kernel must be 3x3")
+    if not rt:
+        raise ValueError("range_table must be non-empty")
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        ((F.col(tile_col) / side).cast("long") * px + F.col("c")).alias("gx"),
+        ((F.col(tile_col) % side) * px + F.col("r")).alias("gy"),
+        F.col(value_col).cast("long").alias("_vq"),
+    )
+    taps = [
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+            F.lit(sk[1 + dy][1 + dx]).alias("ws"),
+        )
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if sk[1 + dy][1 + dx] != 0
+    ]
+    shifted = src.select(
+        "gx", "gy", "_vq", F.explode(F.array(*taps)).alias("_t")
+    ).select(
+        (F.col("gx") + F.col("_t.dx")).alias("gx"),
+        (F.col("gy") + F.col("_t.dy")).alias("gy"),
+        "_vq",
+        F.col("_t.ws").alias("_ws"),
+    ).where(
+        (F.col("gx") >= 0) & (F.col("gx") < grid)
+        & (F.col("gy") >= 0) & (F.col("gy") < grid)
+    )
+    centers = src.select("gx", "gy", F.col("_vq").alias("_vp"))
+    rt_arr = F.array(*[F.lit(w) for w in rt])
+    wr = F.element_at(
+        rt_arr,
+        (F.least(F.abs(F.col("_vp") - F.col("_vq")), F.lit(len(rt) - 1))
+         + F.lit(1)).cast("int"),
+    )
+    joined = shifted.join(centers, ["gx", "gy"]).select(
+        "gx", "gy", "_vp",
+        (F.col("_ws") * wr).alias("_w"),
+        (F.col("_ws") * wr * F.col("_vq")).alias("_wv"),
+    )
+    return joined.groupBy("gx", "gy").agg(
+        F.sum("_wv").alias("num"), F.sum("_w").alias("den")
+    ).select(
+        ((F.col("gx") / px).cast("long") * side
+         + (F.col("gy") / px).cast("long")).alias("tile"),
+        (F.col("gy") % px).cast("int").alias("r"),
+        (F.col("gx") % px).cast("int").alias("c"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+    )
