@@ -3204,6 +3204,71 @@ FROM ({PART_BOXES_SQL}) b
 """
 
 
+def eval_boxes(spark, sf_dir):
+    """Detection-evaluation corpus: part boxes re-hashed into 200 images
+    on a local ~11x11 canvas (so detections actually overlap ground
+    truth); ids with id%5 < 2 are ground-truth boxes, the rest are
+    detections with the same integer confidence as det_boxes."""
+    p = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    xmin = ((k * 2654435761) % 8000).cast("double") / 1000.0
+    ymin = ((k * 2246822519) % 8000).cast("double") / 1000.0
+    return p.select(
+        k.alias("id"),
+        (k % 200).alias("img"),
+        ((k * 40503) % 1000).cast("long").alias("score"),
+        (k % 5).alias("role5"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 1.0 + ((k * 3266489917) % 3000).cast("double") / 1000.0).alias("xmax"),
+        (ymin + 1.0 + ((k * 668265263) % 3000).cast("double") / 1000.0).alias("ymax"),
+    )
+
+
+EVAL_BOXES_SQL = """
+SELECT p_partkey AS id, p_partkey % 200 AS img,
+  CAST((p_partkey * 40503) % 1000 AS BIGINT) AS score,
+  p_partkey % 5 AS role5,
+  CAST((p_partkey * 2654435761) % 8000 AS DOUBLE)/1000.0 AS xmin,
+  CAST((p_partkey * 2246822519) % 8000 AS DOUBLE)/1000.0 AS ymin,
+  CAST((p_partkey * 2654435761) % 8000 AS DOUBLE)/1000.0
+    + 1.0 + CAST((p_partkey * 3266489917) % 3000 AS DOUBLE)/1000.0 AS xmax,
+  CAST((p_partkey * 2246822519) % 8000 AS DOUBLE)/1000.0
+    + 1.0 + CAST((p_partkey * 668265263) % 3000 AS DOUBLE)/1000.0 AS ymax
+FROM part
+"""
+
+
+def _q_union_area(spark, sf_dir):
+    """Exact dissolved-union area (ST_Union + ST_Area measure) of the
+    part boxes, dissolved into 16 groups (id % 16). Per-cell clip ->
+    x-slab decomposition (lead over distinct clipped endpoints) ->
+    gaps-and-islands y-merge — every step a JVM window function over
+    fixed-point integers, so the per-group sums are order-free and
+    hash-gate bit-for-bit. Oracle: the identical integer sweep in SQL."""
+    from python_prtree_spark.operators.polygon import union_area
+
+    return union_area(
+        part_boxes(spark, sf_dir).withColumn("g", F.col("id") % 16), "g"
+    )
+
+
+def _q_iou_match(spark, sf_dir):
+    """Greedy VOC/COCO detection<->ground-truth matching (Everingham et
+    al., IJCV 2010 s4.4): per image, detections in (score DESC, id)
+    order each claim the unclaimed GT with the highest IoU among those
+    with IoU > 1/4 (IoU ties -> smaller gt id); claim = true positive.
+    ONE shuffle on the image id (the corpus partitioner), exact
+    sequential kernel per image. Oracle: a recursive CTE that steps all
+    images' rank-k detections in parallel, carrying each image's claimed
+    set as a list — the same float64 inter/union sort key and
+    cross-multiplied threshold on both engines."""
+    from python_prtree_spark.operators.nms import iou_match
+
+    b = eval_boxes(spark, sf_dir)
+    return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
+
+
 def _q_nms_greedy(spark, sf_dir):
     """Exact sequential greedy NMS (Felzenszwalb et al. 2010), distributed
     by the theorem that greedy decisions are local to connected components
@@ -3397,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nms_dominance": _q_nms_dominance,
         "mask_rle": _q_mask_rle,
         "bilateral": _q_bilateral,
+        "iou_match": _q_iou_match,
+        "union_area": _q_union_area,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5386,6 +5453,110 @@ SELECT d.id AS id, NOT EXISTS (
                             LEAST(a.ymax, d.ymax) - GREATEST(a.ymin, d.ymin)))
 ) AS kept
 FROM dets d
+""",
+        # Exact box-union area: the same integer sweep as
+        # operators/polygon.py:union_area — cell clip, x-slab lead,
+        # gaps-and-islands y-merge, one exact BIGINT sum per group.
+        "union_area": f"""
+WITH b AS ({PART_BOXES_SQL}),
+s AS (
+  SELECT id % 16 AS gkey,
+    CAST(ROUND(xmin * 1000) AS BIGINT) AS x0,
+    CAST(ROUND(ymin * 1000) AS BIGINT) AS y0,
+    CAST(ROUND(xmax * 1000) AS BIGINT) AS x1,
+    CAST(ROUND(ymax * 1000) AS BIGINT) AS y1
+  FROM b WHERE ROUND(xmax*1000) > ROUND(xmin*1000)
+          AND ROUND(ymax*1000) > ROUND(ymin*1000)),
+cx AS (SELECT *, UNNEST(range(x0 // 16000, (x1 - 1) // 16000 + 1)) AS cx FROM s),
+c AS (
+  SELECT gkey, cx * 2097152 + cy AS cell,
+    GREATEST(x0, cx * 16000) AS bx0, LEAST(x1, (cx + 1) * 16000) AS bx1,
+    GREATEST(y0, cy * 16000) AS by0, LEAST(y1, (cy + 1) * 16000) AS by1
+  FROM (SELECT *, UNNEST(range(y0 // 16000, (y1 - 1) // 16000 + 1)) AS cy
+        FROM cx)),
+xs AS (
+  SELECT gkey, cell, bx0 AS sx FROM c
+  UNION
+  SELECT gkey, cell, bx1 AS sx FROM c),
+slabs AS (
+  SELECT * FROM (
+    SELECT gkey, cell, sx AS sx1,
+      LEAD(sx) OVER (PARTITION BY gkey, cell ORDER BY sx) AS sx2
+    FROM xs)
+  WHERE sx2 IS NOT NULL),
+act AS (
+  SELECT s.gkey, s.cell, s.sx1, s.sx2, c.by0, c.by1
+  FROM slabs s JOIN c ON c.gkey = s.gkey AND c.cell = s.cell
+  WHERE c.bx0 <= s.sx1 AND c.bx1 >= s.sx2),
+mk AS (
+  SELECT *, CASE WHEN by0 > COALESCE(
+      MAX(by1) OVER (PARTITION BY gkey, cell, sx1 ORDER BY by0, by1
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -4611686018427387904) THEN 1 ELSE 0 END AS newi
+  FROM act),
+mk2 AS (
+  SELECT *, SUM(newi) OVER (PARTITION BY gkey, cell, sx1 ORDER BY by0, by1
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+  FROM mk),
+isl AS (
+  SELECT gkey, cell, sx1, sx2, island,
+         MIN(by0) AS iy0, MAX(by1) AS iy1
+  FROM mk2 GROUP BY gkey, cell, sx1, sx2, island)
+SELECT gkey,
+  CAST(SUM((sx2 - sx1) * (iy1 - iy0)) AS BIGINT) AS area_units,
+  CAST(CAST(SUM((sx2 - sx1) * (iy1 - iy0)) AS BIGINT) AS DOUBLE) / 1000000.0
+    AS area
+FROM isl GROUP BY gkey
+""",
+        # Greedy VOC/COCO matching replayed exactly: the recursion steps
+        # every image's rank-k detection in parallel, carrying the claimed
+        # gt set per image as a list; a LATERAL argmax (inter/uni DESC,
+        # gt id) picks each detection's claim among unclaimed gts with
+        # IoU > 1/4 (cross-multiplied). Same float64 expressions as
+        # operators/nms.py:_match_kernel.
+        "iou_match": f"""
+WITH RECURSIVE b AS ({EVAL_BOXES_SQL}),
+gts AS (SELECT id, img, xmin, ymin, xmax, ymax FROM b WHERE role5 < 2),
+rdet AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY score DESC, id) AS rk
+  FROM b WHERE role5 >= 2),
+st AS (
+  SELECT img, 0 AS step, CAST([] AS BIGINT[]) AS used,
+         CAST([] AS STRUCT(det_id BIGINT, gt_id BIGINT)[]) AS pairs
+  FROM (SELECT DISTINCT img FROM rdet)
+  UNION ALL
+  SELECT s.img, s.step + 1,
+    CASE WHEN m.gt_id IS NULL THEN s.used
+         ELSE list_append(s.used, m.gt_id) END,
+    list_append(s.pairs, {{'det_id': d.id, 'gt_id': m.gt_id}})
+  FROM st s
+  JOIN rdet d ON d.img = s.img AND d.rk = s.step + 1
+  LEFT JOIN LATERAL (
+    SELECT gt_id FROM (
+      SELECT g.id AS gt_id,
+        GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
+        * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
+          AS inter,
+        (d.xmax - d.xmin) * (d.ymax - d.ymin)
+        + (g.xmax - g.xmin) * (g.ymax - g.ymin)
+        - GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
+          * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
+          AS uni
+      FROM gts g
+      WHERE g.img = s.img AND NOT list_contains(s.used, g.id)
+    )
+    WHERE inter * 4.0e0 > 1.0e0 * uni
+    ORDER BY inter / uni DESC, gt_id
+    LIMIT 1
+  ) m ON TRUE
+),
+fin AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY step DESC) AS rn
+  FROM st)
+SELECT img, p.det_id AS det_id, p.gt_id AS gt_id,
+       (p.gt_id IS NOT NULL) AS tp
+FROM (SELECT img, UNNEST(pairs) AS p FROM fin WHERE rn = 1) t
 """,
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),

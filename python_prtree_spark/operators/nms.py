@@ -31,10 +31,17 @@ Two published variants, both exact here:
   suppressed by a suppressed box still dies) but is embarrassingly
   parallel: one cell self-join + one anti-join, no iteration.
 
+``iou_match`` is the companion evaluation operator: greedy VOC/COCO
+detection<->ground-truth matching (TP/FP flags for mAP), image-local by
+definition, so it shuffles once on the image id and runs the exact
+sequential kernel per image.
+
 IoU > t is evaluated as the cross-multiplied comparison
 ``inter * den > num * union`` (t = num/den rational), an identical IEEE
-double expression on both engines, so both modes are hash-gateable —
-greedy's oracle is a recursive CTE that replays the sequential algorithm.
+double expression on both engines, so all three are hash-gateable —
+greedy's oracle is a recursive CTE that replays the sequential algorithm,
+iou_match's steps all images' rank-k detections in parallel carrying the
+claimed-gt set as a list.
 
 Scale shape: candidate pairs come from the engine's cell-grid self-join
 (one shuffle, AQE skew-split); components run the engine's
@@ -53,7 +60,7 @@ from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.tiling import explode_cells, ref_cell_col
 from python_prtree_spark.operators.components import connected_components
 
-__all__ = ["nms_boxes", "overlap_iou_pairs"]
+__all__ = ["nms_boxes", "overlap_iou_pairs", "iou_match"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -202,4 +209,119 @@ def nms_boxes(
     # trivially kept by the kernel; every box flows through one code path.
     return grouped.groupBy("_comp").applyInPandas(
         _greedy_kernel, schema="id long, kept boolean"
+    )
+
+
+def _match_kernel(pdf):
+    """Exact greedy detection<->ground-truth matching over ONE image.
+
+    PASCAL-VOC / COCO evaluation semantics (Everingham et al., IJCV 2010
+    s4.4): detections visited in (score DESC, id ASC) order; each claims
+    the still-unclaimed ground-truth box with the highest IoU among those
+    with IoU > t (ties on IoU broken by the smaller gt id); a detection
+    that claims one is a true positive, the rest are false positives.
+
+    The IoU sort key is the float64 division inter/union — the identical
+    IEEE expression the DuckDB oracle orders by — while the threshold
+    test stays cross-multiplied (inter*den > num*union), so the kernel is
+    hash-gateable end to end. Per-image proposal counts are bounded
+    (10-100 in real pipelines), so the det x gt IoU matrix is tiny.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t_num = float(pdf["_tn"].iloc[0])
+    t_den = float(pdf["_td"].iloc[0])
+    det = pdf[pdf["role"] == 1]
+    gt = pdf[pdf["role"] == 0]
+    if len(det) == 0:
+        return pd.DataFrame(
+            {"img": [], "det_id": [], "gt_id": [], "tp": []}
+        ).astype({"img": "int64", "det_id": "int64", "gt_id": "float64", "tp": "bool"})
+    order = np.lexsort((det["id"].to_numpy(), -det["score"].to_numpy()))
+    d_id = det["id"].to_numpy()[order]
+    dx0 = det["xmin"].to_numpy()[order]
+    dy0 = det["ymin"].to_numpy()[order]
+    dx1 = det["xmax"].to_numpy()[order]
+    dy1 = det["ymax"].to_numpy()[order]
+    g_id = gt["id"].to_numpy()
+    gx0, gy0 = gt["xmin"].to_numpy(), gt["ymin"].to_numpy()
+    gx1, gy1 = gt["xmax"].to_numpy(), gt["ymax"].to_numpy()
+    g_area = (gx1 - gx0) * (gy1 - gy0)
+    claimed = np.zeros(len(g_id), dtype=bool)
+    out_gt = np.full(len(d_id), np.nan)
+    for i in range(len(d_id)):
+        if len(g_id) == 0:
+            break
+        ix = np.maximum(0.0, np.minimum(dx1[i], gx1) - np.maximum(dx0[i], gx0))
+        iy = np.maximum(0.0, np.minimum(dy1[i], gy1) - np.maximum(dy0[i], gy0))
+        inter = ix * iy
+        union = (dx1[i] - dx0[i]) * (dy1[i] - dy0[i]) + g_area - inter
+        ok = (~claimed) & (inter * t_den > t_num * union)
+        if not ok.any():
+            continue
+        iou = np.where(ok, inter / union, -1.0)
+        # argmax IoU, ties -> smallest gt id: lexsort keys are (id, -iou)
+        best = np.lexsort((g_id, -iou))[0]
+        claimed[best] = True
+        out_gt[i] = g_id[best]
+    return pd.DataFrame(
+        {
+            "img": np.full(len(d_id), int(pdf["img"].iloc[0]), dtype=np.int64),
+            "det_id": d_id,
+            "gt_id": out_gt,
+            "tp": ~np.isnan(out_gt),
+        }
+    )
+
+
+def iou_match(
+    dets: DataFrame,
+    gts: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    img_col: str = "img",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy VOC/COCO detection evaluation -> (img, det_id, gt_id, tp).
+
+    ``dets`` carries (img, id, score, box); ``gts`` carries (img, id,
+    box). Matching is image-local by definition, so the distributed plan
+    is the natural one for a 10^12-image corpus: tag roles, union, ONE
+    shuffle on the image id (the corpus partitioner — no skew possible,
+    per-image proposal counts are bounded by the detector's top-k), then
+    the exact sequential kernel per image inside one Arrow batch. No
+    driver state, no cross-image traffic.
+
+    ``score_col`` must be integer-valued so visit order is
+    engine-independent; ``t_num/t_den`` is the exact rational IoU
+    threshold. ``gt_id`` is NULL (and ``tp`` false) for false positives.
+    """
+    d = dets.select(
+        F.col(img_col).cast("long").alias("img"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(score_col).cast("long").alias("score"),
+        *BOX,
+        F.lit(1).alias("role"),
+    )
+    g = gts.select(
+        F.col(img_col).cast("long").alias("img"),
+        F.col(id_col).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("score"),
+        *BOX,
+        F.lit(0).alias("role"),
+    )
+    both = (
+        d.unionByName(g)
+        .withColumn("_tn", F.lit(int(t_num)))
+        .withColumn("_td", F.lit(int(t_den)))
+    )
+    out = both.groupBy("img").applyInPandas(
+        _match_kernel, schema="img long, det_id long, gt_id double, tp boolean"
+    )
+    # gt ids are integers; the kernel rides them through a float64 (NaN =
+    # unmatched) — surface the nullable long the caller expects.
+    return out.select(
+        "img", "det_id", F.col("gt_id").cast("long").alias("gt_id"), "tp"
     )

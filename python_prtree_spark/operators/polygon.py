@@ -43,7 +43,7 @@ from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.operators import probe as _probe
 
 __all__ = ["polygon_join", "polygon_area_centroid", "convex_hull",
-           "hull_diameter"]
+           "hull_diameter", "union_area"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -381,4 +381,119 @@ def hull_diameter(
         F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
         F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
         (-F.col("s.nd2")).cast("long").alias("d2"),
+    )
+
+
+def union_area(
+    boxes: DataFrame,
+    group_col: str | None = None,
+    scale: int = 1000,
+    cell_units: int = 16_000,
+) -> DataFrame:
+    """Exact dissolved-union area of axis-aligned boxes (the measure side
+    of PostGIS ``ST_Union`` / ``ST_Area``), per group -> one row
+    (gkey, area_units, area). Overlaps counted once, no rasterization,
+    no approximation.
+
+    All arithmetic runs on fixed-point integers (coords x ``scale``
+    must be integral — the engine's corpora are 1/1000 rationals), so
+    every sum is order-free and the result hash-gates bit-for-bit.
+    ``area_units`` is in 1/scale^2 units; ``area`` divides once at the
+    very end.
+
+    Plan, 100% JVM (window functions, zero Python):
+
+      1. clip each box to the integer cells it covers (measure is
+         additive over a partition of the plane, so per-cell unions sum
+         to the global union);
+      2. per (group, cell): x-slab decomposition — slab boundaries are
+         the distinct clipped xmin/xmax, adjacent pairs via ``lead``;
+      3. slab x boxes covering it (equi-join on (group, cell) + range
+         predicate — cell granularity bounds the fan-out, hot cells ride
+         AQE skew-split like every other cell join in the engine);
+      4. y-interval merge per slab: classic gaps-and-islands — running
+         ``max(ymax)`` over the (ymin, ymax, id) order, a new island
+         wherever ymin exceeds it; islands are contiguous by
+         construction so each contributes (x2-x1)*(max ymax - min ymin);
+      5. one exact integer sum per group.
+
+    Shuffles: the slab distinct, the (group, cell) join, and the final
+    group agg — the two (group, cell)-keyed windows reuse the join's
+    partitioning (hashpartitioning on a prefix satisfies the clustered
+    distribution). At 10^12 scale the cell grid is the same partitioner
+    the spatial join uses; ``cell_units`` tunes slab fan-out (a slab
+    row costs O(#boxes overlapping the cell))."""
+    from pyspark.sql import Window
+
+    gkey = (
+        F.col(group_col).cast("long") if group_col is not None else F.lit(0)
+    ).alias("gkey")
+    cu = F.lit(int(cell_units))
+    scaled = boxes.select(
+        gkey,
+        F.round(F.col("xmin") * scale).cast("long").alias("x0"),
+        F.round(F.col("ymin") * scale).cast("long").alias("y0"),
+        F.round(F.col("xmax") * scale).cast("long").alias("x1"),
+        F.round(F.col("ymax") * scale).cast("long").alias("y1"),
+    ).where((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")))
+    ix = F.explode(
+        F.sequence(F.floor(F.col("x0") / cu), F.floor((F.col("x1") - 1) / cu))
+    ).alias("cx")
+    iy = F.explode(
+        F.sequence(F.floor(F.col("y0") / cu), F.floor((F.col("y1") - 1) / cu))
+    ).alias("cy")
+    clipped = (
+        scaled.select("*", ix)
+        .select("*", iy)
+        .select(
+            "gkey",
+            (F.col("cx") * F.lit(1 << 21) + F.col("cy")).alias("cell"),
+            F.greatest(F.col("x0"), F.col("cx") * cu).alias("bx0"),
+            F.least(F.col("x1"), (F.col("cx") + 1) * cu).alias("bx1"),
+            F.greatest(F.col("y0"), F.col("cy") * cu).alias("by0"),
+            F.least(F.col("y1"), (F.col("cy") + 1) * cu).alias("by1"),
+        )
+    )
+    xs = (
+        clipped.select("gkey", "cell", F.col("bx0").alias("sx"))
+        .unionByName(clipped.select("gkey", "cell", F.col("bx1").alias("sx")))
+        .distinct()
+    )
+    w_slab = Window.partitionBy("gkey", "cell").orderBy("sx")
+    slabs = xs.select(
+        "gkey", "cell", F.col("sx").alias("sx1"),
+        F.lead("sx").over(w_slab).alias("sx2"),
+    ).where(F.col("sx2").isNotNull())
+    active = slabs.join(clipped, on=["gkey", "cell"]).where(
+        (F.col("bx0") <= F.col("sx1")) & (F.col("bx1") >= F.col("sx2"))
+    )
+    w_prev = (
+        Window.partitionBy("gkey", "cell", "sx1")
+        .orderBy("by0", "by1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("gkey", "cell", "sx1")
+        .orderBy("by0", "by1")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = active.withColumn(
+        "_new",
+        F.when(
+            F.col("by0") > F.coalesce(F.max("by1").over(w_prev), F.lit(-(1 << 62))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("_new").over(w_run))
+    islands = marked.groupBy("gkey", "cell", "sx1", "sx2", "island").agg(
+        F.min("by0").alias("iy0"), F.max("by1").alias("iy1")
+    )
+    per_group = islands.groupBy("gkey").agg(
+        F.sum(
+            (F.col("sx2") - F.col("sx1")) * (F.col("iy1") - F.col("iy0"))
+        ).alias("area_units")
+    )
+    return per_group.select(
+        "gkey",
+        "area_units",
+        (F.col("area_units").cast("double") / float(scale * scale)).alias("area"),
     )

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 from python_prtree_spark.config import EngineConfig, Extent
-from python_prtree_spark.operators.nms import nms_boxes, overlap_iou_pairs
+from python_prtree_spark.operators.nms import iou_match, nms_boxes, overlap_iou_pairs
 
 CFG = EngineConfig(extent=Extent(0, 0, 105, 105), level=3)
 
@@ -100,6 +100,84 @@ def test_greedy_revives_chain_dominance_kills(spark):
          for r in nms_boxes(sdf, 1, 5, CFG, mode="dominance").collect()}
     assert g == {1: True, 2: False, 3: True}
     assert d == {1: True, 2: False, 3: False}
+
+
+def _brute_match(dets, gts, t_num, t_den):
+    """Sequential VOC matching: dets by (score DESC, id), each claims the
+    unclaimed gt with max IoU among IoU > t, ties -> smaller gt id."""
+    claimed = set()
+    out = {}
+    for _, r in dets.sort_values(["score", "id"], ascending=[False, True]).iterrows():
+        box = (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+        best = None
+        for _, g in gts[gts["img"] == r["img"]].iterrows():
+            if int(g["id"]) in claimed:
+                continue
+            inter, union = _iou(box, (g["xmin"], g["ymin"], g["xmax"], g["ymax"]))
+            if not inter * t_den > t_num * union:
+                continue
+            key = (-inter / union, int(g["id"]))
+            if best is None or key < best[0]:
+                best = (key, int(g["id"]))
+        if best is not None:
+            claimed.add(best[1])
+            out[int(r["id"])] = best[1]
+        else:
+            out[int(r["id"])] = None
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_iou_match_matches_brute_force(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 400
+    img = rng.integers(0, 12, n)
+    mins = rng.random((n, 2)) * 8
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "img": img,
+        "score": rng.integers(0, 30, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    dets, gts = pdf[pdf["id"] % 3 != 0], pdf[pdf["id"] % 3 == 0]
+    got = iou_match(
+        spark.createDataFrame(dets).repartition(8),
+        spark.createDataFrame(gts).repartition(8),
+        1, 3,
+    ).toPandas()
+    want = _brute_match(dets, gts, 1, 3)
+    assert len(got) == len(dets)
+    got_map = {
+        int(r.det_id): (None if pd.isna(r.gt_id) else int(r.gt_id))
+        for r in got.itertuples()
+    }
+    assert got_map == want
+    # tp flag is exactly "claimed a gt", and each gt claimed at most once
+    assert all(bool(r.tp) == (got_map[int(r.det_id)] is not None)
+               for r in got.itertuples())
+    matched = got.dropna(subset=["gt_id"])
+    assert matched.groupby(["img", "gt_id"]).size().max() <= 1
+
+
+def test_iou_match_gt_only_and_det_only_images(spark):
+    """Images with no dets emit nothing; dets with no gts are all FP."""
+    dets = pd.DataFrame({
+        "id": [1, 2], "img": [0, 0], "score": [9, 8],
+        "xmin": [0.0, 1.0], "ymin": [0.0, 1.0],
+        "xmax": [4.0, 5.0], "ymax": [4.0, 5.0],
+    })
+    gts = pd.DataFrame({
+        "id": [10], "img": [1],
+        "xmin": [0.0], "ymin": [0.0], "xmax": [4.0], "ymax": [4.0],
+    })
+    got = iou_match(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 2
+    ).toPandas()
+    assert set(got["img"]) == {0}
+    assert not got["tp"].any()
+    assert got["gt_id"].isna().all()
 
 
 def test_iou_pairs_threshold_is_strict(spark):

@@ -1169,3 +1169,35 @@ def test_interval_join_plan_cell_routed(spark):
     assert_no_cartesian(df)
     plan = explain_str(df)
     assert "cell" in plan, plan
+
+
+def test_iou_match_plan_single_img_shuffle(spark):
+    """iou_match: ONE hash exchange on the image id feeding ONE Arrow
+    kernel — no join, no cartesian, no cross-image traffic."""
+    import re
+
+    import pandas as pd
+
+    from python_prtree_spark.operators.nms import iou_match
+
+    dets = spark.createDataFrame(
+        pd.DataFrame({
+            "img": [0, 0, 1], "id": [1, 2, 3], "score": [9, 8, 7],
+            "xmin": [0.0] * 3, "ymin": [0.0] * 3,
+            "xmax": [4.0] * 3, "ymax": [4.0] * 3,
+        })
+    )
+    gts = spark.createDataFrame(
+        pd.DataFrame({
+            "img": [0], "id": [10],
+            "xmin": [0.0], "ymin": [0.0], "xmax": [4.0], "ymax": [4.0],
+        })
+    )
+    df = iou_match(dets, gts, 1, 2)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("FlatMapGroupsInPandas") <= 2, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(img", plan)) == 1, plan
+    assert "Join" not in plan, plan
