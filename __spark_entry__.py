@@ -3239,6 +3239,57 @@ FROM part
 """
 
 
+# Greedy VOC/COCO matching replayed exactly in SQL: the recursion steps
+# every image's rank-k detection in parallel, carrying the claimed gt set
+# per image as a list; a LATERAL argmax (inter/uni DESC, gt id) picks each
+# detection's claim among unclaimed gts with IoU > 1/4 (cross-multiplied).
+# Same float64 expressions as operators/nms.py:_match_kernel. Shared by
+# the iou_match and detection_ap oracles.
+IOU_MATCH_ORACLE = f"""
+WITH RECURSIVE b AS ({EVAL_BOXES_SQL}),
+gts AS (SELECT id, img, xmin, ymin, xmax, ymax FROM b WHERE role5 < 2),
+rdet AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY score DESC, id) AS rk
+  FROM b WHERE role5 >= 2),
+st AS (
+  SELECT img, 0 AS step, CAST([] AS BIGINT[]) AS used,
+         CAST([] AS STRUCT(det_id BIGINT, gt_id BIGINT)[]) AS pairs
+  FROM (SELECT DISTINCT img FROM rdet)
+  UNION ALL
+  SELECT s.img, s.step + 1,
+    CASE WHEN m.gt_id IS NULL THEN s.used
+         ELSE list_append(s.used, m.gt_id) END,
+    list_append(s.pairs, {{'det_id': d.id, 'gt_id': m.gt_id}})
+  FROM st s
+  JOIN rdet d ON d.img = s.img AND d.rk = s.step + 1
+  LEFT JOIN LATERAL (
+    SELECT gt_id FROM (
+      SELECT g.id AS gt_id,
+        GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
+        * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
+          AS inter,
+        (d.xmax - d.xmin) * (d.ymax - d.ymin)
+        + (g.xmax - g.xmin) * (g.ymax - g.ymin)
+        - GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
+          * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
+          AS uni
+      FROM gts g
+      WHERE g.img = s.img AND NOT list_contains(s.used, g.id)
+    )
+    WHERE inter * 4.0e0 > 1.0e0 * uni
+    ORDER BY inter / uni DESC, gt_id
+    LIMIT 1
+  ) m ON TRUE
+),
+fin AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY step DESC) AS rn
+  FROM st)
+SELECT img, p.det_id AS det_id, p.gt_id AS gt_id,
+       (p.gt_id IS NOT NULL) AS tp
+FROM (SELECT img, UNNEST(pairs) AS p FROM fin WHERE rn = 1) t
+"""
+
+
 def _q_union_area(spark, sf_dir):
     """Exact dissolved-union area (ST_Union + ST_Area measure) of the
     part boxes, dissolved into 16 groups (id % 16). Per-cell clip ->
@@ -3267,6 +3318,18 @@ def _q_iou_match(spark, sf_dir):
 
     b = eval_boxes(spark, sf_dir)
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
+
+
+def _q_detection_ap(spark, sf_dir):
+    """Per-class average precision (mAP's AP) with all-points
+    interpolation over the greedy iou_match flags. Classes partition the
+    images (cls = img % 4, constant per image), so per-image matching is
+    the canonical per-(image, class) matching. Exact: the only
+    cross-row float sum is quantized to floor(p*1e9) int64 first."""
+    from python_prtree_spark.operators.nms import detection_ap
+
+    b = eval_boxes(spark, sf_dir).withColumn("cls", F.col("img") % 4)
+    return detection_ap(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
 def _q_nms_greedy(spark, sf_dir):
@@ -3464,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bilateral": _q_bilateral,
         "iou_match": _q_iou_match,
         "union_area": _q_union_area,
+        "detection_ap": _q_detection_ap,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5509,54 +5573,52 @@ SELECT gkey,
     AS area
 FROM isl GROUP BY gkey
 """,
-        # Greedy VOC/COCO matching replayed exactly: the recursion steps
-        # every image's rank-k detection in parallel, carrying the claimed
-        # gt set per image as a list; a LATERAL argmax (inter/uni DESC,
-        # gt id) picks each detection's claim among unclaimed gts with
-        # IoU > 1/4 (cross-multiplied). Same float64 expressions as
-        # operators/nms.py:_match_kernel.
-        "iou_match": f"""
-WITH RECURSIVE b AS ({EVAL_BOXES_SQL}),
-gts AS (SELECT id, img, xmin, ymin, xmax, ymax FROM b WHERE role5 < 2),
-rdet AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY score DESC, id) AS rk
-  FROM b WHERE role5 >= 2),
-st AS (
-  SELECT img, 0 AS step, CAST([] AS BIGINT[]) AS used,
-         CAST([] AS STRUCT(det_id BIGINT, gt_id BIGINT)[]) AS pairs
-  FROM (SELECT DISTINCT img FROM rdet)
-  UNION ALL
-  SELECT s.img, s.step + 1,
-    CASE WHEN m.gt_id IS NULL THEN s.used
-         ELSE list_append(s.used, m.gt_id) END,
-    list_append(s.pairs, {{'det_id': d.id, 'gt_id': m.gt_id}})
-  FROM st s
-  JOIN rdet d ON d.img = s.img AND d.rk = s.step + 1
-  LEFT JOIN LATERAL (
-    SELECT gt_id FROM (
-      SELECT g.id AS gt_id,
-        GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
-        * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
-          AS inter,
-        (d.xmax - d.xmin) * (d.ymax - d.ymin)
-        + (g.xmax - g.xmin) * (g.ymax - g.ymin)
-        - GREATEST(0.0e0, LEAST(d.xmax, g.xmax) - GREATEST(d.xmin, g.xmin))
-          * GREATEST(0.0e0, LEAST(d.ymax, g.ymax) - GREATEST(d.ymin, g.ymin))
-          AS uni
-      FROM gts g
-      WHERE g.img = s.img AND NOT list_contains(s.used, g.id)
-    )
-    WHERE inter * 4.0e0 > 1.0e0 * uni
-    ORDER BY inter / uni DESC, gt_id
-    LIMIT 1
-  ) m ON TRUE
-),
-fin AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY img ORDER BY step DESC) AS rn
-  FROM st)
-SELECT img, p.det_id AS det_id, p.gt_id AS gt_id,
-       (p.gt_id IS NOT NULL) AS tp
-FROM (SELECT img, UNNEST(pairs) AS p FROM fin WHERE rn = 1) t
+        "iou_match": IOU_MATCH_ORACLE,
+        # All-points-interpolated AP over the matching oracle: rank per
+        # class by (score DESC, det id), running max of precision over
+        # the reversed order, floor(p*1e9) fixed-point sum per class —
+        # identical float64 expressions to operators/nms.py:detection_ap.
+        "detection_ap": f"""
+WITH m AS ({IOU_MATCH_ORACLE}),
+d AS (
+  SELECT id AS det_id, CAST((id * 40503) % 1000 AS BIGINT) AS s,
+         (id % 200) % 4 AS cls
+  FROM ({EVAL_BOXES_SQL}) WHERE role5 >= 2),
+ngt AS (
+  SELECT (id % 200) % 4 AS cls, COUNT(*) AS n_gt
+  FROM ({EVAL_BOXES_SQL}) WHERE role5 < 2 GROUP BY 1),
+scored AS (SELECT m.*, d.s, d.cls FROM m JOIN d USING (det_id)),
+ranked AS (
+  SELECT *,
+    COUNT(*) OVER w AS k,
+    SUM(CASE WHEN tp THEN 1 ELSE 0 END) OVER w AS ctp
+  FROM scored
+  WINDOW w AS (PARTITION BY cls ORDER BY s DESC, det_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+prec AS (
+  SELECT *, CAST(ctp AS DOUBLE) / CAST(k AS DOUBLE) AS prec FROM ranked),
+interp AS (
+  SELECT *,
+    MAX(prec) OVER (PARTITION BY cls ORDER BY s ASC, det_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS pint
+  FROM prec),
+per_tp AS (
+  SELECT cls,
+    CAST(SUM(CAST(FLOOR(pint * 1000000000.0e0) AS BIGINT)) AS BIGINT)
+      AS ap_units,
+    COUNT(*) AS n_tp
+  FROM interp WHERE tp GROUP BY cls),
+ndet AS (SELECT cls, COUNT(*) AS n_det FROM scored GROUP BY cls)
+SELECT g.cls, g.n_gt,
+  COALESCE(nd.n_det, 0) AS n_det,
+  COALESCE(pt.n_tp, 0) AS n_tp,
+  COALESCE(pt.ap_units, 0) AS ap_units,
+  CAST(COALESCE(pt.ap_units, 0) AS DOUBLE) / 1000000000.0e0
+    / CAST(g.n_gt AS DOUBLE) AS ap
+FROM ngt g
+LEFT JOIN ndet nd ON nd.cls = g.cls
+LEFT JOIN per_tp pt ON pt.cls = g.cls
 """,
         "contour_cases": f"""
 WITH b AS ({SUPPLIER_PROBES_SQL}),

@@ -60,7 +60,7 @@ from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.tiling import explode_cells, ref_cell_col
 from python_prtree_spark.operators.components import connected_components
 
-__all__ = ["nms_boxes", "overlap_iou_pairs", "iou_match"]
+__all__ = ["nms_boxes", "overlap_iou_pairs", "iou_match", "detection_ap"]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -324,4 +324,96 @@ def iou_match(
     # unmatched) — surface the nullable long the caller expects.
     return out.select(
         "img", "det_id", F.col("gt_id").cast("long").alias("gt_id"), "tp"
+    )
+
+
+def detection_ap(
+    dets: DataFrame,
+    gts: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    img_col: str = "img",
+    id_col: str = "id",
+    score_col: str = "score",
+    class_col: str = "cls",
+) -> DataFrame:
+    """Per-class average precision (the AP in mAP) over ``iou_match``'s
+    TP/FP flags -> one row (cls, n_gt, n_det, n_tp, ap_units, ap).
+
+    All-points interpolation (the PASCAL-VOC 2010+ / COCO definition):
+    rank each class's detections by (score DESC, det id); precision_k =
+    cum_tp/k; interpolated precision at rank k is max precision over
+    ranks >= k (a running window max over the reversed order); AP =
+    (1/n_gt) * sum of interpolated precision at each TP rank.
+
+    ``class_col`` must be constant per image (each image holds one
+    class), so per-image matching equals the canonical per-(image,
+    class) matching. Classes with zero ground truth are omitted (AP
+    undefined); classes with ground truth but no detections score 0.
+
+    Hash-exactness: precision and its running max are identical float64
+    expressions on both engines; the only cross-row SUM quantizes first
+    — floor(p_interp * 1e9) as int64 — so it is order-free. ``ap`` is
+    ``ap_units`` divided once at the end (quantization error < 1e-9 per
+    TP).
+
+    Scale shape: iou_match's image shuffle, one det-id join, then
+    per-class windows. Exact AP inherently needs a global per-class
+    score ranking — the sort is the cost, parallel across classes. At
+    10^12 detections per class, roll up per (class, integer-score)
+    bucket first and evaluate the PR curve at bucket boundaries; this
+    exact form is for the corpus sizes the eval table actually has
+    (evaluation sets, not the training corpus)."""
+    from pyspark.sql import Window
+
+    m = iou_match(dets, gts, t_num, t_den, img_col, id_col, score_col)
+    d = dets.select(
+        F.col(id_col).cast("long").alias("det_id"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(class_col).cast("long").alias("cls"),
+    )
+    ngt = (
+        gts.select(F.col(class_col).cast("long").alias("cls"))
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_gt"))
+    )
+    scored = m.join(d, "det_id")
+    w_fwd = (
+        Window.partitionBy("cls")
+        .orderBy(F.col("_s").desc(), F.col("det_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        scored.withColumn("k", F.count("*").over(w_fwd))
+        .withColumn("ctp", F.sum(F.col("tp").cast("long")).over(w_fwd))
+        .withColumn("prec", F.col("ctp").cast("double") / F.col("k").cast("double"))
+    )
+    w_suf = (
+        Window.partitionBy("cls")
+        .orderBy(F.col("_s").asc(), F.col("det_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    interp = ranked.withColumn("pint", F.max("prec").over(w_suf))
+    per_tp = interp.where("tp").groupBy("cls").agg(
+        F.sum(
+            F.floor(F.col("pint") * F.lit(1_000_000_000.0)).cast("long")
+        ).alias("ap_units"),
+        F.count("*").alias("n_tp"),
+    )
+    ndet = scored.groupBy("cls").agg(F.count("*").alias("n_det"))
+    return (
+        ngt.join(ndet, "cls", "left")
+        .join(per_tp, "cls", "left")
+        .select(
+            "cls",
+            "n_gt",
+            F.coalesce("n_det", F.lit(0)).alias("n_det"),
+            F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+            F.coalesce("ap_units", F.lit(0)).alias("ap_units"),
+            (
+                F.coalesce("ap_units", F.lit(0)).cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.col("n_gt").cast("double")
+            ).alias("ap"),
+        )
     )

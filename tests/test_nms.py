@@ -7,7 +7,12 @@ import pandas as pd
 import pytest
 
 from python_prtree_spark.config import EngineConfig, Extent
-from python_prtree_spark.operators.nms import iou_match, nms_boxes, overlap_iou_pairs
+from python_prtree_spark.operators.nms import (
+    detection_ap,
+    iou_match,
+    nms_boxes,
+    overlap_iou_pairs,
+)
 
 CFG = EngineConfig(extent=Extent(0, 0, 105, 105), level=3)
 
@@ -178,6 +183,77 @@ def test_iou_match_gt_only_and_det_only_images(spark):
     assert set(got["img"]) == {0}
     assert not got["tp"].any()
     assert got["gt_id"].isna().all()
+
+
+def _brute_ap(dets, gts, t_num, t_den):
+    """All-points-interpolated AP per class from the brute matcher."""
+    match = _brute_match(dets, gts, t_num, t_den)
+    out = {}
+    for cls in sorted(gts["cls"].unique()):
+        dc = dets[dets["cls"] == cls].sort_values(
+            ["score", "id"], ascending=[False, True]
+        )
+        n_gt = int((gts["cls"] == cls).sum())
+        tps = [match[int(r["id"])] is not None for _, r in dc.iterrows()]
+        precs = []
+        ctp = 0
+        for k, tp in enumerate(tps, 1):
+            ctp += int(tp)
+            precs.append(ctp / k)
+        # interpolate: running max from the right
+        for i in range(len(precs) - 2, -1, -1):
+            precs[i] = max(precs[i], precs[i + 1])
+        ap_units = sum(
+            int(np.floor(p * 1e9)) for p, tp in zip(precs, tps) if tp
+        )
+        out[int(cls)] = (n_gt, ap_units)
+    return out
+
+
+def test_detection_ap_matches_brute_force(spark):
+    rng = np.random.default_rng(5)
+    n = 360
+    img = rng.integers(0, 18, n)
+    mins = rng.random((n, 2)) * 8
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "img": img,
+        "cls": img % 3,          # class constant per image
+        "score": rng.integers(0, 25, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    dets, gts = pdf[pdf["id"] % 3 != 0], pdf[pdf["id"] % 3 == 0]
+    got = detection_ap(
+        spark.createDataFrame(dets).repartition(8),
+        spark.createDataFrame(gts).repartition(8),
+        1, 3,
+    ).toPandas()
+    want = _brute_ap(dets, gts, 1, 3)
+    assert set(got["cls"]) == set(want)
+    for r in got.itertuples():
+        n_gt, ap_units = want[int(r.cls)]
+        assert int(r.n_gt) == n_gt
+        assert int(r.ap_units) == ap_units
+        assert r.ap == ap_units / 1e9 / n_gt
+        assert 0.0 <= r.ap <= 1.0
+
+
+def test_detection_ap_perfect_detector_is_one(spark):
+    """Detections identical to ground truth, one per gt -> AP = 1."""
+    gts = pd.DataFrame({
+        "id": [1, 2, 3], "img": [0, 0, 1], "cls": [0, 0, 0],
+        "xmin": [0.0, 10.0, 0.0], "ymin": [0.0, 10.0, 0.0],
+        "xmax": [4.0, 14.0, 4.0], "ymax": [4.0, 14.0, 4.0],
+    })
+    dets = gts.assign(id=[11, 12, 13], score=[9, 8, 7])
+    got = detection_ap(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 2
+    ).toPandas()
+    assert len(got) == 1
+    assert int(got["n_tp"].iloc[0]) == 3
+    assert got["ap"].iloc[0] == pytest.approx(1.0, abs=1e-8)
 
 
 def test_iou_pairs_threshold_is_strict(spark):
