@@ -3320,6 +3320,23 @@ def _q_iou_match(spark, sf_dir):
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
+def _q_edt(spark, sf_dir):
+    """Exact Euclidean distance transform on a 256x256 canvas: feature
+    pixels hashed from supplier keys; separable two-phase plan (ONE
+    column shuffle -> 1-D transform, ONE row shuffle -> parabola min),
+    squared distances so every value is an exact integer. Oracle: the
+    definition itself — min over all features of dx^2+dy^2 per pixel."""
+    from python_prtree_spark.operators.edt import distance_transform
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    feats = s.select(
+        ((k * 377424577) % 256).alias("fx"),
+        ((k * 285995483) % 256).alias("fy"),
+    )
+    return distance_transform(feats, 256, 256)
+
+
 def _q_detection_ap(spark, sf_dir):
     """Per-class average precision (mAP's AP) with all-points
     interpolation over the greedy iou_match flags. Classes partition the
@@ -3528,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iou_match": _q_iou_match,
         "union_area": _q_union_area,
         "detection_ap": _q_detection_ap,
+        "distance_transform": _q_edt,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5572,6 +5590,22 @@ SELECT gkey,
   CAST(CAST(SUM((sx2 - sx1) * (iy1 - iy0)) AS BIGINT) AS DOUBLE) / 1000000.0
     AS area
 FROM isl GROUP BY gkey
+""",
+        # EDT by definition: min over features of dx^2+dy^2 at every
+        # pixel — integer-exact twin of the separable two-phase plan in
+        # operators/edt.py:distance_transform.
+        "distance_transform": """
+WITH f AS (
+  SELECT (s_suppkey * 377424577) % 256 AS fx,
+         (s_suppkey * 285995483) % 256 AS fy
+  FROM supplier),
+gxs AS (SELECT UNNEST(range(256)) AS gx),
+px AS (SELECT gx, UNNEST(range(256)) AS gy FROM gxs)
+SELECT p.gx, p.gy,
+  CAST(MIN((p.gx - f.fx) * (p.gx - f.fx)
+         + (p.gy - f.fy) * (p.gy - f.fy)) AS BIGINT) AS d2
+FROM px p CROSS JOIN f
+GROUP BY p.gx, p.gy
 """,
         "iou_match": IOU_MATCH_ORACLE,
         # All-points-interpolated AP over the matching oracle: rank per

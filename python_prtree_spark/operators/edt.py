@@ -1,0 +1,87 @@
+"""Exact Euclidean distance transform (EDT) over a distributed raster —
+the image-processing primitive behind morphology dilation/erosion by
+radius, mask feathering, Chamfer/shape matching, and watershed seeding.
+A 10^12-image corpus runs it per mask; a planetary raster runs it once
+over a grid far wider than one machine.
+
+Semantics: given a set of feature pixels F on a W x H canvas, output for
+EVERY pixel p the squared Euclidean distance to the nearest feature,
+``d2(p) = min_{f in F} (px-fx)^2 + (py-fy)^2`` — squared, so every value
+is an exact integer and the result hash-gates (the caller can sqrt).
+
+Distributed shape — the classic separable decomposition (Felzenszwalb &
+Huttenlocher, "Distance Transforms of Sampled Functions", TR 2004 / ToC
+2012):
+
+  phase 1, ONE shuffle keyed by column: per feature column x', the 1-D
+    transform d1(x', y) = min_{f in column x'} |y - fy| for all y —
+    dense in y, sparse in x (only columns holding features emit);
+  phase 2, ONE shuffle keyed by row: per row y, d2(x, y) =
+    min_{x'} (x - x')^2 + d1(x', y)^2 — the lower envelope of one
+    parabola per feature column, evaluated at every x.
+
+Rows and columns are balanced by construction (grid axes, no data skew),
+so both shuffles scale linearly; no driver state, no iteration. The
+phase-2 kernel here takes the vectorized O(W * Fc) min (exact integer
+arithmetic end to end; Fc = feature columns is small in the gated
+corpus). The production path for dense feature sets is the paper's
+lower-envelope scan — O(W + Fc) per row — with the boundary comparisons
+done in exact integer cross-multiplication; for rasters wider than one
+task, split x into blocks and merge per-block envelopes with each
+block's boundary parabolas (halo of one parabola set per side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["distance_transform"]
+
+
+def distance_transform(
+    features: DataFrame,
+    width: int,
+    height: int,
+    fx_col: str = "fx",
+    fy_col: str = "fy",
+) -> DataFrame:
+    """Exact squared-distance EDT -> (gx, gy, d2) for all width x height
+    pixels. ``features`` rows are feature pixels (integer coords in
+    range); duplicates are harmless (min). Empty feature set -> empty
+    result (distance undefined everywhere)."""
+    w, h = int(width), int(height)
+
+    def col_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        fys = pdf["fy"].to_numpy(dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        d1 = np.abs(ys[:, None] - fys[None, :]).min(axis=1)
+        return pd.DataFrame({
+            "xq": np.full(h, int(pdf["fx"].iloc[0]), dtype=np.int64),
+            "gy": ys,
+            "d1": d1,
+        })
+
+    def row_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["xq"].to_numpy(dtype=np.int64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64)
+        gx = np.arange(w, dtype=np.int64)
+        d2 = ((gx[:, None] - xs[None, :]) ** 2 + d1[None, :] ** 2).min(axis=1)
+        return pd.DataFrame({
+            "gx": gx,
+            "gy": np.full(w, int(pdf["gy"].iloc[0]), dtype=np.int64),
+            "d2": d2,
+        })
+
+    feats = features.select(
+        F.col(fx_col).cast("long").alias("fx"),
+        F.col(fy_col).cast("long").alias("fy"),
+    )
+    d1 = feats.groupBy("fx").applyInPandas(
+        col_kernel, schema="xq long, gy long, d1 long"
+    )
+    return d1.groupBy("gy").applyInPandas(
+        row_kernel, schema="gx long, gy long, d2 long"
+    )
