@@ -3320,6 +3320,19 @@ def _q_iou_match(spark, sf_dir):
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
+def _q_track_by_iou(spark, sf_dir):
+    """Transitive IoU tracking over a synthetic 200-frame video: link
+    consecutive-frame boxes with IoU > 1/5, connected components over
+    the link graph, track = component min id. The join is keyed on
+    (canvas cell, frame) so no frame melts into another's partition.
+    Oracle: brute frame-pair IoU edges + a recursive-CTE closure to the
+    min label (same pattern as dedup_components)."""
+    from python_prtree_spark.operators.nms import track_by_iou
+
+    b = eval_boxes(spark, sf_dir)
+    return track_by_iou(b, 1, 5, CFG, frame_col="img")
+
+
 def _q_edt(spark, sf_dir):
     """Exact Euclidean distance transform on a 256x256 canvas: feature
     pixels hashed from supplier keys; separable two-phase plan (ONE
@@ -3546,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_area": _q_union_area,
         "detection_ap": _q_detection_ap,
         "distance_transform": _q_edt,
+        "track_by_iou": _q_track_by_iou,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5608,6 +5622,34 @@ FROM px p CROSS JOIN f
 GROUP BY p.gx, p.gy
 """,
         "iou_match": IOU_MATCH_ORACLE,
+        # Transitive IoU tracking: brute consecutive-frame IoU>1/5 edges
+        # (same cross-multiplied expression as the engine), recursive
+        # closure to the min reachable label, singletons = own id.
+        "track_by_iou": f"""
+WITH RECURSIVE b AS ({EVAL_BOXES_SQL}),
+e0 AS (
+  SELECT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c ON c.img = a.img + 1
+  WHERE GREATEST(0.0e0, LEAST(a.xmax, c.xmax) - GREATEST(a.xmin, c.xmin))
+      * GREATEST(0.0e0, LEAST(a.ymax, c.ymax) - GREATEST(a.ymin, c.ymin))
+      * 5.0e0
+    > 1.0e0 * ((a.xmax - a.xmin) * (a.ymax - a.ymin)
+               + (c.xmax - c.xmin) * (c.ymax - c.ymin)
+               - GREATEST(0.0e0,
+                          LEAST(a.xmax, c.xmax) - GREATEST(a.xmin, c.xmin))
+               * GREATEST(0.0e0,
+                          LEAST(a.ymax, c.ymax) - GREATEST(a.ymin, c.ymin)))),
+e AS (SELECT id_a AS x, id_b AS y FROM e0
+      UNION SELECT id_b, id_a FROM e0),
+r(n, l) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM e) t0
+  UNION
+  SELECT e.x, r.l FROM e JOIN r ON e.y = r.n
+),
+comp AS (SELECT n, MIN(l) AS track FROM r GROUP BY n)
+SELECT b.id, b.img AS frame, COALESCE(comp.track, b.id) AS track
+FROM b LEFT JOIN comp ON comp.n = b.id
+""",
         # All-points-interpolated AP over the matching oracle: rank per
         # class by (score DESC, det id), running max of precision over
         # the reversed order, floor(p*1e9) fixed-point sum per class —

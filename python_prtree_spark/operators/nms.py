@@ -60,7 +60,14 @@ from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.tiling import explode_cells, ref_cell_col
 from python_prtree_spark.operators.components import connected_components
 
-__all__ = ["nms_boxes", "overlap_iou_pairs", "iou_match", "detection_ap"]
+__all__ = [
+    "nms_boxes",
+    "overlap_iou_pairs",
+    "iou_match",
+    "detection_ap",
+    "temporal_iou_edges",
+    "track_by_iou",
+]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
 
@@ -324,6 +331,88 @@ def iou_match(
     # unmatched) — surface the nullable long the caller expects.
     return out.select(
         "img", "det_id", F.col("gt_id").cast("long").alias("gt_id"), "tp"
+    )
+
+
+def temporal_iou_edges(
+    dets: DataFrame,
+    t_num: int,
+    t_den: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    frame_col: str = "frame",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id_a, id_b) for every pair of detections in CONSECUTIVE frames
+    with IoU > t_num/t_den — the linking step of IoU trackers (Bochinski
+    et al., AVSS 2017: high-IoU overlap between frames t and t+1 links
+    two observations of the same object).
+
+    Cell-grid join keyed on (cell, frame): Catalyst extracts both
+    ``a.cell = b.cell`` and ``a.frame + 1 = b.frame`` as equi-join keys,
+    so the shuffle partitioner is the (canvas cell, frame) pair — one
+    video frame never melts into another's partition, and within a frame
+    the canvas grid bounds the candidate fan-out exactly as in the NMS
+    self-join. The reference-point rule dedups pairs that share several
+    cells; no id ordering is needed (frames differ by construction)."""
+    cols = [frame_col, id_col, *BOX]
+    data_c = explode_cells(dets.select(*cols), cfg.extent, cfg.level)
+    a = data_c.select(
+        F.col(frame_col).cast("long").alias("frame_a"),
+        F.col(id_col).alias("id_a"), "cell",
+        *[F.col(c).alias(f"a_{c}") for c in BOX],
+    )
+    b = data_c.select(
+        F.col(frame_col).cast("long").alias("frame_b"),
+        F.col(id_col).alias("id_b"), "cell",
+        *[F.col(c).alias(f"b_{c}") for c in BOX],
+    )
+    ref = ref_cell_col(
+        F.col("a_xmin"), F.col("a_ymin"), F.col("b_xmin"), F.col("b_ymin"),
+        cfg.extent, cfg.level,
+    )
+    return (
+        a.join(
+            b,
+            (a["cell"] == b["cell"]) & (F.col("frame_a") + 1 == F.col("frame_b")),
+        )
+        .where((ref == a["cell"]) & _iou_exceeds(t_num, t_den))
+        .select("id_a", "id_b")
+    )
+
+
+def track_by_iou(
+    dets: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    frame_col: str = "frame",
+    id_col: str = "id",
+) -> DataFrame:
+    """IoU tracking -> (id, frame, track) for EVERY detection: link
+    consecutive-frame detections with IoU > t, take connected components
+    of the link graph, track id = the component's minimum detection id
+    (unlinked detections are their own singleton track).
+
+    This is transitive IoU tracking (a relaxation of greedy IOU-tracker
+    matching: any chain of >t overlaps joins one track — deterministic,
+    order-free, and exactly reproducible, where greedy per-frame
+    assignment depends on processing order). Components run the engine's
+    alternating large/small-star CC — O(log^2 n) rounds over the link
+    frame only; detection ids must be globally unique."""
+    base = dets.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(frame_col).cast("long").alias("frame"),
+        *BOX,
+    )
+    edges = temporal_iou_edges(base, t_num, t_den, cfg, "frame", "id")
+    comp = connected_components(edges)
+    return (
+        base.select("id", "frame")
+        .join(comp, base["id"] == comp["node"], "left")
+        .select(
+            "id", "frame",
+            F.coalesce(F.col("component"), F.col("id")).alias("track"),
+        )
     )
 
 

@@ -12,6 +12,7 @@ from python_prtree_spark.operators.nms import (
     iou_match,
     nms_boxes,
     overlap_iou_pairs,
+    track_by_iou,
 )
 
 CFG = EngineConfig(extent=Extent(0, 0, 105, 105), level=3)
@@ -254,6 +255,72 @@ def test_detection_ap_perfect_detector_is_one(spark):
     assert len(got) == 1
     assert int(got["n_tp"].iloc[0]) == 3
     assert got["ap"].iloc[0] == pytest.approx(1.0, abs=1e-8)
+
+
+def _brute_tracks(pdf, t_num, t_den):
+    """Union-find over brute consecutive-frame IoU>t edges."""
+    parent = {int(i): int(i) for i in pdf["id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = pdf.to_dict("records")
+    for a in rows:
+        for b in rows:
+            if b["frame"] != a["frame"] + 1:
+                continue
+            inter, union = _iou(
+                (a["xmin"], a["ymin"], a["xmax"], a["ymax"]),
+                (b["xmin"], b["ymin"], b["xmax"], b["ymax"]),
+            )
+            if inter * t_den > t_num * union:
+                ra, rb = find(int(a["id"])), find(int(b["id"]))
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in parent}
+
+
+def test_track_by_iou_matches_union_find(spark):
+    rng = np.random.default_rng(31)
+    n = 240
+    mins = rng.random((n, 2)) * 9
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "frame": rng.integers(0, 20, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    got = track_by_iou(
+        spark.createDataFrame(pdf).repartition(8), 1, 5, CFG
+    ).toPandas()
+    want = _brute_tracks(pdf, 1, 5)
+    assert len(got) == n
+    assert {int(r.id): int(r.track) for r in got.itertuples()} == want
+    # some multi-detection track must exist in this corpus (else the
+    # test exercises nothing)
+    assert got.groupby("track").size().max() >= 2
+
+
+def test_track_by_iou_chain_and_gap(spark):
+    """A chain over frames 0-1-2 is ONE track; a frame gap (0 -> 2)
+    never links even at IoU=1."""
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 10, 11],
+        "frame": [0, 1, 2, 5, 7],
+        "xmin": [0.0, 0.2, 0.4, 50.0, 50.0],
+        "ymin": [0.0, 0.0, 0.0, 50.0, 50.0],
+        "xmax": [4.0, 4.2, 4.4, 54.0, 54.0],
+        "ymax": [4.0, 4.0, 4.0, 54.0, 54.0],
+    })
+    got = {
+        int(r.id): int(r.track)
+        for r in track_by_iou(spark.createDataFrame(pdf), 1, 5, CFG).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == 10 and got[11] == 11
 
 
 def test_iou_pairs_threshold_is_strict(spark):
