@@ -3320,6 +3320,17 @@ def _q_iou_match(spark, sf_dir):
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
+def _q_reliability(spark, sf_dir):
+    """Detector calibration table (reliability diagram, Guo et al. 2017):
+    10 equal-width confidence bins over score/1000, per-bin TP rate
+    under the greedy iou_match flags, and the exact quantized ECE
+    contribution floor(|acc-conf|*n*1e9)."""
+    from python_prtree_spark.operators.nms import reliability_bins
+
+    b = eval_boxes(spark, sf_dir)
+    return reliability_bins(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
+
+
 def _q_track_by_iou(spark, sf_dir):
     """Transitive IoU tracking over a synthetic 200-frame video: link
     consecutive-frame boxes with IoU > 1/5, connected components over
@@ -3560,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detection_ap": _q_detection_ap,
         "distance_transform": _q_edt,
         "track_by_iou": _q_track_by_iou,
+        "reliability_bins": _q_reliability,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5649,6 +5661,31 @@ r(n, l) AS (
 comp AS (SELECT n, MIN(l) AS track FROM r GROUP BY n)
 SELECT b.id, b.img AS frame, COALESCE(comp.track, b.id) AS track
 FROM b LEFT JOIN comp ON comp.n = b.id
+""",
+        # Calibration bins over the matching oracle: integer bin =
+        # floor(s*10/1000), clamped; acc/conf as exact-int ratios; gap
+        # contribution quantized — same float64 expressions as
+        # operators/nms.py:reliability_bins.
+        "reliability_bins": f"""
+WITH m AS ({IOU_MATCH_ORACLE}),
+d AS (
+  SELECT id AS det_id, CAST((id * 40503) % 1000 AS BIGINT) AS s
+  FROM ({EVAL_BOXES_SQL}) WHERE role5 >= 2),
+binned AS (
+  SELECT LEAST(9, CAST(FLOOR(d.s * 10 / 1000.0e0) AS BIGINT)) AS bin,
+         CASE WHEN m.tp THEN 1 ELSE 0 END AS tpn, d.s
+  FROM m JOIN d USING (det_id)),
+agg AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(tpn) AS BIGINT) AS n_tp,
+         CAST(SUM(s) AS BIGINT) AS ssum
+  FROM binned GROUP BY bin)
+SELECT bin, n, n_tp,
+  CAST(n_tp AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+  CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0e0) AS conf,
+  CAST(FLOOR(ABS(CAST(n_tp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0e0))
+             * CAST(n AS DOUBLE) * 1000000000.0e0) AS BIGINT) AS gap_units
+FROM agg
 """,
         # All-points-interpolated AP over the matching oracle: rank per
         # class by (score DESC, det id), running max of precision over

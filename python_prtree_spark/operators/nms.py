@@ -67,6 +67,7 @@ __all__ = [
     "detection_ap",
     "temporal_iou_edges",
     "track_by_iou",
+    "reliability_bins",
 ]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
@@ -413,6 +414,64 @@ def track_by_iou(
             "id", "frame",
             F.coalesce(F.col("component"), F.col("id")).alias("track"),
         )
+    )
+
+
+def reliability_bins(
+    dets: DataFrame,
+    gts: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    n_bins: int = 10,
+    score_max: int = 1000,
+    img_col: str = "img",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reliability diagram / calibration table for detector confidences
+    (Guo et al., ICML 2017 s2) -> one row per confidence bin:
+    (bin, n, n_tp, acc, conf, gap_units).
+
+    A detection's confidence is score/score_max; detections fall into
+    ``n_bins`` equal-width bins (integer arithmetic: bin =
+    score * n_bins / score_max, top score clamped into the last bin);
+    accuracy per bin is the TP rate under ``iou_match``'s greedy VOC
+    flags; ``gap_units`` is the bin's |acc - conf| ECE contribution
+    weighted by n, as an exact quantized integer
+    floor(|acc-conf| * n * 1e9) — summing gap_units/1e9/N over bins
+    gives ECE without any order-dependent float reduction.
+
+    One extra shuffle beyond iou_match (the <= n_bins-row groupBy is
+    map-side combined); empty bins are omitted."""
+    m = iou_match(dets, gts, t_num, t_den, img_col, id_col, score_col)
+    d = dets.select(
+        F.col(id_col).cast("long").alias("det_id"),
+        F.col(score_col).cast("long").alias("_s"),
+    )
+    binned = m.join(d, "det_id").select(
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.floor(F.col("_s") * int(n_bins) / F.lit(int(score_max))).cast("long"),
+        ).alias("bin"),
+        F.col("tp").cast("long").alias("_tp"),
+        "_s",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_tp").alias("n_tp"),
+        F.sum("_s").alias("_ssum"),
+    )
+    acc = F.col("n_tp").cast("double") / F.col("n").cast("double")
+    conf = F.col("_ssum").cast("double") / (
+        F.col("n").cast("double") * F.lit(float(score_max))
+    )
+    return agg.select(
+        "bin", "n", "n_tp",
+        acc.alias("acc"),
+        conf.alias("conf"),
+        F.floor(
+            F.abs(acc - conf) * F.col("n").cast("double") * F.lit(1_000_000_000.0)
+        ).cast("long").alias("gap_units"),
     )
 
 

@@ -12,6 +12,7 @@ from python_prtree_spark.operators.nms import (
     iou_match,
     nms_boxes,
     overlap_iou_pairs,
+    reliability_bins,
     track_by_iou,
 )
 
@@ -255,6 +256,40 @@ def test_detection_ap_perfect_detector_is_one(spark):
     assert len(got) == 1
     assert int(got["n_tp"].iloc[0]) == 3
     assert got["ap"].iloc[0] == pytest.approx(1.0, abs=1e-8)
+
+
+def test_reliability_bins_matches_brute_force(spark):
+    rng = np.random.default_rng(77)
+    n = 300
+    img = rng.integers(0, 15, n)
+    mins = rng.random((n, 2)) * 8
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "img": img,
+        "score": rng.integers(0, 1000, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    dets, gts = pdf[pdf["id"] % 3 != 0], pdf[pdf["id"] % 3 == 0]
+    got = reliability_bins(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 3
+    ).toPandas()
+    match = _brute_match(dets, gts, 1, 3)
+    bins = {}
+    for _, r in dets.iterrows():
+        b = min(9, int(r["score"]) * 10 // 1000)
+        nb, tp, ss = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + 1, tp + int(match[int(r["id"])] is not None),
+                   ss + int(r["score"]))
+    assert set(got["bin"]) == set(bins)
+    for r in got.itertuples():
+        nb, tp, ss = bins[int(r.bin)]
+        assert (int(r.n), int(r.n_tp)) == (nb, tp)
+        assert r.acc == tp / nb
+        assert r.conf == ss / (nb * 1000.0)
+        assert int(r.gap_units) == int(np.floor(abs(tp / nb - ss / (nb * 1000.0)) * nb * 1e9))
+    assert int(got["n"].sum()) == len(dets)
 
 
 def _brute_tracks(pdf, t_num, t_den):
