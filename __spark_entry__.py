@@ -3320,6 +3320,19 @@ def _q_iou_match(spark, sf_dir):
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
+def _q_anchor_assign(spark, sf_dir):
+    """RetinaNet-rule anchor label assignment over the eval ground-truth
+    boxes: implicit stride-2 grid with square templates of side 1/2/4,
+    each overlapping anchor takes its best-IoU gt (ties to smaller id),
+    labeled pos (IoU>=1/2) / ign (>=2/5) / neg. Fixed-point integer
+    IoU; ONE (img, anchor) shuffle. Oracle: the same enumeration via
+    range() with identical integer/float64 expressions."""
+    from python_prtree_spark.operators.anchors import anchor_assign
+
+    b = eval_boxes(spark, sf_dir)
+    return anchor_assign(b.where("role5 < 2"), stride=2, sizes=(1, 2, 4))
+
+
 def _q_reliability(spark, sf_dir):
     """Detector calibration table (reliability diagram, Guo et al. 2017):
     10 equal-width confidence bins over score/1000, per-bin TP rate
@@ -3572,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_transform": _q_edt,
         "track_by_iou": _q_track_by_iou,
         "reliability_bins": _q_reliability,
+        "anchor_assign": _q_anchor_assign,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5661,6 +5675,60 @@ r(n, l) AS (
 comp AS (SELECT n, MIN(l) AS track FROM r GROUP BY n)
 SELECT b.id, b.img AS frame, COALESCE(comp.track, b.id) AS track
 FROM b LEFT JOIN comp ON comp.n = b.id
+""",
+        # Anchor label assignment: same closed-form index ranges,
+        # fixed-point integer IoU, and per-anchor (iou DESC, gt_id)
+        # argmax as operators/anchors.py:anchor_assign (stride=2,
+        # sizes 1/2/4, scale 1000 -> st=2000, half_st=1000).
+        "anchor_assign": f"""
+WITH b AS ({EVAL_BOXES_SQL}),
+g AS (
+  SELECT img, id AS gt_id,
+    CAST(ROUND(xmin * 1000) AS BIGINT) AS gx0,
+    CAST(ROUND(ymin * 1000) AS BIGINT) AS gy0,
+    CAST(ROUND(xmax * 1000) AS BIGINT) AS gx1,
+    CAST(ROUND(ymax * 1000) AS BIGINT) AS gy1
+  FROM b WHERE role5 < 2),
+gk AS (
+  SELECT g.*, k.k, k.sz FROM g
+  CROSS JOIN (VALUES (0, 1000), (1, 2000), (2, 4000)) k(k, sz)),
+rng AS (
+  SELECT *,
+    GREATEST(0, CAST(FLOOR((gx0 - 1000 - sz/2) / 2000.0e0 + 1) AS BIGINT))
+      AS ax_lo,
+    CAST(CEIL((gx1 - 1000 + sz/2) / 2000.0e0 - 1) AS BIGINT) AS ax_hi,
+    GREATEST(0, CAST(FLOOR((gy0 - 1000 - sz/2) / 2000.0e0 + 1) AS BIGINT))
+      AS ay_lo,
+    CAST(CEIL((gy1 - 1000 + sz/2) / 2000.0e0 - 1) AS BIGINT) AS ay_hi
+  FROM gk),
+cx AS (SELECT *, UNNEST(range(ax_lo, ax_hi + 1)) AS ax FROM rng),
+cc AS (SELECT *, UNNEST(range(ay_lo, ay_hi + 1)) AS ay FROM cx),
+sc AS (
+  SELECT img, ax, ay, k, gt_id,
+    CAST(ix * iy AS BIGINT) AS inter_units,
+    (gx1 - gx0) * (gy1 - gy0) + sz * sz - CAST(ix * iy AS BIGINT)
+      AS union_units
+  FROM (
+    SELECT *,
+      LEAST(gx1, ax * 2000 + 1000 + sz/2)
+        - GREATEST(gx0, ax * 2000 + 1000 - sz/2) AS ix,
+      LEAST(gy1, ay * 2000 + 1000 + sz/2)
+        - GREATEST(gy0, ay * 2000 + 1000 - sz/2) AS iy
+    FROM cc)
+  WHERE ix > 0 AND iy > 0),
+ranked AS (
+  SELECT *,
+    CAST(inter_units AS DOUBLE) / CAST(union_units AS DOUBLE) AS iou,
+    ROW_NUMBER() OVER (
+      PARTITION BY img, ax, ay, k
+      ORDER BY CAST(inter_units AS DOUBLE) / CAST(union_units AS DOUBLE) DESC,
+               gt_id ASC) AS rn
+  FROM sc)
+SELECT img, ax, ay, k, gt_id, inter_units, union_units, iou,
+  CASE WHEN inter_units * 2 >= union_units THEN 'pos'
+       WHEN inter_units * 5 >= union_units * 2 THEN 'ign'
+       ELSE 'neg' END AS label
+FROM ranked WHERE rn = 1
 """,
         # Calibration bins over the matching oracle: integer bin =
         # floor(s*10/1000), clamped; acc/conf as exact-int ratios; gap

@@ -1201,3 +1201,24 @@ def test_iou_match_plan_single_img_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert len(re.findall(r"hashpartitioning\(img", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_anchor_assign_plan_pure_jvm_one_shuffle(spark):
+    """anchor_assign: pure JVM (explode + one (img, anchor) aggregate) —
+    no Python stage, no join, the implicit grid never materialized."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.anchors import anchor_assign
+
+    gts = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [1], "img": [0],
+            "xmin": [0.0], "ymin": [0.0], "xmax": [2.0], "ymax": [2.0],
+        })
+    )
+    df = anchor_assign(gts, stride=2, sizes=(1, 2))
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "FlatMapGroupsInPandas" not in plan and "pythonUDF" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(img" in plan, plan
