@@ -3320,6 +3320,79 @@ def _q_iou_match(spark, sf_dir):
     return iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
 
 
+def _painted_labels(spark, sf_dir, dx_units, dy_units):
+    """Sparse label raster: part boxes painted on the 1-unit 105-grid,
+    label = max covering box id per pixel (deterministic overpaint).
+    ``dx/dy_units`` shift the boxes in 1/1000 units — the gt raster is
+    the same scene shifted sub-pixel, so segments overlap partially."""
+    b = part_boxes(spark, sf_dir)
+    x0 = F.round(F.col("xmin") * 1000).cast("long") + dx_units
+    x1 = F.round(F.col("xmax") * 1000).cast("long") + dx_units
+    y0 = F.round(F.col("ymin") * 1000).cast("long") + dy_units
+    y1 = F.round(F.col("ymax") * 1000).cast("long") + dy_units
+    return (
+        b.select("id", x0.alias("x0"), x1.alias("x1"),
+                 y0.alias("y0"), y1.alias("y1"))
+        .withColumn(
+            "gx",
+            F.explode(F.sequence(F.floor(F.col("x0") / 1000),
+                                 F.floor((F.col("x1") - 1) / 1000))),
+        )
+        .withColumn(
+            "gy",
+            F.explode(F.sequence(F.floor(F.col("y0") / 1000),
+                                 F.floor((F.col("y1") - 1) / 1000))),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.max("id").alias("label"))
+    )
+
+
+def _painted_sql(dx_units, dy_units, out="pl"):
+    return f"""
+  SELECT gx, gy, MAX(id) AS {out}
+  FROM (
+    SELECT id, x0, x1, y0, gy,
+           UNNEST(range(x0 // 1000, (x1 - 1) // 1000 + 1)) AS gx
+    FROM (
+      SELECT id, x0, x1, y0, y1,
+             UNNEST(range(y0 // 1000, (y1 - 1) // 1000 + 1)) AS gy
+      FROM (
+        SELECT id,
+          CAST(ROUND(xmin * 1000) AS BIGINT) + {dx_units} AS x0,
+          CAST(ROUND(xmax * 1000) AS BIGINT) + {dx_units} AS x1,
+          CAST(ROUND(ymin * 1000) AS BIGINT) + {dy_units} AS y0,
+          CAST(ROUND(ymax * 1000) AS BIGINT) + {dy_units} AS y1
+        FROM ({PART_BOXES_SQL})
+      )
+    )
+  )
+  GROUP BY gx, gy
+"""
+
+
+def _q_segment_matches(spark, sf_dir):
+    """Panoptic segment matching: every (pred, gt) segment pair with a
+    non-empty pixel intersection, its exact counts, IoU, and the
+    IoU>1/2 match flag. Pred = painted part boxes; gt = same scene
+    shifted (+0.487, +0.313) units, so segments overlap partially."""
+    from python_prtree_spark.operators.panoptic import segment_matches
+
+    pred = _painted_labels(spark, sf_dir, 0, 0)
+    gt = _painted_labels(spark, sf_dir, 487, 313)
+    return segment_matches(pred, gt)
+
+
+def _q_panoptic_quality(spark, sf_dir):
+    """Panoptic quality (Kirillov et al. 2019): single-row TP/FP/FN +
+    quantized-IoU SQ sum + PQ over the same painted pair of rasters."""
+    from python_prtree_spark.operators.panoptic import panoptic_quality
+
+    pred = _painted_labels(spark, sf_dir, 0, 0)
+    gt = _painted_labels(spark, sf_dir, 487, 313)
+    return panoptic_quality(pred, gt)
+
+
 def _q_anchor_assign(spark, sf_dir):
     """RetinaNet-rule anchor label assignment over the eval ground-truth
     boxes: implicit stride-2 grid with square templates of side 1/2/4,
@@ -3586,6 +3659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_by_iou": _q_track_by_iou,
         "reliability_bins": _q_reliability,
         "anchor_assign": _q_anchor_assign,
+        "segment_matches": _q_segment_matches,
+        "panoptic_quality": _q_panoptic_quality,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5675,6 +5750,61 @@ r(n, l) AS (
 comp AS (SELECT n, MIN(l) AS track FROM r GROUP BY n)
 SELECT b.id, b.img AS frame, COALESCE(comp.track, b.id) AS track
 FROM b LEFT JOIN comp ON comp.n = b.id
+""",
+        # Panoptic segment matching + PQ: painted label rasters, one
+        # pixel equi-join, exact segment counts; IoU float64 division
+        # and floor(iou*1e9) quantization identical to
+        # operators/panoptic.py.
+        "segment_matches": f"""
+WITH pred AS ({_painted_sql(0, 0, "plabel")}),
+gt AS ({_painted_sql(487, 313, "glabel")}),
+np AS (SELECT plabel, COUNT(*) AS n_p FROM pred GROUP BY plabel),
+ng AS (SELECT glabel, COUNT(*) AS n_g FROM gt GROUP BY glabel),
+inter AS (
+  SELECT p.plabel, g.glabel, COUNT(*) AS n_i
+  FROM pred p JOIN gt g ON p.gx = g.gx AND p.gy = g.gy
+  GROUP BY p.plabel, g.glabel)
+SELECT i.plabel, i.glabel, i.n_i, np.n_p, ng.n_g,
+  CAST(i.n_i AS DOUBLE) / CAST(np.n_p + ng.n_g - i.n_i AS DOUBLE) AS iou,
+  (i.n_i * 2 > 1 * (np.n_p + ng.n_g - i.n_i)) AS matched
+FROM inter i JOIN np ON np.plabel = i.plabel JOIN ng ON ng.glabel = i.glabel
+""",
+        "panoptic_quality": f"""
+WITH pred AS ({_painted_sql(0, 0, "plabel")}),
+gt AS ({_painted_sql(487, 313, "glabel")}),
+np AS (SELECT plabel, COUNT(*) AS n_p FROM pred GROUP BY plabel),
+ng AS (SELECT glabel, COUNT(*) AS n_g FROM gt GROUP BY glabel),
+inter AS (
+  SELECT p.plabel, g.glabel, COUNT(*) AS n_i
+  FROM pred p JOIN gt g ON p.gx = g.gx AND p.gy = g.gy
+  GROUP BY p.plabel, g.glabel),
+m AS (
+  SELECT i.n_i, np.n_p, ng.n_g,
+    CAST(i.n_i AS DOUBLE) / CAST(np.n_p + ng.n_g - i.n_i AS DOUBLE) AS iou
+  FROM inter i JOIN np ON np.plabel = i.plabel
+  JOIN ng ON ng.glabel = i.glabel
+  WHERE i.n_i * 2 > 1 * (np.n_p + ng.n_g - i.n_i)),
+tp AS (
+  SELECT COUNT(*) AS n_tp,
+    COALESCE(CAST(SUM(CAST(FLOOR(iou * 1000000000.0e0) AS BIGINT)) AS BIGINT),
+             0) AS sq_units
+  FROM m),
+cnts AS (
+  SELECT (SELECT COUNT(DISTINCT plabel) FROM pred) AS n_pred,
+         (SELECT COUNT(DISTINCT glabel) FROM gt) AS n_gt)
+SELECT c.n_pred, c.n_gt, t.n_tp,
+  c.n_pred - t.n_tp AS n_fp,
+  c.n_gt - t.n_tp AS n_fn,
+  t.sq_units,
+  CASE WHEN CAST(t.n_tp AS DOUBLE)
+          + CAST(c.n_pred - t.n_tp AS DOUBLE) / 2.0e0
+          + CAST(c.n_gt - t.n_tp AS DOUBLE) / 2.0e0 > 0
+       THEN (CAST(t.sq_units AS DOUBLE) / 1000000000.0e0)
+            / (CAST(t.n_tp AS DOUBLE)
+               + CAST(c.n_pred - t.n_tp AS DOUBLE) / 2.0e0
+               + CAST(c.n_gt - t.n_tp AS DOUBLE) / 2.0e0)
+  END AS pq
+FROM cnts c, tp t
 """,
         # Anchor label assignment: same closed-form index ranges,
         # fixed-point integer IoU, and per-anchor (iou DESC, gt_id)
