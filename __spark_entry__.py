@@ -3406,6 +3406,29 @@ def _q_anchor_assign(spark, sf_dir):
     return anchor_assign(b.where("role5 < 2"), stride=2, sizes=(1, 2, 4))
 
 
+def _q_anchor_targets(spark, sf_dir):
+    """Box-regression targets for the positive anchors: standard R-CNN
+    (tx, ty) center offsets as identical float64 divisions of exact
+    int64 numerators (also emitted), size targets as exact w/h ratios
+    (ln left to the training loader — libm-dependent)."""
+    from python_prtree_spark.operators.anchors import anchor_targets
+
+    b = eval_boxes(spark, sf_dir)
+    return anchor_targets(b.where("role5 < 2"), stride=2, sizes=(1, 2, 4))
+
+
+def _q_fuse_boxes(spark, sf_dir):
+    """WBF-style ensemble fusion: det boxes cluster by transitive
+    IoU > 1/4 (cell self-join + CC), each cluster fuses to the
+    score-weighted coordinate mean — exact int64 numerators, weights
+    score+1 (positive). Oracle: brute IoU edges + recursive closure +
+    the same integer sums."""
+    from python_prtree_spark.operators.nms import fuse_boxes
+
+    d = det_boxes(spark, sf_dir).withColumn("w", F.col("score") + 1)
+    return fuse_boxes(d, 1, 4, CFG, score_col="w")
+
+
 def _q_reliability(spark, sf_dir):
     """Detector calibration table (reliability diagram, Guo et al. 2017):
     10 equal-width confidence bins over score/1000, per-bin TP rate
@@ -3661,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_assign": _q_anchor_assign,
         "segment_matches": _q_segment_matches,
         "panoptic_quality": _q_panoptic_quality,
+        "anchor_targets": _q_anchor_targets,
+        "fuse_boxes": _q_fuse_boxes,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5859,6 +5884,112 @@ SELECT img, ax, ay, k, gt_id, inter_units, union_units, iou,
        WHEN inter_units * 5 >= union_units * 2 THEN 'ign'
        ELSE 'neg' END AS label
 FROM ranked WHERE rn = 1
+""",
+        # Regression targets: the anchor_assign oracle carrying gt
+        # coords, positives only, with the identical exact-numerator /
+        # float64-division encoding of operators/anchors.py:anchor_targets.
+        "anchor_targets": f"""
+WITH b AS ({EVAL_BOXES_SQL}),
+g AS (
+  SELECT img, id AS gt_id,
+    CAST(ROUND(xmin * 1000) AS BIGINT) AS gx0,
+    CAST(ROUND(ymin * 1000) AS BIGINT) AS gy0,
+    CAST(ROUND(xmax * 1000) AS BIGINT) AS gx1,
+    CAST(ROUND(ymax * 1000) AS BIGINT) AS gy1
+  FROM b WHERE role5 < 2),
+gk AS (
+  SELECT g.*, k.k, k.sz FROM g
+  CROSS JOIN (VALUES (0, 1000), (1, 2000), (2, 4000)) k(k, sz)),
+rng AS (
+  SELECT *,
+    GREATEST(0, CAST(FLOOR((gx0 - 1000 - sz/2) / 2000.0e0 + 1) AS BIGINT))
+      AS ax_lo,
+    CAST(CEIL((gx1 - 1000 + sz/2) / 2000.0e0 - 1) AS BIGINT) AS ax_hi,
+    GREATEST(0, CAST(FLOOR((gy0 - 1000 - sz/2) / 2000.0e0 + 1) AS BIGINT))
+      AS ay_lo,
+    CAST(CEIL((gy1 - 1000 + sz/2) / 2000.0e0 - 1) AS BIGINT) AS ay_hi
+  FROM gk),
+cx AS (SELECT *, UNNEST(range(ax_lo, ax_hi + 1)) AS ax FROM rng),
+cc AS (SELECT *, UNNEST(range(ay_lo, ay_hi + 1)) AS ay FROM cx),
+sc AS (
+  SELECT img, ax, ay, k, sz, gt_id, gx0, gy0, gx1, gy1,
+    CAST(ix * iy AS BIGINT) AS inter_units,
+    (gx1 - gx0) * (gy1 - gy0) + sz * sz - CAST(ix * iy AS BIGINT)
+      AS union_units
+  FROM (
+    SELECT *,
+      LEAST(gx1, ax * 2000 + 1000 + sz/2)
+        - GREATEST(gx0, ax * 2000 + 1000 - sz/2) AS ix,
+      LEAST(gy1, ay * 2000 + 1000 + sz/2)
+        - GREATEST(gy0, ay * 2000 + 1000 - sz/2) AS iy
+    FROM cc)
+  WHERE ix > 0 AND iy > 0),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY img, ax, ay, k
+      ORDER BY CAST(inter_units AS DOUBLE) / CAST(union_units AS DOUBLE) DESC,
+               gt_id ASC) AS rn
+  FROM sc)
+SELECT img, ax, ay, k, gt_id,
+  CAST(gx0 + gx1 - 2 * (ax * 2000 + 1000) AS DOUBLE)
+    / CAST(2 * sz AS DOUBLE) AS tx,
+  CAST(gy0 + gy1 - 2 * (ay * 2000 + 1000) AS DOUBLE)
+    / CAST(2 * sz AS DOUBLE) AS ty,
+  CAST(gx1 - gx0 AS DOUBLE) / CAST(sz AS DOUBLE) AS wr,
+  CAST(gy1 - gy0 AS DOUBLE) / CAST(sz AS DOUBLE) AS hr,
+  gx0 + gx1 - 2 * (ax * 2000 + 1000) AS tx_num,
+  gy0 + gy1 - 2 * (ay * 2000 + 1000) AS ty_num,
+  2 * sz AS t_den
+FROM ranked WHERE rn = 1 AND inter_units * 2 >= union_units
+""",
+        # WBF-style fusion: brute IoU>1/4 edges, recursive closure,
+        # score-weighted exact integer coordinate sums — identical to
+        # operators/nms.py:fuse_boxes with weights score+1.
+        "fuse_boxes": f"""
+WITH RECURSIVE dets AS (
+  SELECT d.*, d.score + 1 AS w FROM ({DET_BOXES_SQL}) d),
+e0 AS (
+  SELECT a.id AS id_a, c.id AS id_b
+  FROM dets a JOIN dets c ON a.id < c.id
+  WHERE GREATEST(0.0e0, LEAST(a.xmax, c.xmax) - GREATEST(a.xmin, c.xmin))
+      * GREATEST(0.0e0, LEAST(a.ymax, c.ymax) - GREATEST(a.ymin, c.ymin))
+      * 4.0e0
+    > 1.0e0 * ((a.xmax - a.xmin) * (a.ymax - a.ymin)
+               + (c.xmax - c.xmin) * (c.ymax - c.ymin)
+               - GREATEST(0.0e0,
+                          LEAST(a.xmax, c.xmax) - GREATEST(a.xmin, c.xmin))
+               * GREATEST(0.0e0,
+                          LEAST(a.ymax, c.ymax) - GREATEST(a.ymin, c.ymin)))),
+e AS (SELECT id_a AS x, id_b AS y FROM e0
+      UNION SELECT id_b, id_a FROM e0),
+r(n, l) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM e) t0
+  UNION
+  SELECT e.x, r.l FROM e JOIN r ON e.y = r.n
+),
+comp AS (SELECT n, MIN(l) AS cl FROM r GROUP BY n),
+wc AS (
+  SELECT COALESCE(comp.cl, d.id) AS cluster, d.w,
+    CAST(ROUND(d.xmin * 1000) AS BIGINT) AS x0,
+    CAST(ROUND(d.ymin * 1000) AS BIGINT) AS y0,
+    CAST(ROUND(d.xmax * 1000) AS BIGINT) AS x1,
+    CAST(ROUND(d.ymax * 1000) AS BIGINT) AS y1
+  FROM dets d LEFT JOIN comp ON comp.n = d.id),
+agg AS (
+  SELECT cluster, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS score_sum,
+    CAST(SUM(w * x0) AS BIGINT) AS x0_num,
+    CAST(SUM(w * y0) AS BIGINT) AS y0_num,
+    CAST(SUM(w * x1) AS BIGINT) AS x1_num,
+    CAST(SUM(w * y1) AS BIGINT) AS y1_num
+  FROM wc GROUP BY cluster)
+SELECT cluster, n, score_sum,
+  CAST(x0_num AS DOUBLE) / (CAST(score_sum AS DOUBLE) * 1000.0e0) AS xmin,
+  CAST(y0_num AS DOUBLE) / (CAST(score_sum AS DOUBLE) * 1000.0e0) AS ymin,
+  CAST(x1_num AS DOUBLE) / (CAST(score_sum AS DOUBLE) * 1000.0e0) AS xmax,
+  CAST(y1_num AS DOUBLE) / (CAST(score_sum AS DOUBLE) * 1000.0e0) AS ymax,
+  x0_num, y0_num, x1_num, y1_num
+FROM agg
 """,
         # Calibration bins over the matching oracle: integer bin =
         # floor(s*10/1000), clamped; acc/conf as exact-int ratios; gap

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anchor_assign"]
+__all__ = ["anchor_assign", "anchor_targets"]
 
 
 def anchor_assign(
@@ -133,4 +133,62 @@ def anchor_assign(
         .when(i_u * 5 >= u_u * 2, F.lit("ign"))
         .otherwise(F.lit("neg"))
         .alias("label"),
+    )
+
+
+def anchor_targets(
+    gts: DataFrame,
+    stride: int = 16,
+    sizes: tuple[int, ...] = (16, 32, 64),
+    scale: int = 1000,
+    img_col: str = "img",
+    id_col: str = "id",
+) -> DataFrame:
+    """Box-regression targets for the POSITIVE anchors of
+    ``anchor_assign`` — the rows a detector training job actually
+    materializes -> (img, ax, ay, k, gt_id, tx, ty, wr, hr, tx_num,
+    ty_num, t_den).
+
+    Standard R-CNN/RetinaNet encoding relative to the square anchor of
+    side s: tx = (gt_cx - anchor_cx)/s, ty likewise, and the SIZE
+    targets are emitted as the exact ratios wr = gt_w/s, hr = gt_h/s —
+    the conventional tw = ln(wr) is left to the training loader because
+    ln() is libm-dependent and would break cross-engine bit-equality,
+    while wr is a ratio of exact int64s (monotone in tw, so nothing is
+    lost). tx/ty are also carried as exact integers: tx = tx_num/t_den
+    with tx_num = gx0+gx1-2*anchor_cx and t_den = 2s, all in 1/scale
+    units.
+
+    One gt_id-keyed join beyond anchor_assign's single shuffle."""
+    st = int(stride) * int(scale)
+    half_st = st // 2
+    a = anchor_assign(gts, stride, sizes, scale, img_col, id_col).where(
+        F.col("label") == "pos"
+    )
+    g = gts.select(
+        F.col(id_col).cast("long").alias("gt_id"),
+        F.round(F.col("xmin") * scale).cast("long").alias("gx0"),
+        F.round(F.col("ymin") * scale).cast("long").alias("gy0"),
+        F.round(F.col("xmax") * scale).cast("long").alias("gx1"),
+        F.round(F.col("ymax") * scale).cast("long").alias("gy1"),
+    )
+    j = a.join(g, "gt_id")
+    sz = F.element_at(
+        F.array(*[F.lit(int(s) * int(scale)) for s in sizes]),
+        (F.col("k") + 1).cast("int"),
+    )
+    acx = F.col("ax") * st + half_st
+    acy = F.col("ay") * st + half_st
+    tx_num = F.col("gx0") + F.col("gx1") - 2 * acx
+    ty_num = F.col("gy0") + F.col("gy1") - 2 * acy
+    t_den = 2 * sz
+    return j.select(
+        "img", "ax", "ay", "k", "gt_id",
+        (tx_num.cast("double") / t_den.cast("double")).alias("tx"),
+        (ty_num.cast("double") / t_den.cast("double")).alias("ty"),
+        ((F.col("gx1") - F.col("gx0")).cast("double") / sz.cast("double")).alias("wr"),
+        ((F.col("gy1") - F.col("gy0")).cast("double") / sz.cast("double")).alias("hr"),
+        tx_num.alias("tx_num"),
+        ty_num.alias("ty_num"),
+        t_den.alias("t_den"),
     )

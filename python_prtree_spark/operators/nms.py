@@ -68,6 +68,7 @@ __all__ = [
     "temporal_iou_edges",
     "track_by_iou",
     "reliability_bins",
+    "fuse_boxes",
 ]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
@@ -414,6 +415,65 @@ def track_by_iou(
             "id", "frame",
             F.coalesce(F.col("component"), F.col("id")).alias("track"),
         )
+    )
+
+
+def fuse_boxes(
+    dets: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scale: int = 1000,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Ensemble box fusion — the clustering relaxation of Weighted Boxes
+    Fusion (Solovyev et al., Image and Vision Computing 2021): boxes
+    pooled from several detectors cluster by TRANSITIVE IoU > t
+    (deterministic and order-free, where canonical WBF's sequential
+    seeding depends on score order), and each cluster fuses to a single
+    box at the score-weighted mean of its members' coordinates.
+
+    -> (cluster, n, score_sum, xmin, ymin, xmax, ymax,
+        x0_num, y0_num, x1_num, y1_num): cluster = member min id;
+    coordinates are score-weighted means as float64 *_num/score_sum
+    divisions over exact int64 sums (coords x scale integral, weights =
+    integer scores, which must be POSITIVE — a zero-weight member would
+    silently vanish from the mean).
+
+    Plan: the NMS cell self-join for IoU pairs, the engine CC for
+    clusters, then ONE cluster-keyed exact integer aggregate."""
+    base = dets.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(score_col).cast("long").alias("score"),
+        *BOX,
+    )
+    pairs = overlap_iou_pairs(base, t_num, t_den, cfg, "id", "score")
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    withc = base.join(comp, base["id"] == comp["node"], "left").select(
+        F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        "score",
+        F.round(F.col("xmin") * scale).cast("long").alias("x0"),
+        F.round(F.col("ymin") * scale).cast("long").alias("y0"),
+        F.round(F.col("xmax") * scale).cast("long").alias("x1"),
+        F.round(F.col("ymax") * scale).cast("long").alias("y1"),
+    )
+    agg = withc.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("score_sum"),
+        F.sum(F.col("score") * F.col("x0")).alias("x0_num"),
+        F.sum(F.col("score") * F.col("y0")).alias("y0_num"),
+        F.sum(F.col("score") * F.col("x1")).alias("x1_num"),
+        F.sum(F.col("score") * F.col("y1")).alias("y1_num"),
+    )
+    den = F.col("score_sum").cast("double") * F.lit(float(scale))
+    return agg.select(
+        "cluster", "n", "score_sum",
+        (F.col("x0_num").cast("double") / den).alias("xmin"),
+        (F.col("y0_num").cast("double") / den).alias("ymin"),
+        (F.col("x1_num").cast("double") / den).alias("xmax"),
+        (F.col("y1_num").cast("double") / den).alias("ymax"),
+        "x0_num", "y0_num", "x1_num", "y1_num",
     )
 
 

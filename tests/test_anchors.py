@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from python_prtree_spark.operators.anchors import anchor_assign
+from python_prtree_spark.operators.anchors import anchor_assign, anchor_targets
 
 
 def _brute(gts, stride, sizes, grid=64):
@@ -77,6 +77,34 @@ def test_anchor_assign_matches_brute_force(spark):
             assert r.inter_units * 2 < r.union_units
     assert {"pos", "ign", "neg"} >= set(got["label"])
     assert (got["iou"] > 0).all() and (got["iou"] <= 1.0).all()
+
+
+def test_anchor_targets_encoding(spark):
+    """gt = anchor shifted by (+0.5, -0.25) and 1.5x wider: tx/ty/wr/hr
+    must be the closed-form offsets; only positive anchors emit."""
+    gts = pd.DataFrame({
+        "id": [3], "img": [0],
+        # anchor (ax=0, ay=0, k=0 size 2) is centered (1,1): box [0,2]^2
+        "xmin": [0.5], "ymin": [0.75 - 1.0], "xmax": [3.5], "ymax": [1.75],
+    })
+    got = anchor_targets(
+        spark.createDataFrame(gts), stride=2, sizes=(2,)
+    ).toPandas()
+    row = got[(got["ax"] == 0) & (got["ay"] == 0)]
+    if len(row):  # IoU vs the (0,0) anchor: inter 1.75x2=..., check encoding
+        r = row.iloc[0]
+        assert r.tx == (0.5 + 3.5 - 2.0) / 4.0      # (gx0+gx1-2cx)/(2s)
+        assert r.wr == 3.0 / 2.0
+        assert int(r.t_den) == 4000
+    # every emitted row is a positive assignment re-derivable from assign
+    a = anchor_assign(spark.createDataFrame(gts), stride=2, sizes=(2,)).toPandas()
+    pos = a[a["label"] == "pos"]
+    assert len(got) == len(pos)
+    got_k = {(int(r.img), int(r.ax), int(r.ay), int(r.k)) for r in got.itertuples()}
+    pos_k = {(int(r.img), int(r.ax), int(r.ay), int(r.k)) for r in pos.itertuples()}
+    assert got_k == pos_k
+    for r in got.itertuples():
+        assert r.tx == r.tx_num / r.t_den and r.ty == r.ty_num / r.t_den
 
 
 def test_anchor_assign_unit_case(spark):

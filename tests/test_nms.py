@@ -9,6 +9,7 @@ import pytest
 from python_prtree_spark.config import EngineConfig, Extent
 from python_prtree_spark.operators.nms import (
     detection_ap,
+    fuse_boxes,
     iou_match,
     nms_boxes,
     overlap_iou_pairs,
@@ -356,6 +357,45 @@ def test_track_by_iou_chain_and_gap(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == 10 and got[11] == 11
+
+
+def test_fuse_boxes_weighted_mean_and_singletons(spark):
+    """Two overlapping boxes fuse at the score-weighted mean; the far
+    singleton passes through unchanged with its own id as cluster."""
+    pdf = pd.DataFrame({
+        "id": [1, 2, 9],
+        "score": [3, 1, 5],
+        "xmin": [0.0, 1.0, 50.0], "ymin": [0.0, 1.0, 50.0],
+        "xmax": [4.0, 5.0, 54.0], "ymax": [4.0, 5.0, 54.0],
+    })
+    got = fuse_boxes(spark.createDataFrame(pdf), 1, 5, CFG).toPandas()
+    got = got.set_index("cluster")
+    assert set(got.index) == {1, 9}
+    f = got.loc[1]
+    assert int(f.n) == 2 and int(f.score_sum) == 4
+    assert f.xmin == (3 * 0 + 1 * 1000) / (4 * 1000.0)
+    assert f.xmax == (3 * 4000 + 1 * 5000) / (4 * 1000.0)
+    s = got.loc[9]
+    assert int(s.n) == 1 and s.xmin == 50.0 and s.ymax == 54.0
+
+
+def test_fuse_boxes_counts_partition_input(spark):
+    rng = np.random.default_rng(21)
+    n = 200
+    mins = rng.random((n, 2)) * 60
+    ext = 1.0 + rng.random((n, 2)) * 5
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "score": rng.integers(1, 30, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    got = fuse_boxes(spark.createDataFrame(pdf).repartition(8), 1, 2, CFG).toPandas()
+    assert int(got["n"].sum()) == n          # every box in exactly one cluster
+    assert int(got["score_sum"].sum()) == int(pdf["score"].sum())
+    # fused boxes stay inside their members' hull: min <= mean <= max
+    assert (got["xmin"] <= got["xmax"]).all()
+    assert (got["ymin"] <= got["ymax"]).all()
 
 
 def test_iou_pairs_threshold_is_strict(spark):
