@@ -3470,6 +3470,23 @@ def _q_edt(spark, sf_dir):
     return distance_transform(feats, 256, 256)
 
 
+def _q_nearest_site(spark, sf_dir):
+    """Discrete Voronoi labeling on the 256x256 canvas: every pixel
+    takes its nearest supplier site (exact d2, ties to the smaller
+    site id) through the same separable two-phase plan as the EDT.
+    Oracle: per-pixel min d2, then min site among the achievers."""
+    from python_prtree_spark.operators.edt import nearest_site
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    feats = s.select(
+        k.alias("site"),
+        ((k * 377424577) % 256).alias("fx"),
+        ((k * 285995483) % 256).alias("fy"),
+    )
+    return nearest_site(feats, 256, 256)
+
+
 def _q_detection_ap(spark, sf_dir):
     """Per-class average precision (mAP's AP) with all-points
     interpolation over the greedy iou_match flags. Classes partition the
@@ -3686,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panoptic_quality": _q_panoptic_quality,
         "anchor_targets": _q_anchor_targets,
         "fuse_boxes": _q_fuse_boxes,
+        "nearest_site": _q_nearest_site,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5746,6 +5764,27 @@ SELECT p.gx, p.gy,
          + (p.gy - f.fy) * (p.gy - f.fy)) AS BIGINT) AS d2
 FROM px p CROSS JOIN f
 GROUP BY p.gx, p.gy
+""",
+        # Voronoi by definition: per-pixel min d2 over sites, then the
+        # smallest site id among the achievers — integer-exact twin of
+        # operators/edt.py:nearest_site.
+        "nearest_site": """
+WITH f AS (
+  SELECT s_suppkey AS fid,
+         (s_suppkey * 377424577) % 256 AS fx,
+         (s_suppkey * 285995483) % 256 AS fy
+  FROM supplier),
+gxs AS (SELECT UNNEST(range(256)) AS gx),
+px AS (SELECT gx, UNNEST(range(256)) AS gy FROM gxs),
+c AS (
+  SELECT p.gx, p.gy, f.fid,
+    (p.gx - f.fx) * (p.gx - f.fx) + (p.gy - f.fy) * (p.gy - f.fy) AS dd
+  FROM px p CROSS JOIN f),
+m AS (SELECT gx, gy, MIN(dd) AS d2 FROM c GROUP BY gx, gy)
+SELECT m.gx, m.gy, CAST(m.d2 AS BIGINT) AS d2,
+       CAST(MIN(c.fid) AS BIGINT) AS site
+FROM m JOIN c ON c.gx = m.gx AND c.gy = m.gy AND c.dd = m.d2
+GROUP BY m.gx, m.gy, m.d2
 """,
         "iou_match": IOU_MATCH_ORACLE,
         # Transitive IoU tracking: brute consecutive-frame IoU>1/5 edges

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distance_transform"]
+__all__ = ["distance_transform", "nearest_site"]
 
 
 def distance_transform(
@@ -84,4 +84,70 @@ def distance_transform(
     )
     return d1.groupBy("gy").applyInPandas(
         row_kernel, schema="gx long, gy long, d2 long"
+    )
+
+
+def nearest_site(
+    sites: DataFrame,
+    width: int,
+    height: int,
+    fx_col: str = "fx",
+    fy_col: str = "fy",
+    id_col: str = "site",
+) -> DataFrame:
+    """Discrete Voronoi diagram -> (gx, gy, d2, site) for all
+    width x height pixels: each pixel labeled with the NEAREST site
+    (exact squared distance; ties by the smaller site id — a total,
+    engine-independent order).
+
+    Same separable two-phase plan as ``distance_transform``, carrying
+    the winning site through both phases. This is sound because within
+    one column dx is constant, so the global (d2, id) argmin restricted
+    to that column is exactly its 1-D (|dy|, id) argmin — the phase-1
+    winner; cross-column ties resolve in phase 2 by the lexicographic
+    (d2, site) min. Nearest-depot / service-area assignment at raster
+    scale, and the label field whose boundaries are the Voronoi edges."""
+    w, h = int(width), int(height)
+
+    def col_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        fys = pdf["fy"].to_numpy(dtype=np.int64)
+        ids = pdf["site"].to_numpy(dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        dy = np.abs(ys[:, None] - fys[None, :])
+        m = dy.min(axis=1, keepdims=True)
+        big = np.iinfo(np.int64).max
+        win = np.where(dy == m, ids[None, :], big).min(axis=1)
+        return pd.DataFrame({
+            "xq": np.full(h, int(pdf["fx"].iloc[0]), dtype=np.int64),
+            "gy": ys,
+            "d1": m[:, 0],
+            "site": win,
+        })
+
+    def row_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["xq"].to_numpy(dtype=np.int64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64)
+        ids = pdf["site"].to_numpy(dtype=np.int64)
+        gx = np.arange(w, dtype=np.int64)
+        d2 = (gx[:, None] - xs[None, :]) ** 2 + d1[None, :] ** 2
+        m = d2.min(axis=1, keepdims=True)
+        big = np.iinfo(np.int64).max
+        win = np.where(d2 == m, ids[None, :], big).min(axis=1)
+        return pd.DataFrame({
+            "gx": gx,
+            "gy": np.full(w, int(pdf["gy"].iloc[0]), dtype=np.int64),
+            "d2": m[:, 0],
+            "site": win,
+        })
+
+    feats = sites.select(
+        F.col(fx_col).cast("long").alias("fx"),
+        F.col(fy_col).cast("long").alias("fy"),
+        F.col(id_col).cast("long").alias("site"),
+    )
+    d1 = feats.groupBy("fx").applyInPandas(
+        col_kernel, schema="xq long, gy long, d1 long, site long"
+    )
+    return d1.groupBy("gy").applyInPandas(
+        row_kernel, schema="gx long, gy long, d2 long, site long"
     )

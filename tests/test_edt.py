@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from python_prtree_spark.operators.edt import distance_transform
+from python_prtree_spark.operators.edt import distance_transform, nearest_site
 
 
 def _brute(feats, w, h):
@@ -37,6 +37,38 @@ def test_edt_matches_brute_force(spark, seed, n):
     # zero exactly at feature pixels
     for r in feats.itertuples():
         assert got_map[(int(r.fx), int(r.fy))] == 0
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_nearest_site_matches_brute_force(spark, seed):
+    rng = np.random.default_rng(seed)
+    w, h, n = 32, 24, 15
+    sites = pd.DataFrame({
+        "site": rng.permutation(np.arange(100, 100 + n)).astype(np.int64),
+        "fx": rng.integers(0, w, n), "fy": rng.integers(0, h, n),
+    })
+    got = nearest_site(
+        spark.createDataFrame(sites).repartition(8), w, h
+    ).toPandas()
+    assert len(got) == w * h
+    fx = sites["fx"].to_numpy()
+    fy = sites["fy"].to_numpy()
+    ids = sites["site"].to_numpy()
+    for r in got.itertuples():
+        dd = (r.gx - fx) ** 2 + (r.gy - fy) ** 2
+        assert int(r.d2) == int(dd.min())
+        assert int(r.site) == int(ids[dd == dd.min()].min())
+
+
+def test_nearest_site_tie_breaks_to_smaller_id(spark):
+    """Pixel equidistant from two sites -> the smaller id labels it,
+    regardless of which site was listed first."""
+    sites = pd.DataFrame({
+        "site": [9, 2], "fx": [0, 6], "fy": [0, 0],
+    })
+    got = nearest_site(spark.createDataFrame(sites), 7, 1).toPandas()
+    mid = got[(got["gx"] == 3) & (got["gy"] == 0)].iloc[0]
+    assert int(mid.d2) == 9 and int(mid.site) == 2
 
 
 def test_edt_single_feature_and_empty(spark):
