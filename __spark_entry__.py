@@ -3393,6 +3393,35 @@ def _q_panoptic_quality(spark, sf_dir):
     return panoptic_quality(pred, gt)
 
 
+def _q_confusion_matrix(spark, sf_dir):
+    """Semantic-segmentation pixel confusion matrix: painted rasters
+    with class = label % 7, full-outer pixel join (void rows/columns
+    are the one-sided pixels), exact class-pair counts."""
+    from python_prtree_spark.operators.panoptic import confusion_matrix
+
+    pred = _painted_labels(spark, sf_dir, 0, 0).withColumn(
+        "label", F.col("label") % 7
+    )
+    gt = _painted_labels(spark, sf_dir, 487, 313).withColumn(
+        "label", F.col("label") % 7
+    )
+    return confusion_matrix(pred, gt)
+
+
+def _q_class_iou(spark, sf_dir):
+    """Per-class IoU table (mIoU decomposition) derived from the
+    confusion matrix — exact tp/fp/fn counts, one float64 division."""
+    from python_prtree_spark.operators.panoptic import class_iou
+
+    pred = _painted_labels(spark, sf_dir, 0, 0).withColumn(
+        "label", F.col("label") % 7
+    )
+    gt = _painted_labels(spark, sf_dir, 487, 313).withColumn(
+        "label", F.col("label") % 7
+    )
+    return class_iou(pred, gt)
+
+
 def _q_anchor_assign(spark, sf_dir):
     """RetinaNet-rule anchor label assignment over the eval ground-truth
     boxes: implicit stride-2 grid with square templates of side 1/2/4,
@@ -3704,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_targets": _q_anchor_targets,
         "fuse_boxes": _q_fuse_boxes,
         "nearest_site": _q_nearest_site,
+        "confusion_matrix": _q_confusion_matrix,
+        "class_iou": _q_class_iou,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5869,6 +5900,45 @@ SELECT c.n_pred, c.n_gt, t.n_tp,
                + CAST(c.n_gt - t.n_tp AS DOUBLE) / 2.0e0)
   END AS pq
 FROM cnts c, tp t
+""",
+        # Semantic-seg confusion matrix + per-class IoU over the painted
+        # rasters with class = label % 7 — exact counts, identical
+        # expressions to operators/panoptic.py.
+        "confusion_matrix": f"""
+WITH pred AS (
+  SELECT gx, gy, pl % 7 AS pclass FROM ({_painted_sql(0, 0, "pl")})),
+gt AS (
+  SELECT gx, gy, gl % 7 AS gclass FROM ({_painted_sql(487, 313, "gl")}))
+SELECT p.pclass, g.gclass, COUNT(*) AS n
+FROM pred p FULL OUTER JOIN gt g ON p.gx = g.gx AND p.gy = g.gy
+GROUP BY p.pclass, g.gclass
+""",
+        "class_iou": f"""
+WITH pred AS (
+  SELECT gx, gy, pl % 7 AS pclass FROM ({_painted_sql(0, 0, "pl")})),
+gt AS (
+  SELECT gx, gy, gl % 7 AS gclass FROM ({_painted_sql(487, 313, "gl")})),
+cm AS (
+  SELECT p.pclass, g.gclass, COUNT(*) AS n
+  FROM pred p FULL OUTER JOIN gt g ON p.gx = g.gx AND p.gy = g.gy
+  GROUP BY p.pclass, g.gclass),
+tp AS (SELECT pclass AS cls, n AS n_tp FROM cm WHERE pclass = gclass),
+pp AS (SELECT pclass AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm
+       WHERE pclass IS NOT NULL GROUP BY pclass),
+gp AS (SELECT gclass AS cls, CAST(SUM(n) AS BIGINT) AS n_gt FROM cm
+       WHERE gclass IS NOT NULL GROUP BY gclass),
+j AS (
+  SELECT COALESCE(pp.cls, gp.cls) AS cls,
+    COALESCE(tp.n_tp, 0) AS n_tp,
+    COALESCE(pp.n_pred, 0) - COALESCE(tp.n_tp, 0) AS n_fp,
+    COALESCE(gp.n_gt, 0) - COALESCE(tp.n_tp, 0) AS n_fn
+  FROM pp FULL OUTER JOIN gp ON gp.cls = pp.cls
+  LEFT JOIN tp ON tp.cls = COALESCE(pp.cls, gp.cls))
+SELECT cls, n_tp, n_fp, n_fn,
+  CASE WHEN n_tp + n_fp + n_fn > 0
+       THEN CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp + n_fn AS DOUBLE)
+  END AS iou
+FROM j
 """,
         # Anchor label assignment: same closed-form index ranges,
         # fixed-point integer IoU, and per-anchor (iou DESC, gt_id)

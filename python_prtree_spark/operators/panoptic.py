@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["segment_matches", "panoptic_quality"]
+__all__ = ["segment_matches", "panoptic_quality", "confusion_matrix", "class_iou"]
 
 
 def _sides(pred: DataFrame, gt: DataFrame):
@@ -117,4 +117,62 @@ def panoptic_quality(
             denom > 0,
             (F.col("sq_units").cast("double") / F.lit(1_000_000_000.0)) / denom,
         ).alias("pq"),
+    )
+
+
+def confusion_matrix(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Pixel-level confusion matrix for SEMANTIC segmentation (labels =
+    class ids, not instances) -> (pclass, gclass, n) for every observed
+    class pair. Pixels labeled on only one side count against the other
+    side's class with partner class NULL (the void row/column of the
+    standard matrix). One co-partitioned full-outer pixel join + one
+    class-pair groupBy — exact counts, trivially hash-gated."""
+    p, g = _sides(pred, gt)
+    joined = p.withColumnRenamed("plabel", "pclass").join(
+        g.withColumnRenamed("glabel", "gclass"), ["gx", "gy"], "full_outer"
+    )
+    return joined.groupBy("pclass", "gclass").agg(F.count("*").alias("n"))
+
+
+def class_iou(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-class IoU table (the mIoU decomposition of semantic
+    segmentation evaluation) -> (cls, n_tp, n_fp, n_fn, iou) for every
+    class present on either side.
+
+    n_tp = pixels labeled cls on both sides; n_fp = predicted cls but
+    gt says otherwise (or void); n_fn = gt cls but prediction says
+    otherwise (or void); iou = tp/(tp+fp+fn) as one float64 division of
+    exact int64 counts — mIoU is the caller's average over rows.
+    Derived entirely from the confusion matrix: no second pass over
+    pixels."""
+    cm = confusion_matrix(pred, gt)
+    tp = (
+        cm.where(F.col("pclass") == F.col("gclass"))
+        .select(F.col("pclass").alias("cls"), F.col("n").alias("n_tp"))
+    )
+    ppix = cm.where(F.col("pclass").isNotNull()).groupBy(
+        F.col("pclass").alias("cls")
+    ).agg(F.sum("n").alias("n_pred"))
+    gpix = cm.where(F.col("gclass").isNotNull()).groupBy(
+        F.col("gclass").alias("cls")
+    ).agg(F.sum("n").alias("n_gt"))
+    j = (
+        ppix.join(gpix, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("n_tp", F.lit(0))).alias(
+                "n_fp"
+            ),
+            (F.coalesce("n_gt", F.lit(0)) - F.coalesce("n_tp", F.lit(0))).alias(
+                "n_fn"
+            ),
+        )
+    )
+    denom = F.col("n_tp") + F.col("n_fp") + F.col("n_fn")
+    return j.select(
+        "cls", "n_tp", "n_fp", "n_fn",
+        F.when(denom > 0, F.col("n_tp").cast("double") / denom.cast("double"))
+        .alias("iou"),
     )

@@ -6,7 +6,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from python_prtree_spark.operators.panoptic import panoptic_quality, segment_matches
+from python_prtree_spark.operators.panoptic import (
+    class_iou,
+    confusion_matrix,
+    panoptic_quality,
+    segment_matches,
+)
 
 
 def _raster_df(spark, arr, label_offset=0):
@@ -56,6 +61,47 @@ def test_pq_identical_rasters_is_one(spark):
     assert int(pq.n_tp) == int(pq.n_pred) == int(pq.n_gt)
     assert int(pq.n_fp) == 0 and int(pq.n_fn) == 0
     assert pq.pq == pytest.approx(1.0, abs=1e-8)
+
+
+def test_confusion_and_class_iou_brute(spark):
+    rng = np.random.default_rng(12)
+    pred = rng.integers(0, 4, (20, 20)).astype(np.int64)  # 0 = void
+    gt = rng.integers(0, 4, (20, 20)).astype(np.int64)
+    pdf = confusion_matrix(
+        _raster_df(spark, pred), _raster_df(spark, gt)
+    ).toPandas()
+    # brute confusion over the union of labeled pixel sets
+    want = {}
+    for y in range(20):
+        for x in range(20):
+            p = int(pred[y, x]) or None
+            g = int(gt[y, x]) or None
+            if p is None and g is None:
+                continue
+            want[(p, g)] = want.get((p, g), 0) + 1
+    got = {
+        (None if pd.isna(r.pclass) else int(r.pclass),
+         None if pd.isna(r.gclass) else int(r.gclass)): int(r.n)
+        for r in pdf.itertuples()
+    }
+    assert got == want
+    ious = class_iou(
+        _raster_df(spark, pred), _raster_df(spark, gt)
+    ).toPandas().set_index("cls")
+    for c in (1, 2, 3):
+        tp = want.get((c, c), 0)
+        fp = sum(v for (p, g), v in want.items() if p == c and g != c)
+        fn = sum(v for (p, g), v in want.items() if g == c and p != c)
+        row = ious.loc[c]
+        assert (int(row.n_tp), int(row.n_fp), int(row.n_fn)) == (tp, fp, fn)
+        assert row.iou == tp / (tp + fp + fn)
+
+
+def test_class_iou_identical_is_one(spark):
+    arr = np.arange(1, 65, dtype=np.int64).reshape(8, 8) % 5 + 1
+    ious = class_iou(_raster_df(spark, arr), _raster_df(spark, arr)).toPandas()
+    assert (ious["iou"] == 1.0).all()
+    assert (ious["n_fp"] == 0).all() and (ious["n_fn"] == 0).all()
 
 
 def test_match_uniqueness_at_half(spark):
