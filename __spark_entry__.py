@@ -1866,6 +1866,23 @@ def _q_idw_grid(spark, sf_dir):
     return idw_grid(pts, 3.0, CFG, px=16)
 
 
+def _q_kriging_grid(spark, sf_dir):
+    """Ordinary kriging of the same customer sample field onto the tile
+    lattice (spherical variogram, moving neighborhood = samples within
+    radius 4 of the pixel). NO SQL oracle by necessity — a dense linear
+    solve is not ANSI-SQL-expressible — so the driver records rows-only;
+    exactness is pinned by tests/test_kriging.py (constant-field
+    reproduction, exact interpolation at sample sites, agreement with a
+    direct dense solve, closed-form 1- and 2-sample cases)."""
+    from python_prtree_spark.operators.interpolate import kriging_grid
+
+    pts = customer_points(spark, sf_dir).select(
+        "x", "y",
+        (((F.col("pid") * 53) % 1000).cast("double") / 100.0).alias("value"),
+    )
+    return kriging_grid(pts, 4.0, CFG, px=16, nugget=0.2, sill=2.0, vrange=8.0)
+
+
 def _q_trajectory(spark, sf_dir):
     """Per-user GPS-track summarization over the events stream: pings
     (event_id-derived lng/lat) ordered by (ts, event_id) per user, each
@@ -3735,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_site": _q_nearest_site,
         "confusion_matrix": _q_confusion_matrix,
         "class_iou": _q_class_iou,
+        "kriging_grid": _q_kriging_grid,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,

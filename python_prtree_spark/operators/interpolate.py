@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 
-__all__ = ["idw_grid"]
+__all__ = ["idw_grid", "kriging_grid"]
 
 _CHUNK = 4096  # samples per BLAS slab inside the kernel
 
@@ -112,4 +112,162 @@ def idw_grid(
 
     return routed.groupBy("cell").applyInPandas(
         paint, schema="tile long, r int, c int, num_q long, den_q long"
+    )
+
+
+def kriging_grid(
+    points_df: DataFrame,
+    radius: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    nugget: float = 0.0,
+    sill: float = 1.0,
+    vrange: float = 10.0,
+    max_samples: int = 64,
+    x: str = "x",
+    y: str = "y",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ordinary kriging onto the tile/pixel lattice (gdal_grid
+    "ordinary kriging" / gstat analogue) — the statistically-grounded
+    sibling of ``idw_grid`` and the consumer of the engine's empirical
+    ``variogram``: fit (nugget, sill, vrange) there, interpolate here.
+
+    Semantics: per pixel center p, the BLUE estimate Σ w_i v_i where w
+    solves the ordinary-kriging system [Γ 1; 1ᵀ 0][w; μ] = [γ(d_p); 1]
+    with the spherical variogram γ(h) = nugget + (sill-nugget) ·
+    (1.5 h/a - 0.5 (h/a)³) for h < a = vrange, else sill (γ(0) = 0).
+    Weights sum to 1, so constant fields reproduce exactly and samples
+    are honored at their own locations (nugget 0).
+
+    Moving-neighborhood kriging: the support of pixel p is EXACTLY the
+    samples with d(p, s) <= radius — the routed-halo plan (one shuffle,
+    same as ``idw_grid``) guarantees every such sample reaches p's tile
+    group, so the per-pixel support is complete and well-defined
+    independent of tiling. The kernel groups pixels by identical
+    support mask and runs one batched ``np.linalg.solve`` per distinct
+    mask (pixels of one tile share few masks in practice). Determinism:
+    exact duplicate sample coordinates are collapsed (value-averaged)
+    before the solve (duplicates make Γ singular); groups larger than
+    ``max_samples`` keep the lexicographically smallest (x, y, v)
+    samples so the support is order-independent. NO SQL oracle — a
+    dense linear solve is not expressible in ANSI SQL; the driver
+    records rows-only and pytest pins the exactness invariants
+    (constant-field reproduction, exact interpolation, agreement with a
+    direct dense solve, 1-sample and symmetric-midpoint closed
+    forms)."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.functions.tiling import explode_cells
+
+    r = float(radius)
+    if not (r > 0.0):
+        raise ValueError(f"radius must be > 0, got {radius!r}")
+    if not (vrange > 0.0):
+        raise ValueError(f"vrange must be > 0, got {vrange!r}")
+
+    routed = explode_cells(
+        points_df.select(
+            F.col(x).alias("_sx"), F.col(y).alias("_sy"),
+            F.col(value_col).cast("double").alias("_sv"),
+            (F.col(x) - r).alias("xmin"), (F.col(y) - r).alias("ymin"),
+            (F.col(x) + r).alias("xmax"), (F.col(y) + r).alias("ymax"),
+        ),
+        cfg.extent, cfg.level,
+    )
+    side = 1 << cfg.level
+    cw = cfg.extent.width() / side
+    chh = cfg.extent.height() / side
+    r2 = r * r
+    ng, sl, a = float(nugget), float(sill), float(vrange)
+
+    def gamma(h: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+
+        hr = np.minimum(h / a, 1.0)
+        g = ng + (sl - ng) * (1.5 * hr - 0.5 * hr**3)
+        return np.where(h <= 0.0, 0.0, g)
+
+    def paint(key, pdf):
+        tile = int(key[0])
+        ix, iy = tile // side, tile % side
+        tx0 = cfg.extent.xmin + ix * cw
+        ty0 = cfg.extent.ymin + iy * chh
+        xc = tx0 + (np.arange(px) + 0.5) * (cw / px)
+        yc = ty0 + (np.arange(px) + 0.5) * (chh / px)
+        # collapse exact-duplicate coords (Γ would be singular)
+        agg = (
+            pdf.groupby(["_sx", "_sy"], as_index=False)["_sv"].mean()
+            .sort_values(["_sx", "_sy", "_sv"])
+        )
+        if len(agg) > max_samples:
+            agg = agg.iloc[:max_samples]
+        sx = agg["_sx"].to_numpy()
+        sy = agg["_sy"].to_numpy()
+        sv = agg["_sv"].to_numpy()
+        m = len(sx)
+        if m == 0:
+            return pd.DataFrame({
+                "tile": np.array([], dtype=np.int64),
+                "r": np.array([], dtype=np.int32),
+                "c": np.array([], dtype=np.int32),
+                "est": np.array([], dtype=np.float64),
+                "n_used": np.array([], dtype=np.int32),
+            })
+        dxs = sx[:, None] - sx[None, :]
+        dys = sy[:, None] - sy[None, :]
+        gmat = gamma(np.sqrt(dxs * dxs + dys * dys))
+        A = np.zeros((m + 1, m + 1))
+        A[:m, :m] = gmat
+        A[m, :m] = 1.0
+        A[:m, m] = 1.0
+        # pixel-center distances, (px*px, m); [r over y][c over x]
+        gxx, gyy = np.meshgrid(xc, yc, indexing="xy")
+        dpx = gxx.ravel()[:, None] - sx[None, :]
+        dpy = gyy.ravel()[:, None] - sy[None, :]
+        d2 = dpx * dpx + dpy * dpy
+        in_range = d2 <= r2
+        covered = in_range.any(axis=1)
+        if not covered.any():
+            return pd.DataFrame({
+                "tile": np.array([], dtype=np.int64),
+                "r": np.array([], dtype=np.int32),
+                "c": np.array([], dtype=np.int32),
+                "est": np.array([], dtype=np.float64),
+                "n_used": np.array([], dtype=np.int32),
+            })
+        cmask = in_range[covered]                   # (P, m)
+        cd2 = d2[covered]
+        n_pix = cmask.shape[0]
+        est = np.zeros(n_pix)
+        n_used = cmask.sum(axis=1).astype(np.int32)
+        uniq, inv = np.unique(cmask, axis=0, return_inverse=True)
+        for u_idx in range(len(uniq)):
+            mask = uniq[u_idx]
+            sel = inv == u_idx
+            mm = int(mask.sum())
+            if mm == 1:
+                est[sel] = sv[mask][0]
+                continue
+            Au = np.zeros((mm + 1, mm + 1))
+            Au[:mm, :mm] = A[np.ix_(np.nonzero(mask)[0], np.nonzero(mask)[0])]
+            Au[mm, :mm] = 1.0
+            Au[:mm, mm] = 1.0
+            B = np.ones((mm + 1, int(sel.sum())))
+            B[:mm, :] = gamma(np.sqrt(cd2[np.ix_(sel, mask)].T))
+            w = np.linalg.solve(Au, B)
+            est[sel] = w[:mm, :].T @ sv[mask]
+        idx = np.nonzero(covered)[0]
+        rr, cc = np.divmod(idx, px)     # row = y index, col = x index
+        return pd.DataFrame({
+            "tile": np.full(len(idx), tile, dtype=np.int64),
+            "r": rr.astype(np.int32),
+            "c": cc.astype(np.int32),
+            "est": est,
+            "n_used": n_used,
+        })
+
+    return routed.groupBy("cell").applyInPandas(
+        paint, schema="tile long, r int, c int, est double, n_used int"
     )
