@@ -3591,8 +3591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full: template_match, convex_hull, hull_diameter, decontaminate,
     dog_bandpass, focal_median, lbp_codes, morph_gradient, tophat_white,
     tile_integral, canny_edges, gaussian_blur, + later additions near
-    them) sit past position 50 with tools/check_oracles.py evidence
-    (FAILURES: 0) and are FIRST IN LINE for the r6 window."""
+    them, + the detection/eval/geostat batch: iou_match, union_area,
+    detection_ap, distance_transform, nearest_site, track_by_iou,
+    reliability_bins, anchor_assign, anchor_targets, fuse_boxes,
+    segment_matches, panoptic_quality, confusion_matrix, class_iou,
+    kriging_grid) sit past position 50 with tools/check_oracles.py
+    evidence (FAILURES: 0) and are FIRST IN LINE for the r6 window."""
     return {
         # --- (1) never driver-checked (registered r4, positions 51-60) ---
         "line_density": _q_line_density,
