@@ -1866,6 +1866,22 @@ def _q_idw_grid(spark, sf_dir):
     return idw_grid(pts, 3.0, CFG, px=16)
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Per-user Theil-Sen robust trend over the events stream: median
+    pairwise slope (exact rational, double-ordered with (num, den)
+    tie-break) + median exact residual as the intercept at the user's
+    first timestamp. Oracle: identical pair join + nearest-rank
+    windows."""
+    from python_prtree_spark.operators.qsketch import theil_sen
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "value",
+    )
+    return theil_sen(ev, "user_id", "tus", "value", scale=100)
+
+
 def _q_kriging_grid(spark, sf_dir):
     """Ordinary kriging of the same customer sample field onto the tile
     lattice (spherical variogram, moving neighborhood = samples within
@@ -3757,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_matrix": _q_confusion_matrix,
         "class_iou": _q_class_iou,
         "kriging_grid": _q_kriging_grid,
+        "theil_sen": _q_theil_sen,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5922,6 +5939,42 @@ SELECT c.n_pred, c.n_gt, t.n_tp,
                + CAST(c.n_gt - t.n_tp AS DOUBLE) / 2.0e0)
   END AS pq
 FROM cnts c, tp t
+""",
+        # Theil-Sen: identical pair join, double-ordered rational slopes
+        # with (num, den) tie-break, upper-nearest-rank picks — same
+        # expressions as operators/qsketch.py:theil_sen (t re-origined
+        # to each group's min).
+        "theil_sen": """
+WITH base AS (
+  SELECT user_id AS g,
+    epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t,
+    CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+pairs AS (
+  SELECT a.g, b.v - a.v AS num, b.t - a.t AS den
+  FROM base a JOIN base b ON a.g = b.g AND a.t < b.t),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY g
+      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM pairs),
+picked AS (
+  SELECT g, n AS n_pairs, num AS slope_num, den AS slope_den
+  FROM r WHERE rn = (n + 2) // 2),
+resid AS (
+  SELECT b.g, p.slope_den * b.v - p.slope_num * b.t AS res
+  FROM base b JOIN picked p ON p.g = b.g),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY res) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM resid),
+ic AS (SELECT g, n AS n_pts, res AS icept_num FROM r2 WHERE rn = (n + 2) // 2)
+SELECT p.g AS user_id, ic.n_pts, p.n_pairs, p.slope_num, p.slope_den,
+  CAST(p.slope_num AS DOUBLE) / CAST(p.slope_den AS DOUBLE) AS slope,
+  ic.icept_num,
+  CAST(ic.icept_num AS DOUBLE) / CAST(p.slope_den AS DOUBLE) AS icept
+FROM picked p JOIN ic ON ic.g = p.g
 """,
         # Semantic-seg confusion matrix + per-class IoU over the painted
         # rasters with class = label % 7 — exact counts, identical

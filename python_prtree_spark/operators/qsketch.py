@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["QuantileSketch", "quantile_sketch", "mad_outliers"]
+__all__ = ["QuantileSketch", "quantile_sketch", "mad_outliers", "theil_sen"]
 
 DEFAULT_K = 256
 DEFAULT_SKETCH_CAP = 2_000_000
@@ -251,5 +251,101 @@ def mad_outliers(
             F.col("_id").alias(id_col), F.col("_g").alias(group_col),
             F.col("_v").alias("v_fp"), F.col("_med").alias("med_fp"),
             F.col("_mad").alias("mad_fp"), F.col("_dev").alias("dev_fp"),
+        )
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend (Sen 1968; the slope estimator
+    drift monitors use because one bad day cannot drag it) -> one row
+    (group, n_pts, n_pairs, slope_num, slope_den, slope, icept_num,
+    icept).
+
+    slope = the upper-nearest-rank median of all pairwise slopes
+    (v_j - v_i)/(t_j - t_i) over pairs with t_i < t_j; intercept = the
+    same median of the exact residuals den*v - num*t, so the fitted
+    line is v ~= (slope_num*t + icept_num)/slope_den (everything in
+    fixed-point: t integer microseconds, v = round(value*scale)).
+
+    Exactness: pairwise slopes are ordered by their correctly-rounded
+    float64 — rounding is monotone, so the double order IS the rational
+    order except inside runs of double-equal slopes, where the
+    (num, den) tie-break is engine-independent; the selected slope is
+    returned as the EXACT rational (num, den), and the intercept median
+    runs on exact int64 residuals. Points sharing a timestamp form no
+    pair (slope undefined there).
+
+    Scale shape: the pairwise self-join is ONE group-keyed shuffle with
+    O(m^2) rows per entity — per-entity series are task-sized in the
+    corpora this serves (per-user metrics); for long series, subsample
+    pairs or use the repo's quantile sketch over per-window slopes."""
+    from pyspark.sql import Window
+
+    base0 = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(t_col).alias("_t").cast("long"),
+        F.round(F.col(value_col) * F.lit(int(scale))).cast("long").alias("_v"),
+    )
+    # time is re-origined to each group's first sample: slopes are
+    # translation-invariant, and den*v - num*t' stays far from int64
+    # overflow (t' = span, not epoch); icept is the fit AT t = min(t).
+    base = base0.withColumn(
+        "_t",
+        F.col("_t") - F.min("_t").over(Window.partitionBy("_g")),
+    )
+    a = base.select("_g", F.col("_t").alias("t1"), F.col("_v").alias("v1"))
+    b = base.select("_g", F.col("_t").alias("t2"), F.col("_v").alias("v2"))
+    pairs = a.join(b, "_g").where(F.col("t1") < F.col("t2")).select(
+        "_g",
+        (F.col("v2") - F.col("v1")).alias("num"),
+        (F.col("t2") - F.col("t1")).alias("den"),
+    )
+    sd = F.col("num").cast("double") / F.col("den").cast("double")
+    w_rank = Window.partitionBy("_g").orderBy(sd, "num", "den")
+    w_all = Window.partitionBy("_g")
+    picked = (
+        pairs.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_rn") * 2 >= F.col("_n") + 1)
+        .groupBy("_g")
+        .agg(
+            F.min(F.struct("_rn", "num", "den")).alias("_s"),
+            F.first("_n").alias("n_pairs"),
+        )
+        .select(
+            "_g", "n_pairs",
+            F.col("_s.num").alias("slope_num"),
+            F.col("_s.den").alias("slope_den"),
+        )
+    )
+    resid = base.join(picked, "_g").select(
+        "_g",
+        (F.col("slope_den") * F.col("_v") - F.col("slope_num") * F.col("_t"))
+        .alias("_r"),
+    )
+    w_rrank = Window.partitionBy("_g").orderBy("_r")
+    icept = (
+        resid.withColumn("_rn", F.row_number().over(w_rrank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_rn") * 2 >= F.col("_n") + 1)
+        .groupBy("_g")
+        .agg(F.min("_r").alias("icept_num"), F.first("_n").alias("n_pts"))
+    )
+    return (
+        picked.join(icept, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_pts", "n_pairs", "slope_num", "slope_den",
+            (F.col("slope_num").cast("double") / F.col("slope_den").cast("double"))
+            .alias("slope"),
+            "icept_num",
+            (F.col("icept_num").cast("double") / F.col("slope_den").cast("double"))
+            .alias("icept"),
         )
     )
