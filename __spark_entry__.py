@@ -1882,6 +1882,24 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen(ev, "user_id", "tus", "value", scale=100)
 
 
+def _q_ols_trend(spark, sf_dir):
+    """Per-user OLS trend from closed-form exact integer sums — one
+    map-side-combinable groupBy, no window, no pair join. Time in
+    MINUTES (floor(epoch_us/6e7) — exact: multiples divide exactly in
+    float64 and non-multiples sit >= 1/b from an integer, far beyond
+    the division ulp) keeps every product inside int64."""
+    from python_prtree_spark.operators.qsketch import ols_trend
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)
+        ).alias("tmin"),
+        "value",
+    )
+    return ols_trend(ev, "user_id", "tmin", "value", scale=100)
+
+
 def _q_kriging_grid(spark, sf_dir):
     """Ordinary kriging of the same customer sample field onto the tile
     lattice (spherical variogram, moving neighborhood = samples within
@@ -3774,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_iou": _q_class_iou,
         "kriging_grid": _q_kriging_grid,
         "theil_sen": _q_theil_sen,
+        "ols_trend": _q_ols_trend,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5975,6 +5994,33 @@ SELECT p.g AS user_id, ic.n_pts, p.n_pairs, p.slope_num, p.slope_den,
   ic.icept_num,
   CAST(ic.icept_num AS DOUBLE) / CAST(p.slope_den AS DOUBLE) AS icept
 FROM picked p JOIN ic ON ic.g = p.g
+""",
+        # OLS closed form over exact integer sums — identical to
+        # operators/qsketch.py:ols_trend (t in minutes, re-origined).
+        "ols_trend": """
+WITH base0 AS (
+  SELECT user_id AS g, epoch_us(ts) // 60000000 AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+base AS (
+  SELECT g, t - MIN(t) OVER (PARTITION BY g) AS t, v FROM base0),
+agg AS (
+  SELECT g, COUNT(*) AS n,
+    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv,
+    CAST(SUM(t * v) AS BIGINT) AS stv, CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM base GROUP BY g)
+SELECT g AS user_id, n,
+  n * stv - st * sv AS slope_num,
+  n * stt - st * st AS slope_den,
+  CASE WHEN n * stt - st * st != 0
+       THEN CAST(n * stv - st * sv AS DOUBLE)
+            / CAST(n * stt - st * st AS DOUBLE) END AS slope,
+  sv * stt - st * stv AS icept_num,
+  n * stt - st * st AS icept_den,
+  CASE WHEN n * stt - st * st != 0
+       THEN CAST(sv * stt - st * stv AS DOUBLE)
+            / CAST(n * stt - st * st AS DOUBLE) END AS icept
+FROM agg
 """,
         # Semantic-seg confusion matrix + per-class IoU over the painted
         # rasters with class = label % 7 — exact counts, identical

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["QuantileSketch", "quantile_sketch", "mad_outliers", "theil_sen"]
+__all__ = [
+    "QuantileSketch",
+    "quantile_sketch",
+    "mad_outliers",
+    "theil_sen",
+    "ols_trend",
+]
 
 DEFAULT_K = 256
 DEFAULT_SKETCH_CAP = 2_000_000
@@ -348,4 +354,62 @@ def theil_sen(
             (F.col("icept_num").cast("double") / F.col("slope_den").cast("double"))
             .alias("icept"),
         )
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend from CLOSED-FORM exact
+    integer sums — Theil-Sen's cheap companion (one map-side-combinable
+    groupBy, no window, no pair join; the 100 TB shape) -> one row
+    (group, n, slope_num, slope_den, slope, icept_num, icept_den,
+    icept).
+
+        slope = (n·Σtv - Σt·Σv) / (n·Σt² - (Σt)²)
+        icept = (Σv·Σt² - Σt·Σtv) / (n·Σt² - (Σt)²)   [at t = min(t)]
+
+    Every sum is an exact int64 (t re-origined to the group minimum, v
+    fixed-point), so numerator and denominator are exact and the only
+    floats are the two final divisions — bit-identical on any engine.
+    Degenerate groups (n < 2 or all t equal: denominator 0) emit NULL
+    slope/icept with the exact sums still reported.
+
+    int64 headroom: with t' <= span and |v| <= V, n·Σt'v ~ n²·span·V —
+    at microsecond spans of a month (2.6e12), V = 1e4, that bounds
+    n <= ~1.8e4 per group before 9.2e18; re-origin t to coarser units
+    for longer series (the caller owns t's unit)."""
+    base0 = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.round(F.col(value_col) * F.lit(int(scale))).cast("long").alias("_v"),
+    )
+    from pyspark.sql import Window
+
+    base = base0.withColumn(
+        "_t", F.col("_t") - F.min("_t").over(Window.partitionBy("_g"))
+    )
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("st"),
+        F.sum("_v").alias("sv"),
+        F.sum(F.col("_t") * F.col("_v")).alias("stv"),
+        F.sum(F.col("_t") * F.col("_t")).alias("stt"),
+    )
+    num = F.col("n") * F.col("stv") - F.col("st") * F.col("sv")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    inum = F.col("sv") * F.col("stt") - F.col("st") * F.col("stv")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("slope"),
+        inum.alias("icept_num"),
+        den.alias("icept_den"),
+        F.when(den != 0, inum.cast("double") / den.cast("double")).alias("icept"),
     )

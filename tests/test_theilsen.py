@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from python_prtree_spark.operators.qsketch import theil_sen
+from python_prtree_spark.operators.qsketch import ols_trend, theil_sen
 
 
 def _brute(ts, vs, scale=100):
@@ -65,6 +65,39 @@ def test_theil_sen_robust_to_one_outlier(spark):
     assert r.slope_num / r.slope_den == pytest.approx(5.0, rel=1e-12)
     # intercept at t = min(t): v(0) = 1.0 -> 100 fp-units (x slope_den)
     assert r.icept_num / r.slope_den == pytest.approx(100.0, rel=1e-12)
+
+
+def test_ols_trend_matches_numpy_and_degenerates(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(3):
+        m = 15
+        ts = np.sort(rng.choice(np.arange(1, 5000), m, replace=False))
+        vs = np.round(2.0 - 0.01 * ts + rng.normal(0, 0.5, m), 2)
+        rows += [{"g": g, "t": int(t), "v": float(v)} for t, v in zip(ts, vs)]
+    rows += [{"g": 9, "t": 100, "v": 5.0}]           # n=1 -> NULL slope
+    rows += [{"g": 8, "t": 7, "v": 1.0}, {"g": 8, "t": 7, "v": 3.0}]  # t const
+    pdf = pd.DataFrame(rows)
+    got = ols_trend(
+        spark.createDataFrame(pdf).repartition(8), "g", "t", "v", scale=100
+    ).toPandas().set_index("g")
+    for g in range(3):
+        sub = pdf[pdf["g"] == g]
+        t = sub["t"].to_numpy(dtype=np.int64)
+        t = t - t.min()
+        v = np.round(sub["v"].to_numpy() * 100).astype(np.int64)
+        n = len(t)
+        num = n * int((t * v).sum()) - int(t.sum()) * int(v.sum())
+        den = n * int((t * t).sum()) - int(t.sum()) ** 2
+        r = got.loc[g]
+        assert (int(r.slope_num), int(r.slope_den)) == (num, den)
+        assert r.slope == num / den
+        # cross-check against numpy's lstsq slope
+        coef = np.polyfit(t.astype(float), v.astype(float), 1)
+        assert r.slope == pytest.approx(coef[0], rel=1e-9)
+        assert r.icept == pytest.approx(coef[1], rel=1e-9)
+    assert pd.isna(got.loc[9, "slope"]) and pd.isna(got.loc[8, "slope"])
+    assert int(got.loc[8, "slope_den"]) == 0
 
 
 def test_theil_sen_duplicate_timestamps_form_no_pair(spark):
