@@ -1882,6 +1882,39 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen(ev, "user_id", "tus", "value", scale=100)
 
 
+def _q_cusum(spark, sf_dir):
+    """Per-user Page-CUSUM drift chart over the events metric: the
+    sequential recurrence rewritten as prefix-sum minus running-min —
+    one ordered window per entity, fixed-point int64 throughout
+    (ref 7.00, alarm threshold 30.00)."""
+    from python_prtree_spark.operators.evalstats import cusum_alarms
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "value",
+    )
+    return cusum_alarms(ev, "user_id", "tus", "value",
+                        ref_fp=700, threshold_fp=3000, scale=100)
+
+
+def _q_roc_auc(spark, sf_dir):
+    """Exact ROC AUC (Mann-Whitney rank-sum with midranks for ties) per
+    user cohort: planted separation — positives (event_id%3=0) get a
+    +2.00 score shift — integer scores, exact 2U/2PN rationals."""
+    from python_prtree_spark.operators.evalstats import roc_auc
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        (F.col("event_id") % 3 == 0).cast("long").alias("label"),
+        (
+            F.round(F.col("value") * 100).cast("long")
+            + (F.col("event_id") % 3 == 0).cast("long") * 200
+        ).alias("score"),
+    )
+    return roc_auc(ev, "cohort", "score", "label")
+
+
 def _q_ols_trend(spark, sf_dir):
     """Per-user OLS trend from closed-form exact integer sums — one
     map-side-combinable groupBy, no window, no pair join. Time in
@@ -3793,6 +3826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_grid": _q_kriging_grid,
         "theil_sen": _q_theil_sen,
         "ols_trend": _q_ols_trend,
+        "cusum_alarms": _q_cusum,
+        "roc_auc": _q_roc_auc,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -5994,6 +6029,56 @@ SELECT p.g AS user_id, ic.n_pts, p.n_pairs, p.slope_num, p.slope_den,
   ic.icept_num,
   CAST(ic.icept_num AS DOUBLE) / CAST(p.slope_den AS DOUBLE) AS icept
 FROM picked p JOIN ic ON ic.g = p.g
+""",
+        # CUSUM via prefix-sum minus running-min — identical staged
+        # windows to operators/evalstats.py:cusum_alarms.
+        "cusum_alarms": """
+WITH base AS (
+  SELECT user_id AS g, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+p AS (
+  SELECT *, SUM(v - 700) OVER (PARTITION BY g ORDER BY t, v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM base),
+s AS (
+  SELECT *, pre - LEAST(0, MIN(pre) OVER (PARTITION BY g ORDER BY t, v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sfp
+  FROM p)
+SELECT g AS user_id, t AS tus, v AS v_fp, CAST(sfp AS BIGINT) AS s_fp,
+       (sfp > 3000) AS alarm
+FROM s
+""",
+        # Rank-sum AUC with midranks over the (group, score) histogram —
+        # identical to operators/evalstats.py:roc_auc.
+        "roc_auc": """
+WITH base AS (
+  SELECT user_id % 10 AS g,
+    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+    CAST(ROUND(value * 100) AS BIGINT)
+      + CASE WHEN event_id % 3 = 0 THEN 200 ELSE 0 END AS s
+  FROM events),
+hist AS (
+  SELECT g, s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS pos
+  FROM base GROUP BY g, s),
+ranked AS (
+  SELECT g, pos, c,
+    pos * (2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1) AS r2
+  FROM hist),
+agg AS (
+  SELECT g, CAST(SUM(pos) AS BIGINT) AS n_pos,
+    CAST(SUM(c) - SUM(pos) AS BIGINT) AS n_neg,
+    CAST(SUM(r2) AS BIGINT) AS r2sum
+  FROM ranked GROUP BY g)
+SELECT g AS cohort, n_pos, n_neg,
+  r2sum - n_pos * (n_pos + 1) AS auc_num,
+  2 * n_pos * n_neg AS auc_den,
+  CASE WHEN n_pos * n_neg != 0
+       THEN CAST(r2sum - n_pos * (n_pos + 1) AS DOUBLE)
+            / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+FROM agg
 """,
         # OLS closed form over exact integer sums — identical to
         # operators/qsketch.py:ols_trend (t in minutes, re-origined).
