@@ -1882,6 +1882,31 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen(ev, "user_id", "tus", "value", scale=100)
 
 
+def _q_ssim(spark, sf_dir):
+    """Per-image SSIM between a closed-form 16x16 intensity mosaic and
+    its distorted twin (small clipped perturbation; every 5th image
+    inverted — a planted quality failure). The gate hashes the exact
+    int64 sufficient statistics; ssim is the one documented float64
+    derivation, identical in the oracle."""
+    from python_prtree_spark.operators.ssim import ssim_stats
+
+    imgs = (
+        _read(spark, sf_dir, "part")
+        .select((F.col("p_partkey") % 100).alias("img"))
+        .distinct()
+    )
+    px = imgs.withColumn("px", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    pxy = px.withColumn("py", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    v1 = (F.col("img") * 7 + F.col("px") * 31 + F.col("py") * 57) % 256
+    a = pxy.withColumn("v", v1)
+    pert = ((F.col("px") * F.col("py") + F.col("img")) % 7) - 3
+    v2 = F.when(
+        F.col("img") % 5 == 0, F.lit(255) - v1
+    ).otherwise(F.greatest(F.lit(0), F.least(F.lit(255), v1 + pert)))
+    b = pxy.withColumn("v", v2)
+    return ssim_stats(a, b)
+
+
 def _q_cusum(spark, sf_dir):
     """Per-user Page-CUSUM drift chart over the events metric: the
     sequential recurrence rewritten as prefix-sum minus running-min —
@@ -3828,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": _q_ols_trend,
         "cusum_alarms": _q_cusum,
         "roc_auc": _q_roc_auc,
+        "ssim_stats": _q_ssim,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,
@@ -6029,6 +6055,46 @@ SELECT p.g AS user_id, ic.n_pts, p.n_pairs, p.slope_num, p.slope_den,
   ic.icept_num,
   CAST(ic.icept_num AS DOUBLE) / CAST(p.slope_den AS DOUBLE) AS icept
 FROM picked p JOIN ic ON ic.g = p.g
+""",
+        # SSIM sufficient statistics over the identical closed-form
+        # mosaic + distortion recipe; the ssim column is the same
+        # float64 derivation as operators/ssim.py:ssim_stats.
+        "ssim_stats": """
+WITH imgs AS (SELECT DISTINCT p_partkey % 100 AS img FROM part),
+gpx AS (SELECT img, UNNEST(range(16)) AS px FROM imgs),
+gxy AS (SELECT img, px, UNNEST(range(16)) AS py FROM gpx),
+pix AS (
+  SELECT img, px, py,
+    (img * 7 + px * 31 + py * 57) % 256 AS x,
+    CASE WHEN img % 5 = 0 THEN 255 - (img * 7 + px * 31 + py * 57) % 256
+         ELSE GREATEST(0, LEAST(255,
+           (img * 7 + px * 31 + py * 57) % 256 + (px * py + img) % 7 - 3))
+    END AS y
+  FROM gxy),
+agg AS (
+  SELECT img, COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pix GROUP BY img)
+SELECT img, n, sx, sy, sxx, syy, sxy,
+  ((2.0e0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + 6.502500000000001e0)
+   * (2.0e0 * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) + 58.522499999999994e0))
+  / (((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      + (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + 6.502500000000001e0)
+     * ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        + (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) + 58.522499999999994e0))
+  AS ssim
+FROM agg
 """,
         # CUSUM via prefix-sum minus running-min — identical staged
         # windows to operators/evalstats.py:cusum_alarms.
