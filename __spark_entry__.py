@@ -3316,8 +3316,11 @@ FROM ({PART_BOXES_SQL}) b
 def eval_boxes(spark, sf_dir):
     """Detection-evaluation corpus: part boxes re-hashed into 200 images
     on a local ~11x11 canvas (so detections actually overlap ground
-    truth); ids with id%5 < 2 are ground-truth boxes, the rest are
-    detections with the same integer confidence as det_boxes."""
+    truth); ids with role5 < 2 are ground-truth boxes, the rest are
+    detections with the same integer confidence as det_boxes. role5 =
+    (id // 200) % 5 — NOT id % 5, which is constant within an image
+    (200 = 0 mod 5) and would make every image single-role, so no
+    det<->gt pair could ever match."""
     p = _read(spark, sf_dir, "part")
     k = F.col("p_partkey")
     xmin = ((k * 2654435761) % 8000).cast("double") / 1000.0
@@ -3326,7 +3329,7 @@ def eval_boxes(spark, sf_dir):
         k.alias("id"),
         (k % 200).alias("img"),
         ((k * 40503) % 1000).cast("long").alias("score"),
-        (k % 5).alias("role5"),
+        ((k / 200).cast("long") % 5).alias("role5"),
         xmin.alias("xmin"),
         ymin.alias("ymin"),
         (xmin + 1.0 + ((k * 3266489917) % 3000).cast("double") / 1000.0).alias("xmax"),
@@ -3337,7 +3340,7 @@ def eval_boxes(spark, sf_dir):
 EVAL_BOXES_SQL = """
 SELECT p_partkey AS id, p_partkey % 200 AS img,
   CAST((p_partkey * 40503) % 1000 AS BIGINT) AS score,
-  p_partkey % 5 AS role5,
+  (p_partkey // 200) % 5 AS role5,
   CAST((p_partkey * 2654435761) % 8000 AS DOUBLE)/1000.0 AS xmin,
   CAST((p_partkey * 2246822519) % 8000 AS DOUBLE)/1000.0 AS ymin,
   CAST((p_partkey * 2654435761) % 8000 AS DOUBLE)/1000.0
@@ -3625,6 +3628,18 @@ def _q_nearest_site(spark, sf_dir):
     return nearest_site(feats, 256, 256)
 
 
+def _q_optimal_iou_match(spark, sf_dir):
+    """Optimal (Kuhn-Munkres) det<->gt assignment per image on the same
+    eval corpus as iou_match — maximizes total quantized IoU, the
+    MOT-evaluation matching rule. Rows-only by necessity (combinatorial
+    optimization has no ANSI-SQL twin); optimality is pytest-proven
+    against brute-force permutations (tests/test_nms.py)."""
+    from python_prtree_spark.operators.nms import optimal_iou_match
+
+    b = eval_boxes(spark, sf_dir)
+    return optimal_iou_match(b.where("role5 >= 2"), b.where("role5 < 2"), 1, 4)
+
+
 def _q_detection_ap(spark, sf_dir):
     """Per-class average precision (mAP's AP) with all-points
     interpolation over the greedy iou_match flags. Classes partition the
@@ -3854,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alarms": _q_cusum,
         "roc_auc": _q_roc_auc,
         "ssim_stats": _q_ssim,
+        "optimal_iou_match": _q_optimal_iou_match,
         # ---------------- green in BOTH r3 and r4 ------------------------
         "batch_query_packed": _q_batch_packed,
         "batch_query_f32": _q_batch_f32,

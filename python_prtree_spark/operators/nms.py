@@ -69,6 +69,7 @@ __all__ = [
     "track_by_iou",
     "reliability_bins",
     "fuse_boxes",
+    "optimal_iou_match",
 ]
 
 BOX = ["xmin", "ymin", "xmax", "ymax"]
@@ -415,6 +416,152 @@ def track_by_iou(
             "id", "frame",
             F.coalesce(F.col("component"), F.col("id")).alias("track"),
         )
+    )
+
+
+def _hungarian_min(C):
+    """Exact Hungarian (Kuhn-Munkres, potentials + shortest augmenting
+    path, O(n^3)) for a SQUARE integer cost matrix, minimizing. Returns
+    col_of_row array. Deterministic for a fixed input ordering —
+    equal-cost alternate optima resolve by the fixed scan order."""
+    import numpy as np
+
+    n = C.shape[0]
+    INF = np.iinfo(np.int64).max // 4
+    u = np.zeros(n + 1, dtype=np.int64)
+    v = np.zeros(n + 1, dtype=np.int64)
+    p = np.zeros(n + 1, dtype=np.int64)      # p[j] = row matched to col j
+    way = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF, dtype=np.int64)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = C[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    col_of_row = np.zeros(n, dtype=np.int64)
+    for j in range(1, n + 1):
+        col_of_row[p[j] - 1] = j - 1
+    return col_of_row
+
+
+def _opt_match_kernel(pdf):
+    """Optimal assignment over ONE image: maximize the total quantized
+    IoU over one-to-one det<->gt pairs with IoU > t (sub-threshold
+    pairs contribute zero gain; dummies pad to square). Integer costs
+    end to end, so the optimum value is exact."""
+    import numpy as np
+    import pandas as pd
+
+    t_num = int(pdf["_tn"].iloc[0])
+    t_den = int(pdf["_td"].iloc[0])
+    det = pdf[pdf["role"] == 1].sort_values("id")
+    gt = pdf[pdf["role"] == 0].sort_values("id")
+    nd, ng = len(det), len(gt)
+    if nd == 0 or ng == 0:
+        return pd.DataFrame({
+            "img": np.array([], dtype=np.int64),
+            "det_id": np.array([], dtype=np.int64),
+            "gt_id": np.array([], dtype=np.int64),
+            "iou_q": np.array([], dtype=np.int64),
+        })
+    dx0 = det["xmin"].to_numpy(); dy0 = det["ymin"].to_numpy()
+    dx1 = det["xmax"].to_numpy(); dy1 = det["ymax"].to_numpy()
+    gx0 = gt["xmin"].to_numpy(); gy0 = gt["ymin"].to_numpy()
+    gx1 = gt["xmax"].to_numpy(); gy1 = gt["ymax"].to_numpy()
+    ix = np.maximum(0.0, np.minimum(dx1[:, None], gx1[None, :])
+                    - np.maximum(dx0[:, None], gx0[None, :]))
+    iy = np.maximum(0.0, np.minimum(dy1[:, None], gy1[None, :])
+                    - np.maximum(dy0[:, None], gy0[None, :]))
+    inter = ix * iy
+    union = ((dx1 - dx0) * (dy1 - dy0))[:, None] \
+        + ((gx1 - gx0) * (gy1 - gy0))[None, :] - inter
+    # quantized gain, zeroed below the exact rational threshold
+    ok = inter * float(t_den) > float(t_num) * union
+    gain = np.where(ok, np.floor(inter * 1e6 / union), 0.0).astype(np.int64)
+    n = max(nd, ng)
+    C = np.zeros((n, n), dtype=np.int64)
+    C[:nd, :ng] = -gain
+    col = _hungarian_min(C)
+    d_id = det["id"].to_numpy()
+    g_id = gt["id"].to_numpy()
+    rows = []
+    for i in range(nd):
+        j = int(col[i])
+        if j < ng and gain[i, j] > 0:
+            rows.append((int(pdf["img"].iloc[0]), int(d_id[i]),
+                         int(g_id[j]), int(gain[i, j])))
+    return pd.DataFrame(
+        rows, columns=["img", "det_id", "gt_id", "iou_q"]
+    ).astype({"img": "int64", "det_id": "int64",
+              "gt_id": "int64", "iou_q": "int64"})
+
+
+def optimal_iou_match(
+    dets: DataFrame,
+    gts: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    img_col: str = "img",
+    id_col: str = "id",
+) -> DataFrame:
+    """OPTIMAL detection<->ground-truth assignment per image -> (img,
+    det_id, gt_id, iou_q): the one-to-one matching maximizing the total
+    quantized IoU (floor(iou*1e6)) over pairs with IoU > t — what
+    greedy ``iou_match`` approximates and MOT-style evaluation
+    (Bernardin & Stiefelhagen 2008) specifies. Kuhn-Munkres on exact
+    integer gains, so the optimum VALUE is exact and engine-free;
+    among equal-value optima the returned matching is the
+    deterministic one for id-sorted inputs. Same single image-keyed
+    shuffle as iou_match; per-image O((max(nd, ng))^3) — bounded by the
+    detector's top-k. NO SQL oracle (combinatorial optimization is not
+    ANSI-SQL-expressible): rows-only driver gate, pytest proves
+    optimality against brute-force permutations and superiority over
+    greedy."""
+    d = dets.select(
+        F.col(img_col).cast("long").alias("img"),
+        F.col(id_col).cast("long").alias("id"),
+        *BOX,
+        F.lit(1).alias("role"),
+    )
+    g = gts.select(
+        F.col(img_col).cast("long").alias("img"),
+        F.col(id_col).cast("long").alias("id"),
+        *BOX,
+        F.lit(0).alias("role"),
+    )
+    both = (
+        d.unionByName(g)
+        .withColumn("_tn", F.lit(int(t_num)))
+        .withColumn("_td", F.lit(int(t_den)))
+    )
+    return both.groupBy("img").applyInPandas(
+        _opt_match_kernel, schema="img long, det_id long, gt_id long, iou_q long"
     )
 
 

@@ -12,6 +12,7 @@ from python_prtree_spark.operators.nms import (
     fuse_boxes,
     iou_match,
     nms_boxes,
+    optimal_iou_match,
     overlap_iou_pairs,
     reliability_bins,
     track_by_iou,
@@ -357,6 +358,103 @@ def test_track_by_iou_chain_and_gap(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == 10 and got[11] == 11
+
+
+def _gain_matrix(dets, gts, t_num, t_den):
+    import numpy as np
+
+    g = np.zeros((len(dets), len(gts)), dtype=np.int64)
+    for i, (_, d) in enumerate(dets.iterrows()):
+        for j, (_, q) in enumerate(gts.iterrows()):
+            inter, union = _iou(
+                (d["xmin"], d["ymin"], d["xmax"], d["ymax"]),
+                (q["xmin"], q["ymin"], q["xmax"], q["ymax"]),
+            )
+            if inter * t_den > t_num * union:
+                g[i, j] = int(np.floor(inter * 1e6 / union))
+    return g
+
+
+def _brute_best_total(gain):
+    """Max total gain over one-to-one assignments, by permutations."""
+    import itertools
+
+    nd, ng = gain.shape
+    best = 0
+    if nd <= ng:
+        for perm in itertools.permutations(range(ng), nd):
+            best = max(best, sum(gain[i, j] for i, j in enumerate(perm)))
+    else:
+        for perm in itertools.permutations(range(nd), ng):
+            best = max(best, sum(gain[i, j] for j, i in enumerate(perm)))
+    return best
+
+
+def test_optimal_iou_match_is_optimal_vs_permutations(spark):
+    rng = np.random.default_rng(3)
+    n = 90
+    img = rng.integers(0, 18, n)
+    mins = rng.random((n, 2)) * 6
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "img": img,
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    dets, gts = pdf[pdf["id"] % 2 == 0], pdf[pdf["id"] % 2 == 1]
+    got = optimal_iou_match(
+        spark.createDataFrame(dets).repartition(8),
+        spark.createDataFrame(gts).repartition(8),
+        1, 4,
+    ).toPandas()
+    # one-to-one
+    assert got["det_id"].is_unique and got["gt_id"].is_unique
+    for g in set(img):
+        dsub = dets[dets["img"] == g]
+        gsub = gts[gts["img"] == g]
+        if len(dsub) == 0 or len(gsub) == 0 or len(dsub) > 7 or len(gsub) > 7:
+            continue
+        gain = _gain_matrix(dsub, gsub, 1, 4)
+        want = _brute_best_total(gain)
+        have = int(got[got["img"] == g]["iou_q"].sum())
+        assert have == want, f"img {g}: {have} != optimal {want}"
+
+
+def test_optimal_beats_greedy_on_crossing_case(spark):
+    """Classic greedy trap: the top-score det claims the shared gt,
+    optimal reassigns for a higher total."""
+    dets = pd.DataFrame({
+        "id": [1, 2], "img": [0, 0], "score": [9, 1],
+        # det 1 overlaps BOTH gts (better on gt B); det 2 only gt B
+        "xmin": [4.0, 8.0], "ymin": [0.0, 0.0],
+        "xmax": [12.0, 16.0], "ymax": [4.0, 4.0],
+    })
+    gts = pd.DataFrame({
+        "id": [10, 11], "img": [0, 0],
+        "xmin": [0.0, 7.0], "ymin": [0.0, 0.0],
+        "xmax": [8.0, 15.0], "ymax": [4.0, 4.0],
+    })
+    opt = optimal_iou_match(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 10
+    ).toPandas()
+    m = {int(r.det_id): int(r.gt_id) for r in opt.itertuples()}
+    # optimal: det1->gt10, det2->gt11 (total beats det1->gt11 alone)
+    assert m == {1: 10, 2: 11}
+    gr = iou_match(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 10
+    ).toPandas()
+    greedy_pairs = {
+        int(r.det_id): int(r.gt_id)
+        for r in gr.itertuples() if not pd.isna(r.gt_id)
+    }
+    assert greedy_pairs[1] == 11  # greedy grabs the better single IoU
+    gain = _gain_matrix(dets, gts, 1, 10)
+    greedy_total = sum(
+        gain[[1, 2].index(d), [10, 11].index(g)]
+        for d, g in greedy_pairs.items()
+    )
+    assert int(opt["iou_q"].sum()) > greedy_total
 
 
 def test_fuse_boxes_weighted_mean_and_singletons(spark):
