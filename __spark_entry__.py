@@ -3702,8 +3702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     detection_ap, distance_transform, nearest_site, track_by_iou,
     reliability_bins, anchor_assign, anchor_targets, fuse_boxes,
     segment_matches, panoptic_quality, confusion_matrix, class_iou,
-    kriging_grid) sit past position 50 with tools/check_oracles.py
-    evidence (FAILURES: 0) and are FIRST IN LINE for the r6 window."""
+    kriging_grid, theil_sen, ols_trend, cusum_alarms, roc_auc,
+    ssim_stats, optimal_iou_match) sit past position 50 with
+    tools/check_oracles.py evidence (FAILURES: 0) and are FIRST IN
+    LINE for the r6 window."""
     return {
         # --- (1) never driver-checked (registered r4, positions 51-60) ---
         "line_density": _q_line_density,
