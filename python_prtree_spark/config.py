@@ -56,6 +56,14 @@ class EngineConfig:
     #: ceil(n/threshold) sub-partitions; probes replicate across salts.
     salt_threshold: int = 200_000
     max_salts: int = 32
+    #: skip the hot-cell histogram pass entirely while the table's total
+    #: row count is <= hist_skip_factor * salt_threshold: even if EVERY
+    #: row landed in one cell, the worst-case single task is bounded by
+    #: this many rows (a few hundred k rows ~ tens of MB — a straggler,
+    #: never an OOM), which costs less than the histogram job itself.
+    #: Salting never affects results, only balance, so the skip is safe
+    #: at any scale; above the bound the sampled histogram runs as before.
+    hist_skip_factor: int = 4
 
     # --- physical strategy ------------------------------------------------
     #: 'sql'    — pure-JVM codegen join (explode cells → equi-join → filter);

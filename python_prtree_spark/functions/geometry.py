@@ -88,25 +88,29 @@ def validate_boxes_df(df: DataFrame, cfg: EngineConfig, dims: int = 2) -> None:
     reference's ctor. Used by build_index before any shuffle."""
     mins, maxs = box_col_names(dims)
     cols = mins + maxs
-    checks = []
+    # ONE sum per failure class (not per column): the error messages never
+    # name the offending column, so 2*dims+3 aggregation buffers collapse
+    # to 3 — fewer buffers per row and a smaller plan, same raises
+    finite_pred = None
     for c in cols:
-        checks.append(F.sum(F.when(~F.col(c).isNotNull() | F.isnan(c) |
-                                   (F.abs(F.col(c)) == float("inf")), 1).otherwise(0)))
+        t = ~F.col(c).isNotNull() | F.isnan(c) | (F.abs(F.col(c)) == float("inf"))
+        finite_pred = t if finite_pred is None else (finite_pred | t)
     order_pred = None
     for lo, hi in zip(mins, maxs):
         t = F.col(lo) > F.col(hi)
         order_pred = t if order_pred is None else (order_pred | t)
-    bad_order = F.sum(F.when(order_pred, 1).otherwise(0))
-    agg = [c.alias(f"bad_{i}") for i, c in enumerate(checks)] + [bad_order.alias("bad_order")]
+    agg = [
+        F.sum(F.when(finite_pred, 1).otherwise(0)).alias("bad_finite"),
+        F.sum(F.when(order_pred, 1).otherwise(0)).alias("bad_order"),
+    ]
     if cfg.detect_subnormal:
         sub = None
         for c in cols:
             t = (F.col(c) != 0.0) & (F.abs(F.col(c)) < F.lit(float(_MIN_NORMAL)))
             sub = t if sub is None else (sub | t)
         agg.append(F.sum(F.when(sub, 1).otherwise(0)).alias("bad_subnormal"))
-    row = df.agg(*agg).collect()[0]
-    d = row.asDict()
-    if any(d[f"bad_{i}"] for i in range(len(cols))):
+    d = df.agg(*agg).collect()[0].asDict()
+    if d["bad_finite"]:
         raise ValueError("Box coordinates must be finite (no NaN/Inf)")
     if d["bad_order"]:
         raise ValueError("Box min must be <= max in every dimension")

@@ -49,6 +49,33 @@ __all__ = [
 # Spark column expressions (JVM-side)
 # ---------------------------------------------------------------------------
 
+def dlit(x: float) -> str:
+    """Exact DOUBLE literal for SQL-string expression building: shortest
+    round-trip repr plus an exponent marker, because a bare decimal like
+    ``105.0`` parses as DECIMAL in Spark SQL (different arithmetic), while
+    scientific notation parses as DOUBLE with correctly-rounded strtod —
+    bit-identical to the Python float."""
+    x = float(x)
+    r = repr(x)
+    if "e" in r or "E" in r:
+        return r
+    if "inf" in r or "nan" in r:
+        raise ValueError(f"non-finite literal in SQL expression: {x!r}")
+    return r + "E0"
+
+
+def axis_index_sql(coord_sql: str, lo: float, size: float, side: int) -> str:
+    """SQL-string twin of ``axis_index_col`` over a raw SQL fragment (same
+    expression tree after parsing — the string form exists because building
+    this tree through the Column API costs dozens of py4j round trips per
+    call and the hot operators construct it for every query). Callers
+    backtick plain column names themselves."""
+    return (
+        f"CAST(greatest(0, least({side - 1}, "
+        f"FLOOR(({coord_sql} - {dlit(lo)}) / {dlit(size)} * {side}))) AS BIGINT)"
+    )
+
+
 def axis_index_col(coord: Column, lo: float, size: float, side: int) -> Column:
     """Grid index of ``coord`` along one axis, clamped to [0, side-1]."""
     idx = F.floor((coord - F.lit(lo)) / F.lit(size) * F.lit(side))
@@ -77,16 +104,29 @@ def explode_cells(
 ) -> DataFrame:
     """One output row per (row, covering cell). cell id = ix * side + iy
     (row-major; a bijection is all the equi-join needs — Morton order is
-    applied only when persisting the index for scan locality)."""
+    applied only when persisting the index for scan locality).
+
+    Built from THREE selectExpr strings instead of per-node Column calls:
+    the parsed plan is identical, but this function sits on every spatial
+    operator's hot path and the Column form cost ~70 py4j round trips
+    (~0.17 s of pure driver latency per call on this host)."""
     side = 1 << level
-    ix0, iy0, ix1, iy1 = cell_range_cols(
-        F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax), extent, level
-    )
+    ax = lambda c, lo, size: axis_index_sql(  # noqa: E731
+        f"`{c}`", lo, size, side)
+    w, h = extent.width(), extent.height()
+    cols = [f"`{c}`" for c in df.columns]
     return (
-        df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
-        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
-        .withColumn(cell_col, F.col("_ix") * F.lit(side) + F.col("_iy"))
-        .drop("_ix", "_iy")
+        df.selectExpr(
+            *cols,
+            f"explode(sequence({ax(xmin, extent.xmin, w)}, "
+            f"{ax(xmax, extent.xmin, w)})) AS _ix",
+        )
+        .selectExpr(
+            "*",
+            f"explode(sequence({ax(ymin, extent.ymin, h)}, "
+            f"{ax(ymax, extent.ymin, h)})) AS _iy",
+        )
+        .selectExpr(*cols, f"_ix * {side} + _iy AS `{cell_col}`")
     )
 
 
@@ -99,6 +139,21 @@ def ref_cell_col(
     rx = axis_index_col(F.greatest(a_xmin, b_xmin), extent.xmin, extent.width(), side)
     ry = axis_index_col(F.greatest(a_ymin, b_ymin), extent.ymin, extent.height(), side)
     return rx * F.lit(side) + ry
+
+
+def ref_cell_sql(
+    a_xmin: str, a_ymin: str, b_xmin: str, b_ymin: str,
+    extent: Extent, level: int,
+) -> str:
+    """SQL-string twin of ``ref_cell_col`` over backticked column names
+    (identical parsed tree; used on the join hot paths to avoid per-node
+    py4j latency)."""
+    side = 1 << level
+    rx = axis_index_sql(
+        f"greatest(`{a_xmin}`, `{b_xmin}`)", extent.xmin, extent.width(), side)
+    ry = axis_index_sql(
+        f"greatest(`{a_ymin}`, `{b_ymin}`)", extent.ymin, extent.height(), side)
+    return f"{rx} * {side} + {ry}"
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +221,26 @@ def _spread_bits_col(v: Column) -> Column:
     v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
     v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
     return v
+
+
+def morton_sql(cell: str, level: int) -> str:
+    """SQL-string twin of ``morton_col`` over a backticked column name —
+    identical parsed tree (the Column form also duplicates each spread
+    stage's subtree; Catalyst trees share nothing either way). Exists for
+    the build hot path's plan-construction latency."""
+    side = 1 << level
+
+    def spread(v: str) -> str:
+        v = f"({v} & 65535)"
+        v = f"(({v} | shiftleft({v}, 8)) & {0x00FF00FF})"
+        v = f"(({v} | shiftleft({v}, 4)) & {0x0F0F0F0F})"
+        v = f"(({v} | shiftleft({v}, 2)) & {0x33333333})"
+        v = f"(({v} | shiftleft({v}, 1)) & {0x55555555})"
+        return v
+
+    ix = f"CAST(FLOOR(`{cell}` / {side}) AS BIGINT)"
+    iy = f"(`{cell}` % {side})"
+    return f"CAST(({spread(ix)} | shiftleft({spread(iy)}, 1)) AS BIGINT)"
 
 
 def morton_col(cell: Column, level: int) -> Column:

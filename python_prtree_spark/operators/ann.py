@@ -203,11 +203,16 @@ def ivf_topk(
             out["list_id"] = top.ravel()
             yield out
 
+    from python_prtree_spark.operators.dedup import _spread
+
     ct = corpus.schema[id_col].dataType.simpleString()
     pt = probes.schema[probe_id].dataType.simpleString()
-    c = corpus.select(
+    # spread first: a small parquet corpus arrives as one scan task and the
+    # whole centroid-assignment kernel would run on a single Python worker;
+    # no-op when the scan already carries >= cores partitions
+    c = _spread(corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
+    )).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
     p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).mapInPandas(assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")

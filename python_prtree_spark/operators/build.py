@@ -22,7 +22,9 @@ from pyspark.sql.types import (
 
 from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.geometry import validate_boxes_df
-from python_prtree_spark.functions.tiling import explode_cells, morton_col, morton_encode
+from python_prtree_spark.functions.tiling import (
+    explode_cells, morton_encode, morton_sql,
+)
 from python_prtree_spark.operators.probe import _hot_cells, resolve_geometry
 from python_prtree_spark.operators.strpack import STRPack
 
@@ -261,44 +263,50 @@ def _pack_sql(
     level = cfg.level
     extra_cols = list(extra_cols or [])
 
+    # every multi-step expression below is ONE F.expr(...) SQL string, not
+    # nested Column-lambda builders: the Column API pays one py4j round
+    # trip per node and this tree has hundreds of nodes — measured 0.6 s
+    # of pure driver-side plan CONSTRUCTION per build_index call (a third
+    # of the 600k-box build wall time, and ~3 s across the 8M probe's 5
+    # repeats). The parsed plan is expression-for-expression identical.
+    ex_struct = "".join(f", CAST({c} AS DOUBLE) AS {c}" for c in extra_cols)
+    ex_copy = "".join(f", x.{c} AS {c}" for c in extra_cols)
     g = cells.groupBy("cell", "salt").agg(
-        F.collect_list(F.struct(
-            F.col("_did").cast("long").alias("_did"),
-            *[F.col(c).cast("double").alias(c) for c in BOX + extra_cols],
-        )).alias("rows")
+        F.expr(
+            "collect_list(struct("
+            "CAST(_did AS BIGINT) AS _did, "
+            "CAST(xmin AS DOUBLE) AS xmin, CAST(ymin AS DOUBLE) AS ymin, "
+            "CAST(xmax AS DOUBLE) AS xmax, CAST(ymax AS DOUBLE) AS ymax"
+            f"{ex_struct}))"
+        ).alias("rows")
     )
     # sort keys are LEADING STRUCT FIELDS under array_sort's natural struct
     # ordering (field-by-field, ascending) — measured ~1.5x faster than an
     # equivalent comparator lambda (interpreted per comparison); _did makes
     # every key tuple unique, so later fields never get compared
-    arr1 = F.array_sort(F.transform(
-        "rows",
-        lambda x: F.struct(
-            (x["xmin"] + x["xmax"]).alias("cx"),
-            x["_did"].alias("_did"),
-            x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
-            x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
-            *[x[c].alias(c) for c in extra_cols],
-        ),
-    ))
-    g = (
-        g.select("cell", "salt", F.size("rows").alias("n"), arr1.alias("a1"))
-        .withColumn("n_leaves", F.ceil(F.col("n") / B).cast("long"))
-        .withColumn("n_slabs", F.greatest(
-            F.lit(1), F.ceil(F.sqrt(F.col("n_leaves"))).cast("long")))
-        .withColumn("rps", F.ceil(F.col("n") / F.col("n_slabs")).cast("long"))
+    arr1 = F.expr(
+        "array_sort(transform(rows, x -> struct("
+        "x.xmin + x.xmax AS cx, x._did AS _did, "
+        "x.xmin AS xmin, x.ymin AS ymin, x.xmax AS xmax, x.ymax AS ymax"
+        f"{ex_copy})))"
     )
-    tagged = F.transform(
-        "a1",
-        lambda x, i: F.struct(
-            (i / F.col("rps")).cast("long").alias("slab"),
-            (x["ymin"] + x["ymax"]).alias("cy"),
-            i.alias("xr"),
-            x["_did"].alias("_did"),
-            x["xmin"].alias("xmin"), x["ymin"].alias("ymin"),
-            x["xmax"].alias("xmax"), x["ymax"].alias("ymax"),
-            *[x[c].alias(c) for c in extra_cols],
-        ),
+    # n_slabs is inlined into rps (CollapseProject would inline the
+    # withColumn chain into the same single Project anyway)
+    NL = f"CAST(ceil(n / {B}) AS BIGINT)"
+    NS = f"greatest(1, CAST(ceil(sqrt({NL})) AS BIGINT))"
+    g = g.select(
+        "cell", "salt", F.expr("size(rows)").alias("n"), arr1.alias("a1")
+    ).selectExpr(
+        "cell", "salt", "n", "a1",
+        f"{NL} AS n_leaves", f"CAST(ceil(n / {NS}) AS BIGINT) AS rps",
+    )
+    tagged = F.expr(
+        "transform(a1, (x, i) -> struct("
+        "CAST(i / rps AS BIGINT) AS slab, "
+        "x.ymin + x.ymax AS cy, "
+        "i AS xr, x._did AS _did, "
+        "x.xmin AS xmin, x.ymin AS ymin, x.xmax AS xmax, x.ymax AS ymax"
+        f"{ex_copy}))"
     )
     g = g.withColumn("a2", F.array_sort(tagged)).drop("a1")
     # extract the plain column arrays FIRST, then fold leaf MBBs with
@@ -307,32 +315,27 @@ def _pack_sql(
     # (driver plan-compile 0.6 s vs 1.9 s, and faster execution too)
     g = g.select(
         "cell", "salt", "n", "n_leaves",
-        F.transform("a2", lambda x: x["_did"]).alias("ids"),
-        F.transform("a2", lambda x: x["xmin"]).alias("b_xmin"),
-        F.transform("a2", lambda x: x["ymin"]).alias("b_ymin"),
-        F.transform("a2", lambda x: x["xmax"]).alias("b_xmax"),
-        F.transform("a2", lambda x: x["ymax"]).alias("b_ymax"),
-        # NB: default-arg capture (lambda x, c=c) would make Spark treat
-        # this as the 2-arg (element, index) lambda form — build the
-        # 1-arg lambda in a closure instead
+        F.expr("transform(a2, x -> x._did)").alias("ids"),
+        F.expr("transform(a2, x -> x.xmin)").alias("b_xmin"),
+        F.expr("transform(a2, x -> x.ymin)").alias("b_ymin"),
+        F.expr("transform(a2, x -> x.xmax)").alias("b_xmax"),
+        F.expr("transform(a2, x -> x.ymax)").alias("b_ymax"),
         *[
-            F.transform("a2", (lambda cc: lambda x: x[cc])(c)).alias(f"b_{c}")
+            F.expr(f"transform(a2, x -> x.{c})").alias(f"b_{c}")
             for c in extra_cols
         ],
     )
-    leaf_mbbs = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.col("n_leaves") - 1),
-        lambda k: F.array(
-            F.array_min(F.slice(F.col("b_xmin"), k * B + 1, B)),
-            F.array_min(F.slice(F.col("b_ymin"), k * B + 1, B)),
-            F.array_max(F.slice(F.col("b_xmax"), k * B + 1, B)),
-            F.array_max(F.slice(F.col("b_ymax"), k * B + 1, B)),
-        ),
-    ))
+    leaf_mbbs = F.expr(
+        "flatten(transform(sequence(0, n_leaves - 1), k -> array("
+        f"array_min(slice(b_xmin, k * {B} + 1, {B})), "
+        f"array_min(slice(b_ymin, k * {B} + 1, {B})), "
+        f"array_max(slice(b_xmax, k * {B} + 1, {B})), "
+        f"array_max(slice(b_ymax, k * {B} + 1, {B})))))"
+    )
     return g.select(
         "cell",
         F.col("salt").cast("int").alias("salt"),
-        morton_col(F.col("cell"), level).alias("zorder"),
+        F.expr(morton_sql("cell", level)).alias("zorder"),
         F.col("n").cast("long").alias("n_rows"),
         F.lit(B).cast("int").alias("leaf_size"),
         "ids", "b_xmin", "b_ymin", "b_xmax", "b_ymax",

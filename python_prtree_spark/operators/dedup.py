@@ -48,6 +48,12 @@ __all__ = [
 
 _MERSENNE = (1 << 61) - 1
 
+# corpora whose Catalyst plan estimate is under this take minhash_lsh_pairs'
+# direct single-pipeline path (no singleton-bucket pre-filter): the filter
+# machinery costs ~3 extra exchanges, which only pays off once the per-doc
+# payloads it keeps out of the (band, bkey) shuffle are large
+_LSH_DIRECT_BYTES = 32 << 20
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
@@ -340,21 +346,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    extra_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """(id, sig array<long>) via mapInPandas — Arrow-batched, numpy inner
-    loop ((a*h + b) mod Mersenne-61 over crc32 token hashes)."""
+    loop ((a*h + b) mod Mersenne-61 over crc32 token hashes).
+
+    extra_cols: names of input columns echoed through the kernel untouched
+    (the direct LSH path rides its JVM-computed token sets through here so
+    the whole pipeline stays one linear pass)."""
     a, b = _minhash_params(num_hashes, seed)
+    extra_cols = list(extra_cols or [])
 
     def gen(batches):
         for pdf in batches:
             texts = pdf[text_col].fillna("")
+            extras = {c: pdf[c] for c in extra_cols}
             # flatten all docs' token hashes into one array + reduceat bounds
             per_doc = [_token_hashes(t) for t in texts]
             counts = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
                                  count=len(per_doc))
             if counts.sum() == 0:
                 yield pd.DataFrame({id_col: pdf[id_col],
-                                    "sig": [np.zeros(num_hashes, np.int64)] * len(pdf)})
+                                    "sig": [np.zeros(num_hashes, np.int64)] * len(pdf),
+                                    **extras})
                 continue
             flat = np.concatenate(per_doc)
             starts = np.zeros(len(per_doc), dtype=np.int64)
@@ -367,11 +381,14 @@ def minhash_signatures(
                 vals = (a[None, c0:c1] * flat[:, None] + b[None, c0:c1]) % np.uint64(_MERSENNE)
                 sig[:, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
             sigs = [s.astype(np.int64) for s in sig]
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs, **extras})
 
     out_t = df.schema[id_col].dataType.simpleString()
-    return _spread(df.select(id_col, text_col)).mapInPandas(
-        gen, schema=f"{id_col} {out_t}, sig array<long>"
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
+    return _spread(df.select(id_col, text_col, *extra_cols)).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, sig array<long>{extra_schema}"
     )
 
 
@@ -422,40 +439,70 @@ def minhash_lsh_pairs(
     verifier no longer needs a broadcast."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, id_col, text_col, seed)
-    bkeys = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)]
-                ).alias("bkeys"),
-    )
-    # both the bucket branch and the member-info join consume bkeys; a lazy
-    # local checkpoint computes the signature scan ONCE instead of twice
-    # (at scale: one pass over the corpus text, not two)
-    bkeys = bkeys.localCheckpoint(eager=False)
-    banded = bkeys.select(
-        "_id", F.posexplode("bkeys").alias("band", "bkey")
-    )
-    # singleton-bucket filter WITHOUT materializing member lists: a
-    # count-aggregate (map-side partial, skinny output) + semi-join keeps
-    # exactly the rows of >= 2-member buckets — a degenerate mega-bucket
-    # never becomes one multi-MB collect_list row
-    hot_buckets = (
-        banded.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= 2)
-        .select("band", "bkey")
-    )
-    memb = banded.join(hot_buckets, on=["band", "bkey"], how="left_semi")
-    info = bkeys
-    if verify:
-        toks = df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(F.transform(
-                F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
-            )).alias("toks"),
+    from python_prtree_spark.plans.explain import plan_size_estimate
+
+    toks_expr = F.array_distinct(F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    ))
+    est = plan_size_estimate(df.select(id_col, text_col))
+    if est is not None and est <= _LSH_DIRECT_BYTES:
+        # DIRECT path for corpora whose Catalyst size estimate is small
+        # (r6 optimization): the singleton-bucket filter exists to keep
+        # per-doc payloads (bkeys + token sets) out of the big (band,
+        # bkey) shuffle at corpus scale — below this bound the filter's
+        # own machinery (bucket-count shuffle + semi-join + member-info
+        # join + a checkpointed second pass) costs more wall-clock than
+        # the bytes it saves. One linear pipeline instead: the signature
+        # kernel echoes the JVM-computed xxhash64 token sets, EVERY band
+        # row goes straight into the one (band, bkey) shuffle, and the
+        # kernel skips singleton runs for free. Identical output: pairs
+        # only ever come from >= 2-member bucket runs.
+        src = df.select(id_col, text_col)
+        if verify:
+            src = src.withColumn("_toks", toks_expr)
+        sigs = minhash_signatures(
+            src, num_hashes, id_col, text_col, seed,
+            extra_cols=["_toks"] if verify else None,
         )
-        info = info.join(toks, on="_id")
-    joined = memb.join(info, on="_id")
+        joined = sigs.select(
+            F.col(id_col).alias("_id"),
+            F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r))
+                      for i in range(bands)]).alias("bkeys"),
+            *([F.col("_toks").alias("toks")] if verify else []),
+        ).select(
+            "_id", "bkeys", *(["toks"] if verify else []),
+            F.posexplode("bkeys").alias("band", "bkey"),
+        )
+    else:
+        sigs = minhash_signatures(df, num_hashes, id_col, text_col, seed)
+        bkeys = sigs.select(
+            F.col(id_col).alias("_id"),
+            F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)]
+                    ).alias("bkeys"),
+        )
+        # both the bucket branch and the member-info join consume bkeys; a
+        # lazy local checkpoint computes the signature scan ONCE instead of
+        # twice (at scale: one pass over the corpus text, not two)
+        bkeys = bkeys.localCheckpoint(eager=False)
+        banded = bkeys.select(
+            "_id", F.posexplode("bkeys").alias("band", "bkey")
+        )
+        # singleton-bucket filter WITHOUT materializing member lists: a
+        # count-aggregate (map-side partial, skinny output) + semi-join keeps
+        # exactly the rows of >= 2-member buckets — a degenerate mega-bucket
+        # never becomes one multi-MB collect_list row
+        hot_buckets = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= 2)
+            .select("band", "bkey")
+        )
+        memb = banded.join(hot_buckets, on=["band", "bkey"], how="left_semi")
+        info = bkeys
+        if verify:
+            toks = df.select(F.col(id_col).alias("_id"), toks_expr.alias("toks"))
+            info = info.join(toks, on="_id")
+        joined = memb.join(info, on="_id")
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = (

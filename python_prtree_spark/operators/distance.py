@@ -62,25 +62,36 @@ def distance_join(
         query_id, F.col(x).alias("_px"), F.col(y).alias("_py")
     )
     squares = pts.select(
-        query_id,
+        query_id, "_px", "_py",
         (F.col("_px") - r).alias("xmin"), (F.col("_py") - r).alias("ymin"),
         (F.col("_px") + r).alias("xmax"), (F.col("_py") + r).alias("ymax"),
-    )
-    cand = _probe.batch_query(
-        data_df.select(data_id, *BOX), squares, cfg, data_id, query_id,
-        n_data_hint=n_data_hint,
     )
     dx = F.greatest(F.col("xmin") - F.col("_px"), F.col("_px") - F.col("xmax"), F.lit(0.0))
     dy = F.greatest(F.col("ymin") - F.col("_py"), F.col("_py") - F.col("ymax"), F.lit(0.0))
     dist2 = dx * dx + dy * dy
+    out_cols = [
+        query_id, data_id,
+        F.floor(dist2 * F.lit(1e6)).cast("long").alias("dist2_q"),
+    ]
+    cand, n_data = _probe.batch_query_payload(
+        data_df.select(data_id, *BOX), squares, cfg, data_id, query_id,
+        n_data_hint=n_data_hint, q_payload=["_px", "_py"],
+    )
+    if cand is not None:
+        # fused 'sql'-strategy path: the cell equi-join already carries the
+        # data box AND the probe point — refine in place, zero extra joins
+        # (the probe coords ride the join untouched, so dist2 is the same
+        # IEEE sequence as the join-back form below)
+        return cand.where(dist2 <= F.lit(r * r)).select(*out_cols)
+    cand = _probe.batch_query(
+        data_df.select(data_id, *BOX), squares.drop("_px", "_py"), cfg,
+        data_id, query_id, n_data_hint=n_data,
+    )
     return (
         cand.join(data_df.select(data_id, *BOX), on=data_id)
         .join(pts, on=query_id)
         .where(dist2 <= F.lit(r * r))
-        .select(
-            query_id, data_id,
-            F.floor(dist2 * F.lit(1e6)).cast("long").alias("dist2_q"),
-        )
+        .select(*out_cols)
     )
 
 
@@ -157,7 +168,7 @@ def geo_distance_join(
         * F.lit(1.0000001) + F.lit(1e-9)
     )
     w = pts.select(
-        query_id, "_plat",
+        query_id, "_plng", "_plat",
         (F.col("_plng") - dlam).alias("_a"),
         (F.col("_plng") + dlam).alias("_b"),
         (dlam >= 180.0).alias("_full"),
@@ -175,14 +186,14 @@ def geo_distance_join(
     seg2_x1 = F.when(~F.col("_full") & (F.col("_a") < -180.0), F.lit(180.0)) \
         .when(~F.col("_full") & (F.col("_b") > 180.0), F.col("_b") - 360.0)
     segs = w.select(
-        query_id, "_plat",
+        query_id, "_plng", "_plat",
         F.explode(F.array(
             F.struct(seg1_x0.alias("x0"), seg1_x1.alias("x1")),
             F.struct(seg2_x0.alias("x0"), seg2_x1.alias("x1")),
         )).alias("_s"),
     ).where(F.col("_s.x0").isNotNull())
     squares = segs.select(
-        query_id,
+        query_id, "_plng", "_plat",
         F.col("_s.x0").alias("xmin"),
         (F.col("_plat") - dphi_deg).alias("ymin"),
         F.col("_s.x1").alias("xmax"),
@@ -191,13 +202,10 @@ def geo_distance_join(
     dpts = data_df.select(
         data_id, F.col(lng).alias("_dlng"), F.col(lat).alias("_dlat")
     )
-    cand = _probe.batch_query(
-        dpts.select(
-            data_id,
-            F.col("_dlng").alias("xmin"), F.col("_dlat").alias("ymin"),
-            F.col("_dlng").alias("xmax"), F.col("_dlat").alias("ymax"),
-        ),
-        squares, cfg, data_id, query_id, n_data_hint=n_data_hint,
+    dboxes = dpts.select(
+        data_id,
+        F.col("_dlng").alias("xmin"), F.col("_dlat").alias("ymin"),
+        F.col("_dlng").alias("xmax"), F.col("_dlat").alias("ymax"),
     )
     # exact haversine refine — expression order mirrors the SQL oracle
     sdphi = F.sin((F.radians("_dlat") - F.radians("_plat")) / F.lit(2.0))
@@ -205,15 +213,38 @@ def geo_distance_join(
     h = sdphi * sdphi \
         + F.cos(F.radians("_plat")) * F.cos(F.radians("_dlat")) * sdlam * sdlam
     dkm = F.lit(2.0) * F.lit(EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+    out_cols = [
+        query_id, data_id,
+        F.floor(F.col("_dkm") * F.lit(1000.0)).cast("long").alias("dist_m"),
+    ]
+    fused, n_data = _probe.batch_query_payload(
+        dboxes, squares, cfg, data_id, query_id, n_data_hint=n_data_hint,
+        q_payload=["_plng", "_plat"],
+    )
+    if fused is not None:
+        # fused 'sql'-strategy path: the data point IS its degenerate box
+        # (xmin == lng, ymin == lat, pure aliasing — identical bits), and
+        # the probe coords ride the cell join — zero join-backs, same
+        # haversine expression over the same doubles
+        return (
+            fused.select(
+                query_id, data_id, "_plng", "_plat",
+                F.col("xmin").alias("_dlng"), F.col("ymin").alias("_dlat"),
+            )
+            .withColumn("_dkm", dkm)
+            .where(F.col("_dkm") <= F.lit(r))
+            .select(*out_cols)
+        )
+    cand = _probe.batch_query(
+        dboxes, squares.drop("_plng", "_plat"), cfg, data_id, query_id,
+        n_data_hint=n_data,
+    )
     return (
         cand.join(dpts, on=data_id)
         .join(pts, on=query_id)
         .withColumn("_dkm", dkm)
         .where(F.col("_dkm") <= F.lit(r))
-        .select(
-            query_id, data_id,
-            F.floor(F.col("_dkm") * F.lit(1000.0)).cast("long").alias("dist_m"),
-        )
+        .select(*out_cols)
     )
 
 

@@ -140,7 +140,13 @@ def _knn_broadcast(
                 "dist2": np.concatenate(out_d),
             })
 
-    local = cent_xy.select(data_id, "_cx", "_cy").mapInPandas(
+    from python_prtree_spark.operators.dedup import _spread
+
+    # spread the data side across the cores first: a small parquet scan
+    # arrives as one task, and the whole m x n distance kernel would run
+    # on a single Python worker (measured 0.7 s serial vs ~0.05 s spread
+    # at 20k x 1k on local[32]); no-op when the scan is already parallel
+    local = _spread(cent_xy.select(data_id, "_cx", "_cy")).mapInPandas(
         gen, schema=f"{query_id} {qt}, {data_id} {dt}, dist2 double"
     )
     return _global_topk(local, kk, data_id, query_id)

@@ -31,7 +31,7 @@ from python_prtree_spark.config import DEFAULT_CONFIG, EngineConfig
 from python_prtree_spark.functions.tiling import (
     cell_of_point_np,
     explode_cells,
-    ref_cell_col,
+    ref_cell_sql,
 )
 from python_prtree_spark.operators.probe import (
     _hot_cells,
@@ -49,25 +49,19 @@ def _pairs_sql(data_c: DataFrame, cfg: EngineConfig, data_id: str) -> DataFrame:
     """JVM self-join on cell. Skew note: both sides arrive cell-partitioned
     into a sort-merge join, the shape AQE's OptimizeSkewedJoin splits at
     runtime — no manual salting layer on this path."""
-    a = data_c.select(
-        F.col(data_id).alias("id_a"), "cell",
-        *[F.col(c).alias(f"a_{c}") for c in BOX],
+    from python_prtree_spark.operators.probe import _ov_ref_sql
+
+    a = data_c.selectExpr(
+        f"`{data_id}` AS id_a", "`cell`",
+        *[f"`{c}` AS a_{c}" for c in BOX],
     )
-    b = data_c.select(
-        F.col(data_id).alias("id_b"), "cell",
-        *[F.col(c).alias(f"b_{c}") for c in BOX],
-    )
-    pred = (
-        (F.col("a_xmin") <= F.col("b_xmax")) & (F.col("b_xmin") <= F.col("a_xmax"))
-        & (F.col("a_ymin") <= F.col("b_ymax")) & (F.col("b_ymin") <= F.col("a_ymax"))
-    )
-    ref = ref_cell_col(
-        F.col("a_xmin"), F.col("a_ymin"), F.col("b_xmin"), F.col("b_ymin"),
-        cfg.extent, cfg.level,
+    b = data_c.selectExpr(
+        f"`{data_id}` AS id_b", "`cell`",
+        *[f"`{c}` AS b_{c}" for c in BOX],
     )
     return (
         a.join(b, on="cell")
-        .where((F.col("id_a") < F.col("id_b")) & pred & (ref == F.col("cell")))
+        .where(F.expr(f"id_a < id_b AND {_ov_ref_sql(cfg, 'a', 'b')}"))
         .select("id_a", "id_b")
     )
 
@@ -240,6 +234,14 @@ def query_intersections(
     n_data_hint: int | None = None,
 ) -> DataFrame:
     """All intersecting pairs (id_a < id_b), each exactly once."""
+    from python_prtree_spark.operators.probe import _tiny_sql_shortcut
+
+    slim = data_df.select(data_id, *BOX)
+    if _tiny_sql_shortcut(slim, cfg, n_data_hint):
+        # Catalyst's size estimate alone picks 'sql' — no count job, and
+        # the sql path has no salting, so no histogram either
+        data_c = explode_cells(slim, cfg.extent, cfg.level)
+        return _pairs_sql(data_c, cfg, data_id)
     cfg, n_data = resolve_geometry(data_df.select(data_id, *BOX), cfg, n_data_hint)
     data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
     if _pick_strategy(cfg, n_data) == "sql":

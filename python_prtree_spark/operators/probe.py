@@ -38,7 +38,7 @@ from python_prtree_spark.functions.geometry import aabb_intersects_np
 from python_prtree_spark.functions.tiling import (
     cell_of_point_np,
     explode_cells,
-    ref_cell_col,
+    ref_cell_sql,
 )
 from python_prtree_spark.operators.strpack import STRPack
 
@@ -86,6 +86,28 @@ def resolve_geometry(
 
 _TINY_PROBE_BYTES = 4 << 20  # conservative vs spark.sql.autoBroadcastJoinThreshold
 
+# data sides whose Catalyst plan estimate is under this resolve straight to
+# the 'sql' strategy with ZERO pre-jobs: a <=4 MB source is far below the
+# ~1M-row sql/packed crossover however it decompresses, the sql path never
+# uses the row count, and salting does not exist on it — so neither the
+# resolve_geometry count() nor the hot-cell histogram needs to run
+_TINY_DATA_BYTES = 4 << 20
+
+
+def _tiny_sql_shortcut(data_df: DataFrame, cfg: EngineConfig,
+                       n_data_hint: int | None) -> bool:
+    """True when strategy 'sql' can be chosen from Catalyst's own size
+    estimate alone (no job scheduled). Only fires when geometry is fully
+    configured and no exact count was provided — an explicit hint keeps
+    the precise crossover decision."""
+    if (cfg.strategy != "auto" or cfg.extent is None or cfg.level is None
+            or n_data_hint is not None):
+        return False
+    from python_prtree_spark.plans.explain import plan_size_estimate
+
+    est = plan_size_estimate(data_df)
+    return est is not None and est <= _TINY_DATA_BYTES
+
 
 def _pick_strategy(cfg: EngineConfig, n_data: int,
                    query_df: DataFrame | None = None) -> str:
@@ -113,30 +135,35 @@ def _pick_strategy(cfg: EngineConfig, n_data: int,
 # 'sql' strategy — pure JVM
 # ---------------------------------------------------------------------------
 
+def _ov_ref_sql(cfg: EngineConfig, a: str, b: str) -> str:
+    """Overlap predicate + reference-point rule between `{a}_*` and `{b}_*`
+    box columns, as ONE SQL string (identical parsed tree to the Column
+    form; string-built because it sits on every join's construction path)."""
+    ref = ref_cell_sql(f"{a}_xmin", f"{a}_ymin", f"{b}_xmin", f"{b}_ymin",
+                       cfg.extent, cfg.level)
+    return (
+        f"`{a}_xmin` <= `{b}_xmax` AND `{b}_xmin` <= `{a}_xmax` AND "
+        f"`{a}_ymin` <= `{b}_ymax` AND `{b}_ymin` <= `{a}_ymax` AND "
+        f"({ref}) = `cell`"
+    )
+
+
 def _batch_query_sql(
     data_c: DataFrame, query_c: DataFrame, cfg: EngineConfig,
     data_id: str, query_id: str,
 ) -> DataFrame:
-    d = data_c.select(
-        F.col(data_id).alias("_did"), "cell",
-        *[F.col(c).alias(f"d_{c}") for c in BOX],
+    d = data_c.selectExpr(
+        f"`{data_id}` AS _did", "`cell`",
+        *[f"`{c}` AS d_{c}" for c in BOX],
     )
-    q = query_c.select(
-        F.col(query_id).alias("_qid"), "cell",
-        *[F.col(c).alias(f"q_{c}") for c in BOX],
-    )
-    pred = (
-        (F.col("q_xmin") <= F.col("d_xmax")) & (F.col("d_xmin") <= F.col("q_xmax"))
-        & (F.col("q_ymin") <= F.col("d_ymax")) & (F.col("d_ymin") <= F.col("q_ymax"))
-    )
-    ref = ref_cell_col(
-        F.col("q_xmin"), F.col("q_ymin"), F.col("d_xmin"), F.col("d_ymin"),
-        cfg.extent, cfg.level,
+    q = query_c.selectExpr(
+        f"`{query_id}` AS _qid", "`cell`",
+        *[f"`{c}` AS q_{c}" for c in BOX],
     )
     return (
         q.join(d, on="cell")
-        .where(pred & (ref == F.col("cell")))
-        .select(F.col("_qid").alias(query_id), F.col("_did").alias(data_id))
+        .where(F.expr(_ov_ref_sql(cfg, "q", "d")))
+        .selectExpr(f"_qid AS `{query_id}`", f"_did AS `{data_id}`")
     )
 
 
@@ -316,9 +343,13 @@ def _hot_cells(data_c: DataFrame, cfg: EngineConfig,
     """Per-cell build-side histogram → (cell, n_salts) for cells exceeding
     the salt threshold. Returns None when nothing is hot.
 
-    When the table's live row count is known and <= salt_threshold, no
-    cell can possibly exceed it (a row lands in a covering cell at most
-    once) — the histogram pass is skipped entirely.
+    When the table's live row count is known and <= hist_skip_factor *
+    salt_threshold, the histogram pass is skipped entirely: below
+    salt_threshold no cell can possibly be hot (a row lands in a covering
+    cell at most once); between 1x and hist_skip_factor-x the worst case
+    (every row in one cell) is a single bounded task of a few hundred k
+    rows — a straggler cheaper than the histogram job that would detect
+    it (salting is balance-only, never correctness).
 
     Above that, the histogram is ESTIMATED from a deterministic 1/d row
     sample (d up to 64): a hot cell has >= threshold member rows, so
@@ -331,7 +362,9 @@ def _hot_cells(data_c: DataFrame, cfg: EngineConfig,
     instead). Salting never affects results — a missed borderline-hot cell
     costs balance, not correctness. xxhash64 (not df.sample) keeps the
     decision identical across runs, retries, and stage re-executions."""
-    if n_data is not None and n_data <= cfg.salt_threshold:
+    if n_data is not None and n_data <= cfg.salt_threshold * max(
+        1, cfg.hist_skip_factor
+    ):
         return None
     d = 16 if n_data is None else max(1, min(64, n_data // cfg.salt_threshold))
     id_col = next(
@@ -382,7 +415,12 @@ def batch_query(
     stay exact; one Python worker may eat a whole hot cell). PRTreeTable
     threads exact counts; external callers who merely estimate must pass
     None."""
-    cfg, n_data = resolve_geometry(data_df.select(*( [data_id] + BOX )), cfg, n_data_hint)
+    slim = data_df.select(*([data_id] + BOX))
+    if _tiny_sql_shortcut(slim, cfg, n_data_hint):
+        data_c = explode_cells(slim, cfg.extent, cfg.level)
+        query_c = explode_cells(query_df.select(query_id, *BOX), cfg.extent, cfg.level)
+        return _batch_query_sql(data_c, query_c, cfg, data_id, query_id)
+    cfg, n_data = resolve_geometry(slim, cfg, n_data_hint)
     data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
     query_c = explode_cells(query_df.select(query_id, *BOX), cfg.extent, cfg.level)
     strategy = _pick_strategy(cfg, n_data, query_df)
@@ -390,6 +428,60 @@ def batch_query(
         return _batch_query_sql(data_c, query_c, cfg, data_id, query_id)
     salt = _hot_cells(data_c, cfg, n_data)
     return _batch_query_packed(data_c, query_c, cfg, data_id, query_id, salt)
+
+
+def batch_query_payload(
+    data_df: DataFrame,
+    query_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    data_id: str = "id",
+    query_id: str = "qid",
+    n_data_hint: int | None = None,
+    q_payload: "tuple[str, ...] | list[str]" = (),
+) -> "tuple[DataFrame | None, int]":
+    """Fused variant of ``batch_query`` for refine-style callers
+    (distance_join and friends) that would otherwise join the pair table
+    back to both inputs to recover coordinates. When the resolved strategy
+    is 'sql', returns the SAME duplicate-free pair set with the data box
+    (plain ``xmin..ymax``) and the named probe-side payload columns carried
+    through the one cell equi-join — zero join-backs, all values riding the
+    join bit-untouched. Returns (None, n_data) when the packed strategy is
+    resolved (payload cannot ride the Arrow kernel); the caller falls back
+    to ``batch_query`` + join-backs, passing n_data as the hint so the
+    count is not paid twice.
+
+    → (pairs-with-payload DataFrame or None, resolved n_data)."""
+    q_payload = list(q_payload)
+    slim = data_df.select(*([data_id] + BOX))
+    if _tiny_sql_shortcut(slim, cfg, n_data_hint):
+        n_data = -1  # unused: the shortcut always takes the sql branch
+    else:
+        cfg, n_data = resolve_geometry(slim, cfg, n_data_hint)
+        if _pick_strategy(cfg, n_data, query_df) != "sql":
+            return None, n_data
+    data_c = explode_cells(data_df.select(data_id, *BOX), cfg.extent, cfg.level)
+    query_c = explode_cells(
+        query_df.select(query_id, *BOX, *q_payload), cfg.extent, cfg.level
+    )
+    d = data_c.selectExpr(
+        f"`{data_id}` AS _did", "`cell`",
+        *[f"`{c}` AS d_{c}" for c in BOX],
+    )
+    q = query_c.selectExpr(
+        f"`{query_id}` AS _qid", "`cell`",
+        *[f"`{c}` AS q_{c}" for c in BOX],
+        *[f"`{c}`" for c in q_payload],
+    )
+    out = (
+        q.join(d, on="cell")
+        .where(F.expr(_ov_ref_sql(cfg, "q", "d")))
+        .selectExpr(
+            f"_qid AS `{query_id}`", f"_did AS `{data_id}`",
+            *[f"d_{c} AS `{c}`" for c in BOX],
+            *[f"`{c}`" for c in q_payload],
+        )
+    )
+    return out, n_data
 
 
 def batch_query_array(

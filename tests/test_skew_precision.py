@@ -50,6 +50,24 @@ def test_salted_results_exact(spark, threshold):
     assert got == oracle_pairs(qboxes, boxes)
 
 
+def test_hist_skip_factor_gates_histogram(spark):
+    """r6 optimization: the sampled hot-cell histogram job is skipped while
+    n_data <= hist_skip_factor * salt_threshold (worst-case single task is
+    bounded, salting is balance-only), and still runs above the bound."""
+    boxes = _hot_corpus()          # 3500 rows, ~3000 in one cell
+    cfg = EngineConfig(extent=EXT, level=3, salt_threshold=500, strategy="packed")
+    cells = explode_cells(boxes_df(spark, boxes), cfg.extent, cfg.level).select(
+        F.col("id").alias("_did"), "cell", "xmin", "ymin", "xmax", "ymax"
+    )
+    # inside the skip window (3500 <= 4 * 1000): no histogram, no salting
+    assert _hot_cells(cells, cfg.with_(salt_threshold=1000), n_data=3500) is None
+    # above it (3500 > 4 * 500): histogram runs and finds the hot cell
+    hot = _hot_cells(cells, cfg, n_data=3500)
+    assert hot is not None and hot.count() >= 1
+    # unknown count → histogram always runs (no skip without evidence)
+    assert _hot_cells(cells, cfg.with_(salt_threshold=1000), n_data=None) is not None
+
+
 def test_batch_query_deterministic(spark):
     """Reference test_parallel_configuration.py: identical results across
     repeated runs."""
