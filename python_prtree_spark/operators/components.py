@@ -93,8 +93,13 @@ def connected_components(
     component = min node id of the connected component."""
     e = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    ).where(F.col("a") != F.col("b")).distinct()
     if small_graph_cap:
+        # probe BEFORE checkpointing: for small graphs (the common case for
+        # border-edge CC) the limit-collect is the only job; the eager
+        # checkpoint below then never runs. Large graphs recompute the
+        # distinct once more for the checkpoint — amortized by the star
+        # rounds that follow.
         head = e.limit(small_graph_cap + 1).collect()
         if len(head) <= small_graph_cap:
             spark = pairs.sparkSession
@@ -124,6 +129,7 @@ def connected_components(
             return spark.createDataFrame(
                 [(n, find(n)) for n in sorted(nodes)], schema
             )
+    e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -124,7 +124,13 @@ def _zonal_source(
         tiles_df.select(raster_id, bytes_col, "xmin", "ymin", "xmax", "ymax"),
         on=raster_id,
     )
-    return src, polys_df.schema[poly_id].dataType.simpleString()
+    # spread before the decode/mask kernel: with a single-file tile table
+    # the broadcast join inherits ONE partition and the whole per-tile
+    # Python kernel runs serially (measured: the entire zonal kernel on one
+    # task, ~200 us/tile x 15k tiles); no-op when already parallel
+    from python_prtree_spark.operators.dedup import _spread
+
+    return _spread(src), polys_df.schema[poly_id].dataType.simpleString()
 
 
 def zonal_stats(
@@ -536,11 +542,12 @@ def label_regions(
         F.col("gx").alias("jx"), F.col("gy").alias("jy"),
         F.col("root").alias("id_b"),
     )
+    # no .distinct() here: connected_components re-distincts its edge input
+    # anyway, so the extra exchange+aggregate was pure duplicate work
     edges = (
         right.join(left, on=["jx", "jy"]).select("id_a", "id_b")
         .unionByName(top.join(bottom, on=["jx", "jy"]).select("id_a", "id_b"))
         .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
     )
 
     from python_prtree_spark.operators.components import connected_components
