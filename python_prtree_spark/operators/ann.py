@@ -40,9 +40,6 @@ def _norm(a):
 # must never be forced through executor memory by a hint (VERDICT r2
 # item 7; same gate as knn.py / probe._pick_strategy).
 _BCAST_PROBE_BYTES = 8 << 20
-# hard row cap for ivf_topk's driver-side probe assignment (checked AFTER
-# the bounded limit-collect — Catalyst's estimate is only a hint, knn-style)
-_DRIVER_ASSIGN_ROWS = 100_000
 
 
 def _gated_probe(p: "DataFrame") -> tuple["DataFrame", bool]:
@@ -213,7 +210,6 @@ def ivf_topk(
             yield out
 
     from python_prtree_spark.operators.dedup import _spread
-    from python_prtree_spark.plans.explain import plan_size_estimate
 
     ct = corpus.schema[id_col].dataType.simpleString()
     pt = probes.schema[probe_id].dataType.simpleString()
@@ -223,33 +219,16 @@ def ivf_topk(
     c = _spread(corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v")
     )).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
-    p_src = probes.select(
+    # NB (r6): a driver-side probe-assignment fast path (bounded
+    # limit-collect + local-relation broadcast, the knn pattern) was
+    # prototyped and A/B-REJECTED: interleaved same-session runs measured
+    # it ~0.15 s SLOWER than the executor stage (row-based toPandas /
+    # createDataFrame of array columns costs more than the one-task
+    # Python stage it replaces). Keep the executor path.
+    p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    pp = None
-    est = plan_size_estimate(p_src)
-    if est is not None and est <= _BCAST_PROBE_BYTES:
-        # gate-tiny probe batch: assign on the DRIVER (bounded collect, the
-        # knn._broadcast_probe_pts pattern) instead of a one-task Python
-        # stage + a broadcast-build job over its output — same numerics
-        # via _assign_probe_mat, result is a local relation whose
-        # broadcast needs no extra job
-        pdf = p_src.limit(_DRIVER_ASSIGN_ROWS + 1).toPandas()
-        if len(pdf) <= _DRIVER_ASSIGN_ROWS:
-            if len(pdf):
-                top = _assign_probe_mat(
-                    np.stack(pdf["_v"].to_numpy()).astype(np.float64))
-                out = pdf.loc[pdf.index.repeat(n_probe)].copy()
-                out["list_id"] = top.ravel()
-            else:
-                out = pdf.assign(list_id=np.empty(0, np.int32))
-            out = out.rename(columns={"_v": "_pv"})
-            pp = F.broadcast(probes.sparkSession.createDataFrame(
-                out, schema=f"_pid {pt}, _pv array<double>, list_id int"))
-    if pp is None:
-        p = p_src.mapInPandas(
-            assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")
-        pp, _ = _gated_probe(p.withColumnRenamed("_v", "_pv"))
+    ).mapInPandas(assign_probes, schema=f"_pid {pt}, _v array<double>, list_id int")
+    pp, _ = _gated_probe(p.withColumnRenamed("_v", "_pv"))
     joined = c.join(pp, on="list_id")
     if quantize_scale is not None:
         qz = lambda col: F.transform(  # noqa: E731

@@ -51,11 +51,14 @@ def heavy_hitters(
 
     from ..functions.text import tokens_col
 
-    toks = docs.select(F.explode(tokens_col(text)).alias("token"))
-    # The pigeonhole bound needs local_min <= ceil(T / p_actual). scan ->
-    # explode -> mapInPandas is ONE stage (no exchange), so the partition
-    # count observed here at plan time IS the partitioning prune() runs
-    # over; any p_actual <= n_parts only makes the bound slacker.
+    from python_prtree_spark.operators.dedup import _spread
+
+    # _spread first (r6): a single-file corpus arrives as one scan task and
+    # the prune pass would run serially. The pigeonhole bound needs
+    # local_min <= ceil(T / p_actual); n_parts is observed AFTER the spread,
+    # so the partition count seen at plan time IS the partitioning prune()
+    # runs over; any p_actual <= n_parts only makes the bound slacker.
+    toks = _spread(docs.select(F.explode(tokens_col(text)).alias("token")))
     n_parts = max(1, toks.rdd.getNumPartitions())
     local_min = max(1, math.ceil(threshold / n_parts))
 

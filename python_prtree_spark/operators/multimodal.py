@@ -18,6 +18,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# every byte-decoding kernel below wraps its input in _spread: a
+# single-file image table arrives as ONE scan partition and the whole
+# decode kernel would otherwise run serially on one Python worker (the
+# knn/zonal single-task disease, r6); no-op when the scan is already
+# parallel, and the repartition it may add only ever moves a table small
+# enough to have arrived in few partitions
+from python_prtree_spark.operators.dedup import _spread
 from python_prtree_spark.functions.codec import (
     decode_image,
     encode_image,
@@ -57,7 +64,7 @@ def decode_stats(df: DataFrame, id_col: str = "image_id", bytes_col: str = "byte
             )
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, w int, h int, mean_r double, mean_g double, mean_b double"
     )
 
@@ -72,7 +79,7 @@ def recompute_phash(df: DataFrame, id_col: str = "image_id", bytes_col: str = "b
             yield pd.DataFrame({id_col: pdf[id_col], "phash2": np.array(ph, dtype=np.int64)})
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(gen, schema=f"{id_col} {t}, phash2 long")
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(gen, schema=f"{id_col} {t}, phash2 long")
 
 
 def resize_images(
@@ -111,7 +118,7 @@ def resize_images(
                                 "w": out_w, "h": out_h, "fmt": fmt})
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, bytes binary, w int, h int, fmt string"
     )
 
@@ -162,7 +169,7 @@ def resize_nn_checksums(
                 rows, columns=[id_col, "ow", "oh", "s0", "s1", "s2"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen,
         schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
     )
@@ -222,7 +229,7 @@ def augment_checksums(
                 rows, columns=[id_col, "cw", "ch", "s0", "s1", "s2"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen,
         schema=f"{id_col} {t}, cw int, ch int, s0 long, s1 long, s2 long",
     )
@@ -291,7 +298,7 @@ def resize_bilinear_checksums(
                 rows, columns=[id_col, "ow", "oh", "s0", "s1", "s2"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen,
         schema=f"{id_col} {t}, ow int, oh int, s0 long, s1 long, s2 long",
     )
@@ -352,7 +359,7 @@ def hist_equalize_checksums(
                 rows, columns=[id_col, "w", "h", "s0", "s1", "s2"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen,
         schema=f"{id_col} {t}, w int, h int, s0 long, s1 long, s2 long",
     )
@@ -396,7 +403,7 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=[id_col, "hash_hi", "hash_lo"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, hash_hi long, hash_lo long",
     )
 
@@ -429,7 +436,7 @@ def verify_roundtrip(
             yield pd.DataFrame(rows, columns=[id_col, "fmt", "psnr", "ok"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col, fmt_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, fmt string, psnr double, ok boolean"
     )
 
@@ -462,7 +469,7 @@ def audio_features_stub(
             yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms"])
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, n_samples long, rms double"
     )
 
@@ -496,6 +503,6 @@ def video_frame_sample_stub(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
 
     t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bytes_col).mapInPandas(
+    return _spread(df.select(id_col, bytes_col)).mapInPandas(
         gen, schema=f"{id_col} {t}, frame_idx int, frame_bytes binary"
     )

@@ -97,7 +97,12 @@ def skyline(
             run = pdf["y"].cummax()
         yield pdf[pdf["y"] >= run]
 
-    cands = pts.mapInPandas(local_sky, schema=schema)
+    # _spread (r6): single-file inputs arrive as one task and the local
+    # frontier pass would run serially; candidates stay a superset of the
+    # exact frontier under ANY partitioning, so the result is unchanged
+    from python_prtree_spark.operators.dedup import _spread
+
+    cands = _spread(pts).mapInPandas(local_sky, schema=schema)
     head = cands.limit(candidate_cap + 1).toPandas()
     if len(head) > candidate_cap:
         raise ValueError(
