@@ -209,16 +209,18 @@ def ivf_topk(
             out["list_id"] = top.ravel()
             yield out
 
-    from python_prtree_spark.operators.dedup import _spread
-
     ct = corpus.schema[id_col].dataType.simpleString()
     pt = probes.schema[probe_id].dataType.simpleString()
-    # spread first: a small parquet corpus arrives as one scan task and the
-    # whole centroid-assignment kernel would run on a single Python worker;
-    # no-op when the scan already carries >= cores partitions
-    c = _spread(corpus.select(
+    # NO _spread on the corpus side (r6, measured): the assignment kernel
+    # is LINEAR per byte (one normalized matvec per row), so repartitioning
+    # a single-partition corpus moves the same bytes the kernel would read
+    # and costs more than the parallelism pays (interleaved A/B: 0.84 s
+    # no-spread vs 0.93 s spread at the bench shape). Spreading only wins
+    # where kernel CPU per byte is high — knn's m x n distance matrix,
+    # zonal's decode+mask, the image decoders — and those sites keep it.
+    c = corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v")
-    )).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
+    ).mapInPandas(assign_corpus, schema=f"_cid {ct}, _v array<double>, list_id int")
     # NB (r6): a driver-side probe-assignment fast path (bounded
     # limit-collect + local-relation broadcast, the knn pattern) was
     # prototyped and A/B-REJECTED: interleaved same-session runs measured
