@@ -159,20 +159,23 @@ def anchor_targets(
     with tx_num = gx0+gx1-2*anchor_cx and t_den = 2s, all in 1/scale
     units.
 
-    One gt_id-keyed join beyond anchor_assign's single shuffle."""
+    One (img, gt_id)-keyed join beyond anchor_assign's single shuffle —
+    img rides in the key so gt ids only need to be unique per image (the
+    same contract as anchor_assign's explode), never globally."""
     st = int(stride) * int(scale)
     half_st = st // 2
     a = anchor_assign(gts, stride, sizes, scale, img_col, id_col).where(
         F.col("label") == "pos"
     )
     g = gts.select(
+        F.col(img_col).cast("long").alias("img"),
         F.col(id_col).cast("long").alias("gt_id"),
         F.round(F.col("xmin") * scale).cast("long").alias("gx0"),
         F.round(F.col("ymin") * scale).cast("long").alias("gy0"),
         F.round(F.col("xmax") * scale).cast("long").alias("gx1"),
         F.round(F.col("ymax") * scale).cast("long").alias("gy1"),
     )
-    j = a.join(g, "gt_id")
+    j = a.join(g, ["img", "gt_id"])
     sz = F.element_at(
         F.array(*[F.lit(int(s) * int(scale)) for s in sizes]),
         (F.col("k") + 1).cast("int"),

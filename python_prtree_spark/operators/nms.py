@@ -501,9 +501,14 @@ def _opt_match_kernel(pdf):
     inter = ix * iy
     union = ((dx1 - dx0) * (dy1 - dy0))[:, None] \
         + ((gx1 - gx0) * (gy1 - gy0))[None, :] - inter
-    # quantized gain, zeroed below the exact rational threshold
+    # quantized gain, zeroed below the exact rational threshold; the
+    # division runs only where ok (ok implies union > 0, since inter <=
+    # union for non-negative areas) so degenerate zero-area det/gt pairs
+    # never trip a divide-by-zero RuntimeWarning
     ok = inter * float(t_den) > float(t_num) * union
-    gain = np.where(ok, np.floor(inter * 1e6 / union), 0.0).astype(np.int64)
+    gain = np.floor(
+        np.divide(inter * 1e6, union, out=np.zeros_like(union), where=ok)
+    ).astype(np.int64)
     n = max(nd, ng)
     C = np.zeros((n, n), dtype=np.int64)
     C[:nd, :ng] = -gain
@@ -649,13 +654,18 @@ def reliability_bins(
     gives ECE without any order-dependent float reduction.
 
     One extra shuffle beyond iou_match (the <= n_bins-row groupBy is
-    map-side combined); empty bins are omitted."""
+    map-side combined); empty bins are omitted.
+
+    Detection ids only need to be unique PER IMAGE (iou_match's natural
+    contract): the score join-back keys on (img, det_id), so per-image
+    ids that repeat across images never fan out the join."""
     m = iou_match(dets, gts, t_num, t_den, img_col, id_col, score_col)
     d = dets.select(
+        F.col(img_col).cast("long").alias("img"),
         F.col(id_col).cast("long").alias("det_id"),
         F.col(score_col).cast("long").alias("_s"),
     )
-    binned = m.join(d, "det_id").select(
+    binned = m.join(d, ["img", "det_id"]).select(
         F.least(
             F.lit(int(n_bins) - 1),
             F.floor(F.col("_s") * int(n_bins) / F.lit(int(score_max))).cast("long"),
@@ -696,7 +706,7 @@ def detection_ap(
     TP/FP flags -> one row (cls, n_gt, n_det, n_tp, ap_units, ap).
 
     All-points interpolation (the PASCAL-VOC 2010+ / COCO definition):
-    rank each class's detections by (score DESC, det id); precision_k =
+    rank each class's detections by (score DESC, det id, img); precision_k =
     cum_tp/k; interpolated precision at rank k is max precision over
     ranks >= k (a running window max over the reversed order); AP =
     (1/n_gt) * sum of interpolated precision at each TP rank.
@@ -723,6 +733,7 @@ def detection_ap(
 
     m = iou_match(dets, gts, t_num, t_den, img_col, id_col, score_col)
     d = dets.select(
+        F.col(img_col).cast("long").alias("img"),
         F.col(id_col).cast("long").alias("det_id"),
         F.col(score_col).cast("long").alias("_s"),
         F.col(class_col).cast("long").alias("cls"),
@@ -732,10 +743,15 @@ def detection_ap(
         .groupBy("cls")
         .agg(F.count("*").alias("n_gt"))
     )
-    scored = m.join(d, "det_id")
+    # (img, det_id) join: det ids only need to be unique per image
+    # (iou_match's contract) — a det_id-only join would fan out when
+    # per-image ids repeat across images. The ranking windows carry img
+    # as the FINAL tie-break for the same reason (never reached when ids
+    # are globally unique, deterministic when they are per-image).
+    scored = m.join(d, ["img", "det_id"])
     w_fwd = (
         Window.partitionBy("cls")
-        .orderBy(F.col("_s").desc(), F.col("det_id"))
+        .orderBy(F.col("_s").desc(), F.col("det_id"), F.col("img"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = (
@@ -745,7 +761,7 @@ def detection_ap(
     )
     w_suf = (
         Window.partitionBy("cls")
-        .orderBy(F.col("_s").asc(), F.col("det_id").desc())
+        .orderBy(F.col("_s").asc(), F.col("det_id").desc(), F.col("img").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     interp = ranked.withColumn("pint", F.max("prec").over(w_suf))

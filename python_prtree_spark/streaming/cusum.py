@@ -3,10 +3,10 @@ operators/evalstats.cusum_alarms (same two-form pattern as trajectory /
 sessionization: the batch op is a pure window, this is the incremental
 operator an unbounded metric stream needs).
 
-State per entity is THREE integers — the running CUSUM statistic, the
-sample count, the running max and alarm count — O(live entities),
-independent of stream length; each micro-batch that touches an entity
-emits its updated cumulative row (append mode).
+State per entity is FOUR integers — the running CUSUM statistic, the
+sample count, the running max statistic, and the alarm count —
+O(live entities), independent of stream length; each micro-batch that
+touches an entity emits its updated cumulative row (append mode).
 
 Contract linking the two (tested): on an event-time-ordered stream, the
 last emitted row per entity equals the batch ``cusum_alarms`` chart

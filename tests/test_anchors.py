@@ -119,3 +119,34 @@ def test_anchor_assign_unit_case(spark):
     exact = got[(got["ax"] == 0) & (got["ay"] == 0)]
     assert len(exact) == 1 and exact["iou"].iloc[0] == 1.0
     assert exact["label"].iloc[0] == "pos"
+
+
+def test_anchor_targets_with_per_image_gt_ids(spark):
+    """ADVICE r5: gt ids only unique PER IMAGE must not fan out the gt
+    coordinate join in anchor_targets. Oracle: the same gts with ids
+    remapped to globally-unique values — identical rows modulo the id
+    remap."""
+    gts = pd.DataFrame({
+        "id": [1, 1, 2],            # id 1 repeats across images
+        "img": [0, 1, 1],
+        "xmin": [0.0, 0.5, 8.0], "ymin": [0.0, -0.25, 8.0],
+        "xmax": [2.0, 3.5, 10.0], "ymax": [2.0, 1.75, 10.0],
+    })
+    ggts = gts.assign(id=gts["id"] * 1000 + gts["img"])
+    got = anchor_targets(
+        spark.createDataFrame(gts), stride=2, sizes=(2,)
+    ).toPandas()
+    want = anchor_targets(
+        spark.createDataFrame(ggts), stride=2, sizes=(2,)
+    ).toPandas()
+    assert len(got) == len(want)
+    key = ["img", "ax", "ay", "k"]
+    cols = key + ["tx", "ty", "wr", "hr", "tx_num", "ty_num", "t_den"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    w = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    # id remap consistency: gt_id in the per-image run maps to its twin
+    m = got.set_index(tuple(key) if False else ["img", "ax", "ay", "k"])["gt_id"]
+    mw = want.set_index(["img", "ax", "ay", "k"])["gt_id"]
+    for k_, v in m.items():
+        assert int(v) * 1000 + k_[0] == int(mw[k_])

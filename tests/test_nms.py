@@ -506,3 +506,54 @@ def test_iou_pairs_threshold_is_strict(spark):
     sdf = spark.createDataFrame(pdf)
     assert overlap_iou_pairs(sdf, 1, 1, CFG).count() == 0  # t=1: never >
     assert overlap_iou_pairs(sdf, 99, 100, CFG).count() == 1
+
+
+def test_ap_and_bins_with_per_image_det_ids(spark):
+    """ADVICE r5: det ids only unique PER IMAGE must not fan out the
+    score join-back in detection_ap / reliability_bins. Oracle: the same
+    data with ids bijectively remapped to globally-unique values whose
+    (det_id, img) order is preserved (gid = id * 1000 + img) — every
+    output column must match exactly."""
+    rng = np.random.default_rng(9)
+    n = 240
+    img = rng.integers(0, 12, n)
+    mins = rng.random((n, 2)) * 8
+    ext = 1.0 + rng.random((n, 2)) * 3
+    pdf = pd.DataFrame({
+        # per-image ids: (img, id) unique, raw id heavily repeated
+        "id": np.arange(n, dtype=np.int64) // 12,
+        "img": img,
+        "cls": img % 3,
+        "score": rng.integers(0, 25, n),
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    })
+    pdf = pdf.drop_duplicates(["img", "id"]).reset_index(drop=True)
+    gpdf = pdf.assign(id=pdf["id"] * 1000 + pdf["img"])  # global twin
+    dets, gts = pdf[pdf.index % 3 != 0], pdf[pdf.index % 3 == 0]
+    gdets, ggts = gpdf[gpdf.index % 3 != 0], gpdf[gpdf.index % 3 == 0]
+
+    ap = detection_ap(
+        spark.createDataFrame(dets).repartition(8),
+        spark.createDataFrame(gts).repartition(8), 1, 3,
+    ).toPandas().sort_values("cls").reset_index(drop=True)
+    ap_g = detection_ap(
+        spark.createDataFrame(gdets).repartition(8),
+        spark.createDataFrame(ggts).repartition(8), 1, 3,
+    ).toPandas().sort_values("cls").reset_index(drop=True)
+    for c in ("cls", "n_gt", "n_det", "n_tp", "ap_units"):
+        assert list(ap[c]) == list(ap_g[c]), c
+    # no fan-out: each class's detections are counted exactly once
+    assert int(ap["n_det"].sum()) == len(dets)
+
+    rb = reliability_bins(
+        spark.createDataFrame(dets), spark.createDataFrame(gts), 1, 3,
+        score_max=25,
+    ).toPandas().sort_values("bin").reset_index(drop=True)
+    rb_g = reliability_bins(
+        spark.createDataFrame(gdets), spark.createDataFrame(ggts), 1, 3,
+        score_max=25,
+    ).toPandas().sort_values("bin").reset_index(drop=True)
+    for c in ("bin", "n", "n_tp", "gap_units"):
+        assert list(rb[c]) == list(rb_g[c]), c
+    assert int(rb["n"].sum()) == len(dets)
