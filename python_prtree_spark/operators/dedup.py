@@ -457,6 +457,21 @@ def minhash_lsh_pairs(
         # row goes straight into the one (band, bkey) shuffle, and the
         # kernel skips singleton runs for free. Identical output: pairs
         # only ever come from >= 2-member bucket runs.
+        #
+        # PROTOTYPED AND A/B-REJECTED (r6): token-set CLASS COLLAPSE
+        # (group docs by sorted token-hash array, run the whole LSH
+        # pipeline on one representative per class, expand class pairs
+        # back to doc pairs with broadcast joins — guide §8's
+        # decide-small/attach-once shape). Output proven byte-identical
+        # at sf0.01 AND sf0.1 across 6 threshold/bands/verify configs,
+        # but the focused interleave measured it 1.08-1.15x SLOWER here
+        # (min 1.49-1.61 s without vs 1.67-1.72 s with, 3 alternating
+        # rounds): this corpus collapses only 1.27x (5000 docs -> 3935
+        # classes), so the kernel/emission savings parallelize into
+        # noise while the class groupBy adds a whole extra shuffle stage
+        # and the two broadcast-attach joins sit on the critical path.
+        # Worth revisiting only behind a cheap duplicate-ratio signal at
+        # a scale where the quadratic bucket work dominates job latency.
         src = df.select(id_col, text_col)
         if verify:
             src = src.withColumn("_toks", toks_expr)
