@@ -1067,19 +1067,18 @@ def _q_pyramid(spark, sf_dir):
 
 
 def _q_polygonize(spark, sf_dir):
-    """Raster→vector extraction chained over rasterize_counts: lit pixels
+    """Raster→vector extraction over the coverage paint: lit pixels
     (coverage >= 1) grouped into 4-connected regions across tile seams —
     per-tile min-propagation labeling, border-only equi-joins, large-star/
     small-star merge over the region graph. region_id = min global pixel
     key; oracle = recursive-CTE transitive closure over pixel adjacency
-    on the same SQL-enumerated lattice."""
-    from python_prtree_spark.operators.raster import (
-        polygonize_regions,
-        rasterize_counts,
-    )
+    on the same SQL-enumerated lattice. Uses the fused paint+label kernel
+    (polygonize_boxes, r6): identical output to the two-stage
+    rasterize_counts → polygonize_regions chain (pytest-pinned), one
+    fewer exchange + Python stage."""
+    from python_prtree_spark.operators.raster import polygonize_boxes
 
-    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
-    return polygonize_regions(pxs, CFG, px=16, threshold=1)
+    return polygonize_boxes(supplier_probes(spark, sf_dir), CFG, px=16, threshold=1)
 
 
 def _make_q_focal(op):
@@ -2629,13 +2628,13 @@ def _q_region_shape(spark, sf_dir):
     perimeter join against the recursive-CTE labeling oracle; known
     shapes (squares, trominoes, isolated pixels) pytest-verified
     (tests/test_regionprops.py)."""
-    from python_prtree_spark.operators.raster import (
-        rasterize_counts,
-        region_shape_stats,
-    )
+    from python_prtree_spark.operators.raster import region_shape_stats_boxes
 
-    pxs = rasterize_counts(supplier_probes(spark, sf_dir), CFG, px=16)
-    out = region_shape_stats(pxs, CFG, px=16, threshold=1)
+    # fused paint+label kernel (r6) — identical output to the two-stage
+    # rasterize_counts -> region_shape_stats chain (pytest-pinned)
+    out = region_shape_stats_boxes(
+        supplier_probes(spark, sf_dir), CFG, px=16, threshold=1
+    )
     return out.select(
         F.col("region_id").cast("long").alias("region_id"),
         F.col("n_px").cast("long").alias("n_px"),

@@ -463,68 +463,40 @@ def pyramid_level_values(
     return grouped.applyInPandas(merge, schema="tile long, r int, c int, v long")
 
 
-def label_regions(
-    pixels_df: DataFrame,
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    px: int = 16,
-    threshold: int = 1,
-    tile_col: str = "tile",
-    value_col: str = "cnt",
-) -> DataFrame:
-    """Per-pixel 4-connected region labels across the whole mosaic —
-    the labeling stage of polygonize_regions, exposed so shape
-    statistics / zonal chains can consume pixel-granular labels.
-    Same plan as polygonize_regions steps 1-3 (per-tile Arrow
-    min-propagation, border-only equi-joins, large/small-star CC);
-    region_id = smallest global pixel key (gx * grid + gy) in the
-    region, engine-independent.
+def _label_tile(r, c, v, tile, side, px, grid, np, pd):
+    """Per-tile min-label propagation over the lit pixels (r, c) of one
+    tile: the local-root stage shared by label_regions (sparse-pixel
+    input) and the fused paint+label kernel (box input). Loop count is
+    the local region diameter, not the pixel count."""
+    ix, iy = tile // side, tile % side
+    gx = ix * px + c
+    gy = iy * px + r
+    key0 = gx.astype(np.int64) * grid + gy
+    lab = np.full((px + 2, px + 2), np.iinfo(np.int64).max, dtype=np.int64)
+    lab[r + 1, c + 1] = key0
+    active = np.zeros((px + 2, px + 2), dtype=bool)
+    active[r + 1, c + 1] = True
+    while True:
+        m = np.minimum.reduce([
+            lab[1:-1, 1:-1], lab[:-2, 1:-1], lab[2:, 1:-1],
+            lab[1:-1, :-2], lab[1:-1, 2:],
+        ])
+        m = np.where(active[1:-1, 1:-1], m, np.iinfo(np.int64).max)
+        if (m == lab[1:-1, 1:-1]).all():
+            break
+        lab[1:-1, 1:-1] = m
+    return pd.DataFrame({
+        "gx": gx.astype(np.int32), "gy": gy.astype(np.int32),
+        "root": lab[r + 1, c + 1],
+        "v": v,
+    })
 
-    → (gx, gy, v, region_id) one row per lit (>= threshold) pixel,
-    global pixel coordinates."""
-    import numpy as np
-    import pandas as pd
 
-    side = 1 << cfg.level
-    grid = side * px
-    src = pixels_df.select(
-        F.col(tile_col).alias("_tile"),
-        F.col("r").cast("int").alias("r"),
-        F.col("c").cast("int").alias("c"),
-        F.col(value_col).cast("long").alias("_v"),
-    ).where(F.col(value_col) >= threshold)
-
-    def label(key, pdf):
-        tile = int(key[0])
-        ix, iy = tile // side, tile % side
-        r = pdf["r"].to_numpy()
-        c = pdf["c"].to_numpy()
-        gx = ix * px + c
-        gy = iy * px + r
-        key0 = gx.astype(np.int64) * grid + gy
-        # min-label propagation on the local grid (px is small; the loop
-        # count is the local region diameter, not the pixel count)
-        lab = np.full((px + 2, px + 2), np.iinfo(np.int64).max, dtype=np.int64)
-        lab[r + 1, c + 1] = key0
-        active = np.zeros((px + 2, px + 2), dtype=bool)
-        active[r + 1, c + 1] = True
-        while True:
-            m = np.minimum.reduce([
-                lab[1:-1, 1:-1], lab[:-2, 1:-1], lab[2:, 1:-1],
-                lab[1:-1, :-2], lab[1:-1, 2:],
-            ])
-            m = np.where(active[1:-1, 1:-1], m, np.iinfo(np.int64).max)
-            if (m == lab[1:-1, 1:-1]).all():
-                break
-            lab[1:-1, 1:-1] = m
-        return pd.DataFrame({
-            "gx": gx.astype(np.int32), "gy": gy.astype(np.int32),
-            "root": lab[r + 1, c + 1],
-            "v": pdf["_v"].to_numpy(),
-        })
-
-    labeled = src.groupBy("_tile").applyInPandas(
-        label, schema="gx int, gy int, root long, v long"
-    ).localCheckpoint(eager=False)
+def _regions_from_labeled(labeled: DataFrame, px: int) -> DataFrame:
+    """Steps 2-4 of the region pipeline, shared by every label source:
+    border-only equi-joins over tile seams, large/small-star CC over the
+    LOCAL-ROOT graph, final label = component of the local root."""
+    labeled = labeled.localCheckpoint(eager=False)
 
     right = labeled.where(F.col("gx") % px == px - 1).select(
         (F.col("gx") + 1).alias("jx"), F.col("gy").alias("jy"),
@@ -558,6 +530,89 @@ def label_regions(
         labeled.join(comp, labeled["root"] == comp["node"], "left")
         .select("gx", "gy", "v", final.alias("region_id"))
     )
+
+
+def label_regions(
+    pixels_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+    tile_col: str = "tile",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Per-pixel 4-connected region labels across the whole mosaic —
+    the labeling stage of polygonize_regions, exposed so shape
+    statistics / zonal chains can consume pixel-granular labels.
+    Same plan as polygonize_regions steps 1-3 (per-tile Arrow
+    min-propagation, border-only equi-joins, large/small-star CC);
+    region_id = smallest global pixel key (gx * grid + gy) in the
+    region, engine-independent.
+
+    → (gx, gy, v, region_id) one row per lit (>= threshold) pixel,
+    global pixel coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    side = 1 << cfg.level
+    grid = side * px
+    src = pixels_df.select(
+        F.col(tile_col).alias("_tile"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).where(F.col(value_col) >= threshold)
+
+    def label(key, pdf):
+        return _label_tile(
+            pdf["r"].to_numpy(), pdf["c"].to_numpy(), pdf["_v"].to_numpy(),
+            int(key[0]), side, px, grid, np, pd,
+        )
+
+    labeled = src.groupBy("_tile").applyInPandas(
+        label, schema="gx int, gy int, root long, v long"
+    )
+    return _regions_from_labeled(labeled, px)
+
+
+def label_regions_boxes(
+    boxes_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+) -> DataFrame:
+    """Fused `rasterize_counts` → `label_regions` (r6 optimization,
+    guide §1.2/§2.4): when the pixels come straight from a box paint,
+    the paint groups ARE the label groups (both keyed by tile), so the
+    difference-array paint and the per-tile min-propagation run in ONE
+    `applyInPandas` kernel — removing a whole exchange + Python stage
+    (the sparse pixel rows never cross the JVM↔Python boundary as an
+    intermediate). Output is row-identical (modulo row order) to
+    ``label_regions(rasterize_counts(boxes_df, cfg, px), cfg, px,
+    threshold)`` — pinned by pytest and the polygonize oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from python_prtree_spark.functions.tiling import explode_cells
+
+    side = 1 << cfg.level
+    grid = side * px
+    thr = int(threshold)
+    routed = explode_cells(
+        boxes_df.select("xmin", "ymin", "xmax", "ymax"), cfg.extent, cfg.level
+    )
+
+    def paint_label(key, pdf):
+        tile = int(key[0])
+        cnt = _paint_tile_counts(tile, pdf, cfg, px, np)
+        r, c = np.nonzero(cnt >= thr)
+        return _label_tile(
+            r, c, cnt[r, c].astype(np.int64), tile, side, px, grid, np, pd,
+        )
+
+    labeled = routed.groupBy("cell").applyInPandas(
+        paint_label, schema="gx int, gy int, root long, v long"
+    )
+    return _regions_from_labeled(labeled, px)
 
 
 def polygonize_regions(
@@ -605,16 +660,31 @@ def polygonize_regions(
     At 100 TB the pixel rows never shuffle more than once (stage-1 tile
     grouping); everything after operates on region-granular rows.
     """
-    return (
+    return _region_agg(
         label_regions(pixels_df, cfg, px, threshold, tile_col, value_col)
-        .groupBy("region_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_px"),
-            F.min("gx").alias("gx0"), F.min("gy").alias("gy0"),
-            F.max("gx").alias("gx1"), F.max("gy").alias("gy1"),
-            F.sum("v").alias("v_sum"),
-        )
     )
+
+
+def _region_agg(labeled: DataFrame) -> DataFrame:
+    return labeled.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.min("gx").alias("gx0"), F.min("gy").alias("gy0"),
+        F.max("gx").alias("gx1"), F.max("gy").alias("gy1"),
+        F.sum("v").alias("v_sum"),
+    )
+
+
+def polygonize_boxes(
+    boxes_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+) -> DataFrame:
+    """Fused ``rasterize_counts`` → ``polygonize_regions`` (r6): same
+    output as ``polygonize_regions(rasterize_counts(boxes_df, cfg, px),
+    cfg, px, threshold)``, one fewer exchange + Python stage — see
+    label_regions_boxes for the fusion argument."""
+    return _region_agg(label_regions_boxes(boxes_df, cfg, px, threshold))
 
 
 def region_shape_stats(
@@ -640,9 +710,24 @@ def region_shape_stats(
     CC, one pixel self-join, one region-key groupBy.
 
     → (region_id, n_px, perim, sgx, sgy, gx0, gy0, gx1, gy1)."""
-    lab = label_regions(
-        pixels_df, cfg, px, threshold, tile_col, value_col
-    ).localCheckpoint(eager=False)
+    lab = label_regions(pixels_df, cfg, px, threshold, tile_col, value_col)
+    return _shape_from_labeled(lab)
+
+
+def region_shape_stats_boxes(
+    boxes_df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    px: int = 16,
+    threshold: int = 1,
+) -> DataFrame:
+    """Fused ``rasterize_counts`` → ``region_shape_stats`` (r6): same
+    output as the two-stage chain, one fewer exchange + Python stage —
+    see label_regions_boxes for the fusion argument."""
+    return _shape_from_labeled(label_regions_boxes(boxes_df, cfg, px, threshold))
+
+
+def _shape_from_labeled(lab: DataFrame) -> DataFrame:
+    lab = lab.localCheckpoint(eager=False)
     base = lab.groupBy("region_id").agg(
         F.count(F.lit(1)).alias("n_px"),
         F.sum("gx").alias("sgx"), F.sum("gy").alias("sgy"),

@@ -115,3 +115,74 @@ def test_polygonize_composes_with_rasterize(spark):
     exp = _oracle(rows, 1)
     assert got == exp
     assert len(exp) >= 2
+
+
+def test_polygonize_boxes_fused_equals_chained(spark):
+    """The fused paint+label kernel (polygonize_boxes / label_regions_boxes,
+    r6) must be row-identical to the two-stage rasterize_counts ->
+    polygonize_regions / label_regions chain it replaces."""
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import (
+        label_regions,
+        label_regions_boxes,
+        polygonize_boxes,
+    )
+
+    rng = __import__("numpy").random.default_rng(3)
+    n = 400
+    mins = rng.random((n, 2)) * 90
+    ext = rng.random((n, 2)) * 12
+    boxes = spark.createDataFrame(pd.DataFrame({
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    }))
+    for thr in (1, 3):
+        chained = sorted(
+            tuple(r) for r in polygonize_regions(
+                rasterize_counts(boxes, CFG, px=PX), CFG, px=PX, threshold=thr
+            ).collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in polygonize_boxes(boxes, CFG, px=PX, threshold=thr).collect()
+        )
+        assert fused == chained
+        lc = sorted(
+            tuple(r) for r in label_regions(
+                rasterize_counts(boxes, CFG, px=PX), CFG, px=PX, threshold=thr
+            ).collect()
+        )
+        lf = sorted(
+            tuple(r)
+            for r in label_regions_boxes(boxes, CFG, px=PX, threshold=thr).collect()
+        )
+        assert lf == lc
+
+
+def test_region_shape_stats_boxes_fused_equals_chained(spark):
+    import pandas as pd
+
+    from python_prtree_spark.operators.raster import (
+        region_shape_stats,
+        region_shape_stats_boxes,
+    )
+
+    rng = __import__("numpy").random.default_rng(7)
+    n = 300
+    mins = rng.random((n, 2)) * 90
+    ext = rng.random((n, 2)) * 10
+    boxes = spark.createDataFrame(pd.DataFrame({
+        "xmin": mins[:, 0], "ymin": mins[:, 1],
+        "xmax": mins[:, 0] + ext[:, 0], "ymax": mins[:, 1] + ext[:, 1],
+    }))
+    chained = sorted(
+        tuple(r) for r in region_shape_stats(
+            rasterize_counts(boxes, CFG, px=PX), CFG, px=PX, threshold=1
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r)
+        for r in region_shape_stats_boxes(boxes, CFG, px=PX, threshold=1).collect()
+    )
+    assert fused == chained
